@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin façade over ``crypto_data_ingestion_script_spark.registry`` — every
+declared query from SURVEY.md §2 registers itself there with its Spark
+callable and (where SQL-expressible) its DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -13,26 +11,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crypto_data_ingestion_script_spark.registry import load_all
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (q_ohlc_hourly) on sf0.001: hourly OHLC bars over the
+    events stream — the reference's core computation
+    (/root/reference/dataCollector.py:80-94,140-163,186-191) as one
+    declarative Spark aggregation."""
+    specs = load_all()
+    return specs["q_ohlc_hourly"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every hash-checkable query; omitted keys
+    (non-deterministic / non-SQL-expressible ops) get rows-only checks."""
+    return {
+        name: spec.oracle
+        for name, spec in load_all().items()
+        if spec.oracle is not None
+    }

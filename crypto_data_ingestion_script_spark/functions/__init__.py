@@ -1,0 +1,1 @@
+"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""

@@ -1,0 +1,60 @@
+"""Declared-query registry — the single source of truth that
+``__spark_entry__.py`` exposes to the driver harness.
+
+Every operator from SURVEY.md §2 registers here with:
+  - a Spark callable ``(spark, sf_dir) -> DataFrame``
+  - optionally, the equivalent DuckDB ANSI SQL (the correctness oracle).
+    Queries without SQL get the driver's weaker rows-only check
+    (non-deterministic / non-SQL-expressible ops only, SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+#: name -> spec; populated by @query decorators at import time.
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a declared query. ``oracle`` is DuckDB SQL or None."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .session import configure
+
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query-bearing module so REGISTRY is fully populated."""
+    from .operators import aggregates, relational, rollup, windows  # noqa: F401
+    from .functions import scalar, udfs  # noqa: F401
+    from .llm import dedup, multimodal, similarity, text  # noqa: F401
+    from .sources import files, rest  # noqa: F401
+    from . import ingest  # noqa: F401
+    from .streaming import jobs  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,68 @@
+"""SparkSession construction and runtime configuration.
+
+The driver harness owns its own SparkSession, so every conf we rely on for
+correctness or performance must be a *runtime-settable* SQL conf applied via
+``configure(spark)`` — called at the top of every query entry point.
+
+Scale posture (100 TB design point, SURVEY.md §7.4.6):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting mean one
+  static ``spark.sql.shuffle.partitions`` value survives a 1000× scale-up.
+- Arrow on: any pandas-UDF path moves columnar batches, not pickled rows.
+- Session TZ pinned to UTC: parquet timestamps compare bit-identically with
+  the UTC-naive DuckDB oracle and partition pruning on date derivations stays
+  deterministic across clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session handed to us.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Eliminate correctness drift between engines: ANSI interval/date ops.
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark has no native type for — read as long, catalog converts to
+    # microsecond timestamp_ntz (truncation, matching DuckDB's ns→us read).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs (idempotent). Safe on a driver-owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this build — fine, it's an optimization conf.
+            pass
+    try:
+        # Local runs: one shuffle partition per core beats the 200 default.
+        # On a real cluster AQE coalescing makes the initial number soft.
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    except Exception:
+        pass
+    return spark
+
+
+def build_session(app_name: str = "crypto-spark-engine") -> SparkSession:
+    """Local session for tests/bench: ``local[$SPARK_GRAFT_CPUS]``."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    return configure(spark)
