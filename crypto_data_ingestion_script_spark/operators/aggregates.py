@@ -1,1 +1,130 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Aggregation surface beyond the flagship rollup (SURVEY §2.C).
+
+The reference's only aggregation is the hand-rolled per-symbol OHLC buffer
+(/root/reference/dataCollector.py:80-94) — covered by operators/rollup.py.
+This module closes the rest of the declared aggregation surface: distinct,
+count-distinct (exact + approximate), grouping sets (rollup/cube), and
+filtered/conditional aggregates.
+
+Scale notes: every groupBy here is a single shuffle with map-side partial
+aggregation; countDistinct plans as a two-phase expand+agg; rollup/cube use
+Expand (one input pass, G group-replicas) rather than G separate scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("q_approx_count_distinct", tags=("agg", "approx"))
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    count-distinct's expand+shuffle is too expensive. Sketches merge
+    associatively, so this is one pass, no expand. Approximate → rows-only
+    check (SURVEY §7.4.4); q_count_distinct is the exact twin."""
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)       AS sum_qty,
+           sum(l_extendedprice)  AS sum_price,
+           count(*)              AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           avg(l_discount) AS avg_disc,
+           count(*)        AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_cond_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END) AS disc_price,
+           count(*) FILTER (WHERE l_quantity >= 25)                  AS n_bulk,
+           avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END)     AS avg_qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates — sum/count/avg over predicated
+    subsets in one pass (no per-predicate scans)."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
+            "disc_price"
+        ),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+            "avg_qty_f"
+        ),
+    )

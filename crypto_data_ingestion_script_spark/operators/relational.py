@@ -1,1 +1,211 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Projection / filter / cast (SURVEY §2.B), sorts & top-k (§2.H), and set
+operations (§2.I).
+
+The reference's only relational ops are a projection of the API response
+(/root/reference/dataCollector.py:110-114), a string→double cast (:105), and
+row-level error tolerance (failed rows skipped, :115-116). Everything else
+here is the query surface its README delegates to PostgreSQL
+(/root/reference/README.md:31,41-42), expressed declaratively so Catalyst
+pushes filters/projections into the parquet scan — at 100 TB the scan reads
+only referenced columns and skips row groups via min/max stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# --- B. Projection / filter / cast -----------------------------------------
+
+
+@query(
+    "q_project",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+    tags=("projection",),
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: only 3 of 6 event columns reach the scan
+    (ReadSchema shows the pruned projection)."""
+    t = load(spark, sf_dir)
+    return t.events.select("event_id", "event_type", "value")
+
+
+@query(
+    "q_cast",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id AS DOUBLE)                    AS id_dbl,
+           CAST(CAST(value AS FLOAT) AS DOUBLE)        AS value_f32,
+           CAST(CAST(value AS VARCHAR) AS DOUBLE)      AS value_roundtrip
+    FROM events
+    """,
+    tags=("cast",),
+)
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric cast chains — the reference's ``float(data['price'])``
+    (dataCollector.py:105) generalized; float32 narrowing is IEEE-identical
+    across engines."""
+    t = load(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.col("event_id").cast("double").alias("id_dbl"),
+        F.col("value").cast("float").cast("double").alias("value_f32"),
+        F.col("value").cast("string").cast("double").alias("value_roundtrip"),
+    )
+
+
+@query(
+    "q_filter_nulls",
+    oracle="""
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def q_filter_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level error tolerance: permissive parse (try_cast → NULL) then
+    drop failed rows — the Spark analog of the reference's fetch-error skip
+    (dataCollector.py:115-116)."""
+    t = load(spark, sf_dir)
+    parsed = t.events.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') as double)").alias("k_val"),
+    )
+    return parsed.filter(F.col("k_val").isNotNull())
+
+
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_discount <> 0.0
+    """,
+    tags=("filter",),
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison / IN / BETWEEN / LIKE predicate stack; all five predicates
+    appear in PushedFilters at the parquet scan."""
+    t = load(spark, sf_dir)
+    return t.lineitem.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") != 0.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+# --- H. Sorts / limits / top-k ---------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    + driver merge of k rows, no global sort at any scale. Tie-broken on the
+    key for determinism."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned sample sort (global orderBy); validated via limit
+    because the oracle hash is order-insensitive (SURVEY §2.H)."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+    )
+
+
+# --- I. Set operations ------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL via unionByName — no shuffle, pure concatenation of
+    partitions."""
+    t = load(spark, sf_dir)
+    c = t.customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = t.supplier.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
