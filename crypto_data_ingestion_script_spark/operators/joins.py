@@ -1,0 +1,311 @@
+"""Join surface (SURVEY §2.F) — absent from the reference (single stream, no
+relations; /root/reference/dataCollector.py has no join code), required by
+its claimed query surface (README.md:31) and the driver star schema.
+
+Physical strategy notes (the part that matters at 100 TB):
+- Dimension joins (region/nation/supplier) are explicitly ``broadcast()`` —
+  no shuffle of the fact side, ever.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew splitting at runtime.
+- The as-of join is the union+window composition: sort-based, one shuffle on
+  (key), no crossJoin, no per-row Python — scales linearly with input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# --- equi joins -------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+    tags=("join",),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_totalprice") > 100000)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    """,
+    tags=("join",),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept in the ON clause — moving
+    it to WHERE would change semantics)."""
+    t = load(spark, sf_dir)
+    o = t.orders
+    return t.customer.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderstatus") == "F"),
+        "left",
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, r.r_name, count(*) AS n_customers, sum(c.c_acctbal) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("join",),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins with explicit broadcast: the fact table never
+    shuffles for the join — the only shuffle is the final groupBy."""
+    t = load(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI ≡ EXISTS subquery — emits each left row at most once."""
+    t = load(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 200000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI ≡ NOT EXISTS — customers with no orders."""
+    t = load(spark, sf_dir)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r
+    """,
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — declared only for small inputs (25×5); at scale
+    cross joins are gated behind LSH/bucketing (see llm/similarity.py)."""
+    t = load(spark, sf_dir)
+    return t.nation.crossJoin(t.region).select("n_name", "r_name")
+
+
+# --- non-equi joins ---------------------------------------------------------
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 60 DAY
+    """,
+    tags=("join",),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + range predicate. The equi component keeps it a
+    hash/sort-merge join (range applied as post-join filter) — never a
+    nested-loop."""
+    t = load(spark, sf_dir)
+    o, l = t.orders, t.lineitem
+    return o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+    ).select("o_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id,
+             date_trunc('day', ts)                 AS day_start,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS day_end
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day_start, count(*) AS n_overlapping
+    FROM sessions s JOIN events e
+      ON s.user_id = e.user_id
+     AND e.ts >= s.day_start AND e.ts < s.day_end
+    GROUP BY s.user_id, s.day_start
+    """,
+    tags=("join",),
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (point-in-interval): equi key + interval
+    predicates, counted per interval."""
+    t = load(spark, sf_dir)
+    e = t.events
+    sessions = e.groupBy(
+        F.col("user_id"), F.date_trunc("day", "ts").alias("day_start")
+    ).agg(F.lit(1).alias("_one")).select(
+        "user_id",
+        "day_start",
+        (F.col("day_start") + F.expr("INTERVAL 1 DAY")).alias("day_end"),
+    )
+    e2 = e.select(
+        F.col("user_id").alias("e_user_id"), F.col("ts").alias("e_ts")
+    )
+    return (
+        sessions.join(
+            e2,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("e_ts") >= F.col("day_start"))
+            & (F.col("e_ts") < F.col("day_end")),
+        )
+        .groupBy("user_id", "day_start")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """Nearest-prior as-of join — the canonical time-series join over the
+    reference's tick data model (SURVEY §2.F).
+
+    Spark has no native ASOF JOIN; this is the union-tag + last(ignorenulls)
+    window composition: tag both sides, union, sort within key by time, and
+    carry the most recent right-side values forward onto left rows. One
+    shuffle on ``key``, sort-based, linear — no range explosion, no
+    per-group pandas. Scales to arbitrarily many rows per key (state is one
+    row of carried values), unlike merge_asof-per-group approaches that
+    materialize whole groups in memory.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    all_cols = set(left.columns) | set(right.columns) | {"_side", "_ats"}
+    lt = lt.select(
+        *[
+            F.col(c) if c in lt.columns else F.lit(None).alias(c)
+            for c in sorted(all_cols)
+        ]
+    )
+    rt = rt.select(
+        *[
+            F.col(c) if c in rt.columns else F.lit(None).alias(c)
+            for c in sorted(all_cols)
+        ]
+    )
+    unioned = lt.unionByName(rt)
+    # Right rows sort before left rows at identical timestamps (_side asc),
+    # so an exact-timestamp match is visible to the left row (<= semantics).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{v}")
+            for v in right_vals
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *left.columns, *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in right_vals]
+    )
+    return out
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.value AS asof_value, e.ts AS asof_ts
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 o_custkey % 20 AS uid FROM orders) o
+    ASOF LEFT JOIN (SELECT user_id % 20 AS uid, ts, value FROM events) e
+      ON o.uid = e.uid AND o.o_orderdate + INTERVAL 29 YEAR >= e.ts
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: each order (time-shifted into the events epoch) picks the
+    latest event at-or-before its timestamp per bucketed user key. DuckDB
+    checks it with its native ASOF JOIN."""
+    t = load(spark, sf_dir)
+    left = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_custkey") % 20).alias("uid"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEAR")).alias("query_ts"),
+    )
+    right = t.events.select(
+        (F.col("user_id") % 20).alias("uid"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    out = asof_join(
+        left, right, key="uid", left_ts="query_ts", right_ts="ts",
+        right_vals=["value", "ts"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_value"),
+        F.col("asof_ts"),
+    )

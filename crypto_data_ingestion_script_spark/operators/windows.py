@@ -1,1 +1,227 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Analytic window functions (SURVEY §2.G) — the natural query surface over
+the reference's hourly bars (README.md:41-42 "queries which perform time
+analysis"); the reference itself delegates all of this to PostgreSQL.
+
+All ranking/offset frames here order by a unique tiebreaker so results are
+deterministic (oracle hash requirement). Scale: one shuffle per distinct
+partitionBy key set; frames evaluate streamingly within sorted partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .rollup import ohlc_bars
+
+
+def _bars(t) -> DataFrame:
+    """Hourly OHLC bars over events — window queries run on the rollup
+    output, mirroring 'analysis over downsampled_prices'."""
+    return ohlc_bars(t.events, ts_col="ts", key_col="event_type", value_col="value")
+
+
+#: DuckDB CTE equivalent of _bars, shared by the oracles below.
+_BARS_SQL = """
+    bars AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             event_type,
+             arg_min(value, ts)     AS open_price,
+             max(value)             AS high_price,
+             min(value)             AS low_price,
+             arg_max(value, ts)     AS close_price,
+             avg(value)             AS avg_price,
+             count(*)               AS sample_count
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "q_rank",
+    oracle=f"""
+    WITH {_BARS_SQL}
+    SELECT event_type, hour_ts, avg_price,
+           CAST(row_number()   OVER w AS BIGINT) AS rn,
+           CAST(rank()         OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+           percent_rank()      OVER w            AS prnk,
+           cume_dist()         OVER w            AS cdist
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY avg_price DESC, hour_ts)
+    """,
+    tags=("window",),
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking family over bars, per event_type by avg price."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("avg_price").desc(), F.col("hour_ts")
+    )
+    return _bars(t).select(
+        "event_type",
+        "hour_ts",
+        "avg_price",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "q_lag",
+    oracle=f"""
+    WITH {_BARS_SQL}
+    SELECT event_type, hour_ts, close_price,
+           lag(close_price)  OVER w                AS prev_close,
+           lead(close_price) OVER w                AS next_close,
+           close_price - lag(close_price) OVER w   AS bar_change
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    """,
+    tags=("window",),
+)
+def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar-over-bar offsets — also the batch analog of the reference's
+    hour-change detection (dataCollector.py:186): a row where
+    hour(prev) != hour(current) is a flush boundary."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    return _bars(t).select(
+        "event_type",
+        "hour_ts",
+        "close_price",
+        F.lag("close_price").over(w).alias("prev_close"),
+        F.lead("close_price").over(w).alias("next_close"),
+        (F.col("close_price") - F.lag("close_price").over(w)).alias("bar_change"),
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle=f"""
+    WITH {_BARS_SQL}
+    SELECT event_type, hour_ts, avg_price,
+           avg(avg_price) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS ma4
+    FROM bars
+    """,
+    tags=("window",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-bar moving average — the reference's avg_price generalized to a
+    sliding frame."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return _bars(t).select(
+        "event_type",
+        "hour_ts",
+        "avg_price",
+        F.avg("avg_price").over(w).alias("ma4"),
+    )
+
+
+@query(
+    "q_running_sum",
+    oracle=f"""
+    WITH {_BARS_SQL}
+    SELECT event_type, hour_ts, sample_count,
+           sum(sample_count) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_samples
+    FROM bars
+    """,
+    tags=("window",),
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _bars(t).select(
+        "event_type",
+        "hour_ts",
+        "sample_count",
+        F.sum("sample_count").over(w).alias("cum_samples"),
+    )
+
+
+@query(
+    "q_first_last",
+    oracle=f"""
+    WITH {_BARS_SQL}
+    SELECT event_type, hour_ts, close_price,
+           first_value(close_price) OVER w AS day_first_close,
+           last_value(close_price)  OVER w AS day_last_close,
+           nth_value(close_price, 2) OVER w AS day_second_close
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type, CAST(hour_ts AS DATE) ORDER BY hour_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth over a full-partition frame (the default frame would
+    make last_value degenerate — classic pitfall, frame pinned explicitly)."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type", F.to_date("hour_ts"))
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _bars(t).select(
+        "event_type",
+        "hour_ts",
+        "close_price",
+        F.first("close_price").over(w).alias("day_first_close"),
+        F.last("close_price").over(w).alias("day_last_close"),
+        F.nth_value("close_price", 2).over(w).alias("day_second_close"),
+    )
+
+
+@query(
+    "q_topk_group",
+    oracle=f"""
+    WITH {_BARS_SQL},
+    ranked AS (
+      SELECT event_type, hour_ts, high_price,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY high_price DESC, hour_ts) AS rn
+      FROM bars
+    )
+    SELECT event_type, hour_ts, high_price, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hours per event_type by high price — row_number ≤ k. At scale
+    this is the partial/final pattern: the window shuffle is the only
+    exchange, no global sort."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("high_price").desc(), F.col("hour_ts")
+    )
+    return (
+        _bars(t)
+        .select(
+            "event_type",
+            "hour_ts",
+            "high_price",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
