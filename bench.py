@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q_...": sec, ...}, "sf": "..."}
+
+Per-query timing = full plan execution to a count-style action (results are
+consumed, not collected to the driver — we measure engine throughput, not
+driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries: the flagship, the heavy relational core, the scan-bound
+#: scalar pipelines, and the LLM-pipeline ops — the set that moves at scale.
+HEADLINE = [
+    "q_ohlc_hourly",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_asof",
+    "q_rollup",
+    "q_count_distinct",
+    "q_rank",
+    "q_moving_avg",
+    "q_topk",
+    "q_udf_pandas",
+    "q_wordcount",
+    "q_dedup_exact",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    from crypto_data_ingestion_script_spark.registry import load_all
+    from crypto_data_ingestion_script_spark.session import build_session
+
+    spark = build_session("crypto-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        # Warm the catalog/read path outside the timer? No — cold plans are
+        # what the driver sees; time end-to-end including planning.
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

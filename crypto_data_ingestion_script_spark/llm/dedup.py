@@ -1,1 +1,244 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Deduplication operators (SURVEY §2.L): exact, MinHash+LSH near-dup,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+The scale architecture is the same for every near-dup variant: compute a
+compact per-document signature with engine-native hashes (one scan, pure
+expressions), band/bucket the signature, equi-join on bucket to generate
+candidate pairs, then verify candidates exactly. Nothing is ever pairwise
+over the full corpus — the only quadratic work is within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text)          AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           count(*)           AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep the smallest
+    doc_id per group (deterministic survivor policy). One shuffle on the
+    digest — the 100 TB-safe formulation of ``dropDuplicates(text)``."""
+    t = load(spark, sf_dir)
+    return t.documents.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(tokens_col, n: int = 3):
+    """Word n-gram shingles as strings (JVM-side lambda over the token
+    array)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
+        ),
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 16):
+    """MinHash signature: for seed s, min over shingles of xxhash64(sh, s).
+    Pure expressions — no MLlib, no UDF, deterministic across clusters."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))
+        ),
+    )
+
+
+@query("q_dedup_near", tags=("llm", "dedup", "approx"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16-hash MinHash signature → 4 bands
+    of 4 → band-hash equi-join → candidate pairs verified with signature
+    agreement (estimated Jaccard). Engine-native hashing (xxhash64) is
+    Spark-specific → rows-only; q_ngram_jaccard is the exact SQL-checked
+    twin."""
+    t = load(spark, sf_dir)
+    sig = t.documents.select(
+        "doc_id",
+        minhash_signature(shingles(_tokens())).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * 4 + 1, 4)), b
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"),
+        "band_id", "band_hash",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
+        "band_id", "band_hash",
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    est_jaccard = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(16.0)
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round(est_jaccard, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+@query("q_simhash", tags=("llm", "dedup"))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint: per-token hash bits vote ±1 per bit
+    position; the sign vector packs into one bigint. Near-dups then reduce
+    to low Hamming distance — checked here by self-joining on 16-bit chunks
+    (any equal chunk → candidate; Hamming ≤ 3 guarantees a chunk match).
+    xxhash64-based → rows-only."""
+    t = load(spark, sf_dir)
+
+    token_bits = lambda tok: F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (F.getbit(F.xxhash64(tok), i) * 2 - 1).cast("bigint"),
+    )
+    votes = F.aggregate(
+        _tokens(),
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, tok: F.zip_with(acc, token_bits(tok), lambda a, b: a + b),
+    )
+    simhash = F.aggregate(
+        F.transform(votes, lambda v: F.when(v >= 0, 1).otherwise(0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    return t.documents.select("doc_id", simhash.alias("simhash64"))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, gram
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+                 i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1])
+               ))) AS gram
+        FROM documents WHERE doc_id < 60
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT g1.doc_id AS a_id, g2.doc_id AS b_id, count(*) AS n_common
+      FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY g1.doc_id, g2.doc_id
+    )
+    SELECT i.a_id, i.b_id,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common / CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE), 8)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE i.n_common >= 3
+    """,
+    tags=("llm", "dedup"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard between documents (subset doc_id < 60):
+    explode distinct bigrams, self-join on gram (inverted-index pattern —
+    the join is on gram, never all-pairs), |A∩B| from the join, |A∪B| by
+    inclusion-exclusion. The SQL-checked exact twin of q_dedup_near."""
+    t = load(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") < 60)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(_tokens(), n=2))).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    g1 = grams.select(F.col("doc_id").alias("a_id"), "gram")
+    g2 = grams.select(F.col("doc_id").alias("b_id"), "gram")
+    inter = (
+        g1.join(g2, "gram")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_grams").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_grams").alias("b_n"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .filter(F.col("n_common") >= 3)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("a_n") + F.col("b_n") - F.col("n_common")).cast("double"),
+                8,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("q_dedup_embedding", tags=("llm", "dedup", "approx"))
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: reuses the hyperplane-LSH bucketing from
+    similarity.py, flags pairs above 0.9 cosine as duplicates with a
+    deterministic survivor (min vec_id). Approximate → rows-only."""
+    from .similarity import _as_double, cosine, hyperplane_buckets
+
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", hyperplane_buckets(F.col("embedding"))
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))), 8
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > 0.9)
+        .select(
+            F.col("a_id").alias("keep_id"),
+            F.col("b_id").alias("dup_id"),
+            "cos_sim",
+        )
+    )

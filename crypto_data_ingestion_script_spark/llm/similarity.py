@@ -1,1 +1,159 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Similarity search over embeddings (SURVEY §2.L): brute-force cosine
+top-k as the exact baseline, and a hyperplane-LSH bucketed variant as the
+scale path.
+
+Embedding arithmetic stays JVM-side via higher-order array lambdas
+(zip_with-free indexless fold): float32 inputs are widened to double first,
+so products and the sequential sum are bit-identical to the DuckDB oracle's
+left-fold — the cosine values hash-match exactly, not approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Sequential left-fold dot product — same association order as the
+    oracle's list_reduce, so results are exact, not tolerance-close."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+#: DuckDB: identical sequential-fold dot product over double-widened lists.
+_DOT_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 65),
+                     i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+      (acc, x) -> acc + x)"""
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS cand_id, e.label AS cand_label,
+             {_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+             / (sqrt({_DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, cand_id, cand_label, round(cos_sim, 8) AS cos_sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors: broadcast the (tiny)
+    query side across the corpus — one scan of the big side, no shuffle of
+    it; ranking shuffles only (n_queries × n_candidates) scored rows.
+    This is the exact baseline; q_ann_lsh is the sublinear path."""
+    t = load(spark, sf_dir)
+    e = t.embeddings
+    q = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            cosine(_as_double(F.col("q_emb")), _as_double(F.col("embedding"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .withColumn("cos_sim", F.round("cos_sim", 8))
+    )
+
+
+def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
+    """Deterministic sign-LSH bucket id: hyperplane j's component d is a
+    hash-derived pseudo-random value in [-1, 1) (xxhash64 of (j, d) — no
+    RNG, reproducible across runs/clusters). Returns a bigint bucket."""
+    def plane_component(j, d):
+        return (F.xxhash64(j * 64 + d) % 1000).cast("double") / 1000.0
+
+    def plane_dot(j):
+        # fold over dimensions: sum_d emb[d] * r_j[d]
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.element_at(emb_col, d + 1).cast("double")
+                * plane_component(j, d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda j: F.when(plane_dot(j) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b
+    ).alias("bucket")
+
+
+@query("q_ann_lsh", tags=("llm", "similarity", "approx"))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN at scale: hyperplane sign-LSH bucketing, then exact cosine only
+    within buckets. The crossJoin of the brute-force path becomes an
+    equi-join on bucket — shuffle-partitioned by bucket id, linear in bucket
+    sizes (quadratic only within a bucket, 2^8 buckets bound the blowup).
+    Approximate (bucket misses) → rows-only check; q_cosine_topk is the
+    exact twin the recall is measured against."""
+    t = load(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "label", "embedding", hyperplane_buckets(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "bucket",
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))), 8
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > 0.5)
+    )

@@ -1,1 +1,271 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.L):
+word count, corpus stats, TF-IDF, language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+All pure built-in expressions (split/explode/higher-order lambdas) — a
+100 TB corpus streams through whole-stage codegen with one shuffle per
+aggregation, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+@query(
+    "q_wordcount",
+    oracle="""
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("llm", "text"),
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: tokenize → explode → aggregate."""
+    t = load(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*)                                        AS n_docs,
+           avg(n_chars)                                    AS avg_chars,
+           CAST(min(n_chars) AS BIGINT)                    AS min_chars,
+           CAST(max(n_chars) AS BIGINT)                    AS max_chars,
+           avg(len(string_split(text, ' ')))               AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition stats per (lang, source) — the filter surface for
+    corpus curation."""
+    t = load(spark, sf_dir)
+    return t.documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.avg(F.size(_tokens()).cast("double")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                  AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+                                                                         AS regex_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)                      AS approx_bpe_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex word/number/
+    punct classes, and the chars/4 heuristic used for budget estimates."""
+    t = load(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("regex_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+#: Stopword lists for the n-gram language heuristic. The corpus is synthetic
+#: (spark-ish vocabulary), so the lists are drawn from its actual vocab —
+#: the *operator* (per-language hit scoring + argmax) is the deliverable.
+_STOP = {
+    "en": ("the", "a", "data", "row"),
+    "es": ("table", "column", "key"),
+    "de": ("group", "join", "sort"),
+}
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','data','row')))
+          AS en_hits,
+        len(list_filter(string_split(text,' '), x -> x IN ('table','column','key')))
+          AS es_hits,
+        len(list_filter(string_split(text,' '), x -> x IN ('group','join','sort')))
+          AS de_hits
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CAST(de_hits AS BIGINT) AS de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts + argmax with
+    a fixed tie-break order (en > es > de) for determinism."""
+    t = load(spark, sf_dir)
+
+    def hits(words: tuple[str, ...]):
+        return F.size(F.filter(_tokens(), lambda x: x.isin(*words))).cast("bigint")
+
+    en, es, de = (hits(_STOP[l]) for l in ("en", "es", "de"))
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))                       AS n_tokens,
+             length(text)                                       AS n_ch,
+             len(list_filter(string_split(text,' '),
+                             x -> x IN ('the','a','data','row'))) AS stop_hits,
+             len(list_distinct(string_split(text,' ')))         AS n_unique
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * (stop_hits / CAST(n_tokens AS DOUBLE))
+               + 0.3 * (n_unique / CAST(n_tokens AS DOUBLE)), 8) AS quality,
+           (n_ch >= 80 AND n_ch <= 2000)                         AS len_ok
+    FROM feats
+    """,
+    tags=("llm", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score: length saturation + stopword ratio + lexical
+    diversity (unique/total), plus a hard length gate — the standard
+    pre-training filter recipe, all JVM-side."""
+    t = load(spark, sf_dir)
+    n_tokens = F.size(_tokens())
+    stop_hits = F.size(F.filter(_tokens(), lambda x: x.isin(*_STOP["en"])))
+    n_unique = F.size(F.array_distinct(_tokens()))
+    quality = F.round(
+        0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (stop_hits / n_tokens.cast("double"))
+        + 0.3 * (n_unique / n_tokens.cast("double")),
+        8,
+    )
+    return t.documents.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+        ((F.length("text") >= 80) & (F.length("text") <= 2000)).alias("len_ok"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint: polynomial hash over
+    per-token codes, mod 1e9+7 — engine-portable (no engine-native hash),
+    identical left-fold in both engines."""
+    t = load(spark, sf_dir)
+    codes = F.transform(
+        _tokens(), lambda tok: (F.length(tok) * 31 + F.ascii(tok)).cast("bigint")
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 131 + c) % 1000000007,
+    )
+    return t.documents.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           CAST(tf.tf AS BIGINT) AS tf,
+           CAST(df.df AS BIGINT) AS df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 8) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 100
+    """,
+    tags=("llm", "text"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF via explode+join (the SQL-expressible variant; MLlib
+    HashingTF/IDF is the hashed alternative). DF and N computed over the
+    full corpus; output restricted to doc_id < 100 to bound rows. The df
+    side is a token-level aggregate — orders of magnitude smaller than the
+    corpus — and broadcast."""
+    t = load(spark, sf_dir)
+    tokens = t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                8,
+            ).alias("tfidf"),
+        )
+    )

@@ -53,7 +53,8 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import aggregates, joins, relational, rollup, windows  # noqa: F401
     from .functions import datetime as datetime_fns  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
-    from .llm import dedup, multimodal, similarity, text  # noqa: F401
+    from .llm import dedup, similarity, text  # noqa: F401
+    from .llm import multimodal  # noqa: F401
     from .sources import files, rest  # noqa: F401
     from . import ingest  # noqa: F401
     from .streaming import jobs  # noqa: F401
