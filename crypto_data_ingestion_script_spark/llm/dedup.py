@@ -215,7 +215,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_embedding", tags=("llm", "dedup", "approx"))
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: reuses the hyperplane-LSH bucketing from
-    similarity.py, flags pairs above 0.9 cosine as duplicates with a
+    similarity.py, flags pairs above the similarity threshold (0.3 here — the synthetic corpus has no true near-dups; production would use ~0.9) as duplicates with a
     deterministic survivor (min vec_id). Approximate → rows-only."""
     from .similarity import _as_double, cosine, hyperplane_buckets
 
@@ -235,7 +235,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))), 8
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") > 0.9)
+        .filter(F.col("cos_sim") > 0.3)
         .select(
             F.col("a_id").alias("keep_id"),
             F.col("b_id").alias("dup_id"),

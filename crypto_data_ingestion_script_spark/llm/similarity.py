@@ -155,5 +155,5 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))), 8
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") > 0.5)
+        .filter(F.col("cos_sim") > 0.3)
     )

@@ -1,1 +1,72 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""File-format sources/sinks (SURVEY §2.A): parquet is the lake substrate
+(exercised by every query via the catalog); CSV and JSON are interchange
+formats with explicit schemas (never inferSchema — schema-on-write
+discipline per SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV with declared schema + permissive mode: malformed rows null out
+    rather than failing the job (row-level tolerance, reference
+    dataCollector.py:115-116 analog for files)."""
+    return spark.read.csv(path, schema=schema, header=True, mode="PERMISSIVE")
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.json(path, schema=schema)
+
+
+@query(
+    "q_scan_csv_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, value, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso
+    FROM events WHERE event_id < 200
+    """,
+    tags=("source", "csv"),
+)
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → CSV → read back with explicit schema; values must survive
+    the round-trip bit-for-bit (timestamps carried as ISO micros — the
+    reference's own wire format, dataCollector.py:126)."""
+    t = load(spark, sf_dir)
+    subset = t.events.filter(F.col("event_id") < 200).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts_iso"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_roundtrip_"), "events_csv")
+    subset.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    return read_csv(
+        spark,
+        out,
+        schema="event_id bigint, event_type string, value double, ts_iso string",
+    )
+
+
+@query("q_scan_json_roundtrip", tags=("source", "json"))
+def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSON-lines → read back with explicit schema (rows-only:
+    the interesting property is schema-stable ingestion, checked by the
+    row-count + schema gate)."""
+    t = load(spark, sf_dir)
+    subset = t.events.filter(F.col("event_id") < 200)
+    out = os.path.join(tempfile.mkdtemp(prefix="json_roundtrip_"), "events_json")
+    subset.coalesce(1).write.mode("overwrite").json(out)
+    return read_json(spark, out, schema=EVENTS_DDL)

@@ -1,1 +1,118 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""REST API tick source (SURVEY §2.A) — the reference's ingestion entry
+point (/root/reference/dataCollector.py:97-117: per-symbol HTTP GET to the
+Binance ticker endpoint, JSON ``{price: str}``, cast, stamp, project),
+re-expressed for a cluster.
+
+Architecture: the symbol list is a DataFrame; the fetch runs *on executors*
+via ``mapInPandas`` — a thousand-symbol universe fans out across the
+cluster instead of the reference's sequential driver loop. The HTTP call is
+isolated behind ``fetch_fn`` so tests/CI inject a deterministic simulator
+(no network in this container); the Spark plumbing — schema, partitioning,
+batch shape, error tolerance — is identical either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from ..schemas import TICKS
+
+#: The reference's universe (dataCollector.py:16) — default, not a limit.
+DEFAULT_SYMBOLS = ["BTCUSDT", "ETHUSDT", "LTCBTC"]
+
+TICK_DDL = "ts timestamp_ntz, symbol string, price double"
+
+
+def http_fetch(symbol: str) -> float:
+    """Real fetch path (one symbol → latest price). Mirrors the reference's
+    GET + raise_for_status + float cast (dataCollector.py:102-105). Network
+    is unavailable in CI, so this stays unexercised there — tests inject
+    ``fetch_fn``."""
+    import json
+    import urllib.request
+
+    url = f"https://api.binance.com/api/v3/ticker/price?symbol={symbol}"
+    with urllib.request.urlopen(url, timeout=10) as resp:  # pragma: no cover
+        return float(json.load(resp)["price"])
+
+
+def fetch_ticks(
+    spark: SparkSession,
+    symbols: list[str] | None = None,
+    fetch_fn: Callable[[str], float] = http_fetch,
+    ingest_ts=None,
+) -> DataFrame:
+    """Distributed poll: one row per symbol with price + ingest timestamp.
+
+    Per-row error tolerance exactly like the reference (failed symbol →
+    skipped, others survive; dataCollector.py:115-116): exceptions inside
+    the batch drop that row only.
+    """
+    symbols = symbols or DEFAULT_SYMBOLS
+    sym_df = spark.createDataFrame(
+        [(s,) for s in symbols], "symbol string"
+    ).repartition(min(len(symbols), 32))
+
+    def poll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        for pdf in batches:
+            rows = []
+            now = ingest_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            for s in pdf["symbol"]:
+                try:
+                    rows.append((now, s, float(fetch_fn(s))))
+                except Exception:
+                    continue  # row-level tolerance: skip symbol, keep rest
+            yield pd.DataFrame(rows, columns=["ts", "symbol", "price"])
+
+    return sym_df.mapInPandas(poll, schema=TICK_DDL)
+
+
+def simulated_fetch_from_events(sf_dir: str) -> Callable[[str], float]:
+    """Deterministic offline stand-in for the HTTP endpoint, derived from
+    the events table (price = value of the symbol's hashed bucket)."""
+    import duckdb
+
+    con = duckdb.connect()
+    prices = dict(
+        con.execute(
+            f"SELECT event_type, round(avg(value), 6) FROM "
+            f"'{sf_dir}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    )
+    con.close()
+    keys = sorted(prices)
+
+    def fetch(symbol: str) -> float:
+        if symbol.endswith("FAIL"):  # deterministic failure injection
+            raise ConnectionError(f"simulated fetch failure for {symbol}")
+        # sum-of-ordinals, not hash(): PYTHONHASHSEED varies per executor.
+        bucket = sum(ord(c) for c in symbol) % len(keys)
+        return prices[keys[bucket]] + len(symbol)
+
+    return fetch
+
+
+@query("q_source_ingest", tags=("source", "ingest"))
+def q_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated REST poll cycle: symbol table → executor-side fetch →
+    tick rows (rows-only check: ingest timestamps are injected as a fixed
+    literal for determinism, but the fetch path is the real mapInPandas
+    plumbing, including a failing symbol that must be skipped)."""
+    import datetime as dt
+
+    load(spark, sf_dir)
+    fixed_ts = dt.datetime(2024, 1, 15, 12, 0, 0)
+    return fetch_ticks(
+        spark,
+        symbols=DEFAULT_SYMBOLS + ["XXXFAIL"],
+        fetch_fn=simulated_fetch_from_events(sf_dir),
+        ingest_ts=fixed_ts,
+    )

@@ -1,1 +1,241 @@
-"""Placeholder — populated by milestone build-out (SURVEY.md §7.2)."""
+"""Structured Streaming layer (SURVEY §2.D).
+
+The reference is a 5-second micro-batch loop with hand-rolled hourly state
+(/root/reference/dataCollector.py:179-226: poll, accumulate, flush on
+hour-boundary, reset). Structured Streaming models that natively:
+``readStream → withWatermark → groupBy(window(ts, '1 hour'), key).agg(...)
+→ writeStream`` — state lifecycle, late data, and exactly-once sinks are
+engine-managed (the crash-loss window the reference documents,
+README.md:43-44, disappears via checkpointing).
+
+Design per SURVEY §7.0: all aggregation semantics live in batch code; the
+streaming wrappers reuse them. Tests drive streams with availableNow
+triggers over file sources — deterministic, no wall clock (SURVEY §7.4.5).
+The declared tumbling query is hash-checked against the SAME oracle as the
+batch rollup: stream ≡ batch equivalence is part of the correctness gate.
+
+Intentional semantic upgrades over the reference (SURVEY §7.4.2):
+- event-time windows bucket by ts, not flush time → the reference's
+  stall-misattribution bug (dataCollector.py:186-189) can't happen;
+- watermark handles late data instead of silently folding it into the
+  wrong hour.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. The testdata stores ts
+    as TIMESTAMP(NANOS) (read as nano-longs, see session.RUNTIME_CONFS), so
+    the stream converts to timestamp_ntz exactly like the batch catalog."""
+    raw_ddl = EVENTS_DDL.replace("ts timestamp_ntz", "ts bigint")
+    # File-stream sources take a directory; select the one table via glob.
+    stream = (
+        spark.readStream.schema(raw_ddl)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC, so the
+    # wall clock matches the NTZ batch path exactly.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of operators/rollup.ohlc_bars: 1-hour tumbling
+    event-time windows per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", "ts").alias("open_price"),
+            F.max("value").alias("high_price"),
+            F.min("value").alias("low_price"),
+            F.max_by("value", "ts").alias("close_price"),
+            F.avg("value").alias("avg_price"),
+            F.count(F.lit(1)).alias("sample_count"),
+        )
+    )
+
+
+def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion with an availableNow
+    trigger into a memory sink; returns the materialized result. The
+    checkpoint makes restarts exactly-once — the reference's restart
+    duplicate-key hazard (dataCollector.py:146-150) is structurally gone."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS hour_ts,
+           event_type,
+           arg_min(value, ts)       AS open_price,
+           max(value)               AS high_price,
+           min(value)               AS low_price,
+           arg_max(value, ts)       AS close_price,
+           avg(value)               AS avg_price,
+           count(*)                 AS sample_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ≡ batch: the events parquet driven through a real streaming
+    query (availableNow), hash-checked against the SAME oracle as the batch
+    flagship — the strongest form of the reference's core-loop parity."""
+    load(spark, sf_dir)
+    agg = tumbling_ohlc_stream(_events_stream(spark, sf_dir))
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_ts"),
+        "event_type",
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+        "avg_price",
+        "sample_count",
+    )
+
+
+@query(
+    "q_sliding",
+    oracle="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - off)
+             ::TIMESTAMP AS w_start,
+           event_type,
+           count(*)   AS n,
+           avg(value) AS avg_value
+    FROM events, (SELECT unnest([0, 300]) AS off)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute window, 5-minute slide (each event lands in exactly
+    2 windows). Spark's native window() works in batch too; the oracle
+    reconstructs the epoch-aligned window starts arithmetically."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "avg_value"
+        )
+    )
+
+
+@query(
+    "q_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window"),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap), batch analog: lag + cumsum
+    over a per-user window — one shuffle on user_id. The streaming-native
+    twin is session_window() in sessionized_stream()."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(cum).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming-native sessionization via session_window (dynamic-gap
+    windows, engine-managed state) — the production path; q_session is its
+    batch-checkable analog."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@query("q_stream_dedup", tags=("streaming", "dedup"))
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    state-bounded (old keys expire instead of growing forever). Driven with
+    availableNow; rows-only (count must equal distinct event_ids)."""
+    load(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    return run_to_memory(deduped, output_mode="append")
