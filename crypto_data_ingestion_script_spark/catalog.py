@@ -69,8 +69,19 @@ class Catalog:
             self.table(name).createOrReplaceTempView(name)
 
 
+#: Catalog per (session, sf_dir): DataFrame handles are immutable logical
+#: plans, so reuse is safe and skips re-listing files + re-reading parquet
+#: footers for schema on every query call. Keyed by the live session object;
+#: a new session gets a fresh catalog.
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
 def load(spark: SparkSession, sf_dir: str) -> Catalog:
     from .session import configure
 
     configure(spark)
-    return Catalog(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    cat = _CATALOGS.get(key)
+    if cat is None or cat.spark is not spark:
+        cat = _CATALOGS[key] = Catalog(spark, sf_dir)
+    return cat

@@ -70,10 +70,22 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; ranking shuffles only (n_queries × n_candidates) scored rows.
     This is the exact baseline; q_ann_lsh is the sublinear path."""
     t = load(spark, sf_dir)
-    e = t.embeddings
+    # Norms are per-row facts: compute each side's once *before* the
+    # crossJoin instead of per (query, candidate) pair — at k queries that
+    # deletes (k-1) redundant 64-element folds per corpus row, and the
+    # remaining per-pair work is a single dot product.
+    e = t.embeddings.withColumn(
+        "c_norm", F.sqrt(_dot(_as_double(F.col("embedding")), _as_double(F.col("embedding"))))
+    )
     q = (
-        e.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        t.embeddings.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.sqrt(
+                _dot(_as_double(F.col("embedding")), _as_double(F.col("embedding")))
+            ).alias("q_norm"),
+        )
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -82,9 +94,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.col("vec_id").alias("cand_id"),
             F.col("label").alias("cand_label"),
-            cosine(_as_double(F.col("q_emb")), _as_double(F.col("embedding"))).alias(
-                "cos_sim"
-            ),
+            (
+                _dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
