@@ -1,0 +1,187 @@
+"""Property-based tests (SURVEY §5.3): the reference's key invariant —
+row-at-a-time incremental aggregation (/root/reference/dataCollector.py:80-94)
+is equivalent to one declarative batch aggregation over the same rows — plus
+the algebraic laws that make Spark's partial/final (map-side combine) plan
+legal. If any of these failed, the 100 TB distributed plan would silently
+diverge from single-node semantics.
+
+The incremental model below is an independent clean-room implementation of
+"running OHLC state" (first/last-by-time, min, max, incremental mean), not a
+copy of the reference: it exists so hypothesis can drive both engines with
+the same random tick streams.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crypto_data_ingestion_script_spark.operators.rollup import ohlc_bars
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+ticks_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 3600 - 1),  # seconds over 3 hours
+        st.sampled_from(["AAA", "BBB", "CCC"]),
+        st.floats(
+            min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def incremental_ohlc(rows):
+    """Row-at-a-time reference model: fold each tick into per-(hour, key)
+    running state, exactly the update function a streaming accumulator runs."""
+    state: dict = {}
+    for ts, key, price in rows:
+        k = (ts.replace(minute=0, second=0, microsecond=0), key)
+        s = state.get(k)
+        if s is None:
+            state[k] = {
+                "open": (ts, price),
+                "close": (ts, price),
+                "high": price,
+                "low": price,
+                "sum": price,
+                "n": 1,
+            }
+            continue
+        # ties on ts: keep the earliest/latest *encountered* consistent with
+        # min_by/max_by by comparing strictly
+        if ts < s["open"][0]:
+            s["open"] = (ts, price)
+        if ts > s["close"][0]:
+            s["close"] = (ts, price)
+        s["high"] = max(s["high"], price)
+        s["low"] = min(s["low"], price)
+        s["sum"] += price
+        s["n"] += 1
+    return {
+        k: (v["open"][1], v["high"], v["low"], v["close"][1], v["sum"] / v["n"], v["n"])
+        for k, v in state.items()
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ticks=ticks_strategy)
+def test_incremental_equals_batch_groupby(spark, ticks):
+    """reference-style incremental fold == Spark groupBy.agg, any tick stream.
+
+    Timestamps are de-duplicated per key first: with duplicate (key, ts)
+    pairs, first/last-by-time is not well-defined in either engine.
+    """
+    seen = set()
+    rows = []
+    for sec, key, price in ticks:
+        if (sec, key) in seen:
+            continue
+        seen.add((sec, key))
+        rows.append((EPOCH + dt.timedelta(seconds=sec), key, float(price)))
+    df = spark.createDataFrame(rows, "ts timestamp, symbol string, price double")
+    got = {
+        (r["hour_ts"], r["symbol"]): (
+            r["open_price"],
+            r["high_price"],
+            r["low_price"],
+            r["close_price"],
+            r["avg_price"],
+            r["sample_count"],
+        )
+        for r in ohlc_bars(df).collect()
+    }
+    want = incremental_ohlc(rows)
+    assert set(got) == set(want)
+    for k, (o, h, lo, c, a, n) in want.items():
+        go, gh, gl, gc, ga, gn = got[k]
+        assert (go, gh, gl, gc, gn) == (o, h, lo, c, n), k
+        # averages may differ by float summation order across partitions
+        assert math.isclose(ga, a, rel_tol=1e-9), k
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ticks=ticks_strategy)
+def test_agg_algebraic_laws(spark, ticks):
+    """min <= avg <= max, avg == sum/count, count == n — per group."""
+    rows = [
+        (EPOCH + dt.timedelta(seconds=sec), key, float(price))
+        for sec, key, price in ticks
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, symbol string, price double")
+    from pyspark.sql import functions as F
+
+    out = df.groupBy("symbol").agg(
+        F.min("price").alias("mn"),
+        F.max("price").alias("mx"),
+        F.avg("price").alias("av"),
+        F.sum("price").alias("sm"),
+        F.count("*").alias("n"),
+    )
+    for r in out.collect():
+        assert r["mn"] <= r["av"] <= r["mx"]
+        assert math.isclose(r["av"], r["sm"] / r["n"], rel_tol=1e-9)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ticks=ticks_strategy, split=st.integers(min_value=0, max_value=60))
+def test_union_then_agg_equals_agg_then_merge(spark, ticks, split):
+    """Partial/final legality: aggregating the union of two slices equals
+    merging the two slices' partial (sum, count, min, max) states — the law
+    map-side combine relies on at every shuffle boundary."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (EPOCH + dt.timedelta(seconds=sec), key, float(price))
+        for sec, key, price in ticks
+    ]
+    a, b = rows[: split % (len(rows) + 1)], rows[split % (len(rows) + 1) :]
+    schema = "ts timestamp, symbol string, price double"
+    dfa = spark.createDataFrame(a, schema) if a else None
+    dfb = spark.createDataFrame(b, schema) if b else None
+    whole = spark.createDataFrame(rows, schema)
+
+    def partial(df):
+        return df.groupBy("symbol").agg(
+            F.sum("price").alias("sm"),
+            F.count("*").alias("n"),
+            F.min("price").alias("mn"),
+            F.max("price").alias("mx"),
+        )
+
+    parts = [partial(d) for d in (dfa, dfb) if d is not None]
+    merged_df = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    merged = (
+        merged_df.groupBy("symbol")
+        .agg(
+            F.sum("sm").alias("sm"),
+            F.sum("n").alias("n"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .collect()
+    )
+    direct = {r["symbol"]: r for r in partial(whole).collect()}
+    assert len(merged) == len(direct)
+    for r in merged:
+        d = direct[r["symbol"]]
+        assert (r["n"], r["mn"], r["mx"]) == (d["n"], d["mn"], d["mx"])
+        assert math.isclose(r["sm"], d["sm"], rel_tol=1e-9)
