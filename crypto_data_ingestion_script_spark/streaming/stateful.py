@@ -1,0 +1,155 @@
+"""Custom stateful streaming operator: running OHLC state per (hour, key)
+via ``applyInPandasWithState`` (SURVEY §2.D; task north-star "custom
+stateful operators").
+
+This is the reference's hand-rolled accumulator
+(/root/reference/dataCollector.py:20-30 state shape, :80-94 update function,
+:166-175 reset) made explicit as a Spark stateful operator — where the
+built-in ``groupBy(window(...)).agg(...)`` (streaming/jobs.py) hides the
+state entirely, this operator *owns* it: user-defined state tuple, update
+function over Arrow record batches, engine-managed fault-tolerant state
+store, event-time timeout in place of the reference's wall-clock reset.
+
+Use the built-in windowed agg in production — it gets partial aggregation
+and state-store compaction for free. This operator is the template for
+semantics the built-ins can't express (e.g. open = first *non-zero* price,
+the reference's falsy-test quirk at dataCollector.py:83, which no built-in
+aggregate reproduces; ``running_nonzero_open=True`` implements exactly that
+for parity demonstrations).
+
+Scale: state is one fixed-width tuple per (hour, key) group — the same
+cardinality as the silver table, not the tick stream; batches arrive as
+Arrow, never per-row Python. Groups are hash-partitioned across executors
+by the engine; a 1000-executor cluster holds 1/1000th of the keys each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output row: one OHLC bar per (hour_ts, key) group — reference silver shape.
+OUTPUT_DDL = (
+    "hour_ts timestamp, event_type string, open_price double, "
+    "high_price double, low_price double, close_price double, "
+    "avg_price double, sample_count bigint"
+)
+
+#: State tuple: (open_ts_us, open, high, low, close_ts_us, close, sum, n) —
+#: the reference's running_metrics dict (dataCollector.py:20-30) as a
+#: fixed-width tuple the state store serializes compactly.
+STATE_DDL = (
+    "open_ts long, open double, high double, low double, "
+    "close_ts long, close double, sum double, n long"
+)
+
+
+def _update_ohlc_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    nonzero_open: bool = False,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one (hour_ts, key) group into the
+    running state and emit the updated bar (update semantics)."""
+    if state.exists:
+        open_ts, op, hi, lo, close_ts, cl, sm, n = state.get
+    else:
+        open_ts = op = hi = lo = close_ts = cl = sm = None
+        n = 0
+
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("int64")  # pandas datetime64[ns] → ns; see below
+        # datetime64[ns] int view is nanoseconds; keep microseconds like Spark
+        ts_us = ts_us // 1000
+        for t, v in zip(ts_us, pdf["value"].astype("float64")):
+            # open = earliest-by-event-time; in nonzero_open parity mode a
+            # price of 0.0 can never become the open (dataCollector.py:83).
+            if not (nonzero_open and v == 0.0) and (op is None or t < open_ts):
+                open_ts, op = t, v
+            hi = v if hi is None else max(hi, v)
+            lo = v if lo is None else min(lo, v)
+            if close_ts is None or t > close_ts:
+                close_ts, cl = t, v
+            sm = v if sm is None else sm + v
+            n += 1
+
+    state.update((open_ts, op, hi, lo, close_ts, cl, sm, n))
+    hour_ts, event_type = key
+    yield pd.DataFrame(
+        {
+            "hour_ts": [pd.Timestamp(hour_ts)],
+            "event_type": [event_type],
+            "open_price": [op],
+            "high_price": [hi],
+            "low_price": [lo],
+            "close_price": [cl],
+            "avg_price": [sm / n if n else None],
+            "sample_count": [n],
+        }
+    )
+
+
+def stateful_ohlc(events: DataFrame, nonzero_open: bool = False) -> DataFrame:
+    """Running OHLC bars with user-owned state: group by (hour bucket, key),
+    fold each micro-batch through `_update_ohlc_state`.
+
+    ``nonzero_open=True`` reproduces the reference's open = first *non-zero*
+    price quirk (dataCollector.py:83) — the case a custom stateful operator
+    exists for, since no built-in aggregate expresses it.
+    """
+    from pyspark.sql import functions as F
+
+    def fn(key, pdfs, state):
+        return _update_ohlc_state(key, pdfs, state, nonzero_open=nonzero_open)
+
+    keyed = events.select(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type", "ts", "value"
+    ).groupBy("hour_ts", "event_type")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_DDL,
+        stateStructType=STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..catalog import load  # noqa: E402
+from ..registry import query  # noqa: E402
+from .jobs import _events_stream, run_to_memory  # noqa: E402
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS hour_ts,
+           event_type,
+           arg_min(value, ts)       AS open_price,
+           max(value)               AS high_price,
+           min(value)               AS low_price,
+           arg_max(value, ts)       AS close_price,
+           avg(value)               AS avg_price,
+           count(*)                 AS sample_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, hash-checked: the events parquet driven
+    through applyInPandasWithState running-OHLC state; with the whole input
+    in one availableNow batch, the updated state per group IS the final bar,
+    so the output must equal the batch flagship's oracle exactly."""
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir)
+    bars = stateful_ohlc(_events_stream(spark, sf_dir))
+    out = run_to_memory(bars, output_mode="update")
+    return out.withColumn("hour_ts", F.col("hour_ts").cast("timestamp_ntz"))

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator (applyInPandasWithState) tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pandas as pd
+
+from crypto_data_ingestion_script_spark.registry import load_all
+from crypto_data_ingestion_script_spark.streaming.stateful import _update_ohlc_state
+
+SPECS = load_all()
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing the fold function."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _batch(rows):
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime([dt.datetime(2024, 1, 1, 0, 0, s) for s, _ in rows]),
+            "value": [v for _, v in rows],
+        }
+    )
+
+
+def test_stream_stateful_equals_batch_flagship(spark, sf_dir):
+    got = {
+        (r["hour_ts"], r["event_type"]): r
+        for r in SPECS["q_stream_stateful"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r["hour_ts"], r["event_type"]): r
+        for r in SPECS["q_ohlc_hourly"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (
+            g["open_price"],
+            g["high_price"],
+            g["low_price"],
+            g["close_price"],
+            g["sample_count"],
+        ) == (
+            w["open_price"],
+            w["high_price"],
+            w["low_price"],
+            w["close_price"],
+            w["sample_count"],
+        ), k
+        assert math.isclose(g["avg_price"], w["avg_price"], rel_tol=1e-9)
+
+
+def test_fold_incremental_across_batches():
+    """Folding two micro-batches through the state equals one pass."""
+    state = _StubState()
+    list(
+        _update_ohlc_state(
+            (dt.datetime(2024, 1, 1), "X"), iter([_batch([(1, 5.0), (2, 9.0)])]), state
+        )
+    )
+    out = list(
+        _update_ohlc_state(
+            (dt.datetime(2024, 1, 1), "X"), iter([_batch([(0, 7.0), (3, 2.0)])]), state
+        )
+    )[0]
+    assert out["open_price"][0] == 7.0  # earliest ts wins across batches
+    assert out["close_price"][0] == 2.0
+    assert out["high_price"][0] == 9.0
+    assert out["low_price"][0] == 2.0
+    assert out["sample_count"][0] == 4
+    assert math.isclose(out["avg_price"][0], (5 + 9 + 7 + 2) / 4)
+
+
+def test_nonzero_open_parity_mode():
+    """Reference falsy-open quirk (dataCollector.py:83): a 0.0 price can
+    never become the open; the first non-zero price does."""
+    state = _StubState()
+    out = list(
+        _update_ohlc_state(
+            (dt.datetime(2024, 1, 1), "X"),
+            iter([_batch([(0, 0.0), (1, 4.0), (2, 3.0)])]),
+            state,
+            nonzero_open=True,
+        )
+    )[0]
+    assert out["open_price"][0] == 4.0  # 0.0 skipped, first non-zero wins
+    assert out["low_price"][0] == 0.0  # but min/max still see the 0.0 tick
+    assert out["sample_count"][0] == 3
