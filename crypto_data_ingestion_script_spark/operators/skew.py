@@ -1,0 +1,137 @@
+"""Skew mitigation (SURVEY §7.4.6; task contract "salting for skew").
+
+A hot key concentrates an entire reduce-side group on one task; at 100 TB a
+single skewed symbol/event_type turns a 1000-executor aggregation into a
+1-executor straggler. Two standard remedies, both *semantics-preserving*
+(the declared queries are hash-checked against the plain-SQL oracle — if
+salting changed any value, the gate would catch it):
+
+- **Salted two-stage aggregation**: append a deterministic salt to the
+  group key, partially aggregate on (key, salt) — splitting each hot key's
+  rows across ``n_salts`` reducers — then finish on the bare key. Works for
+  any algebra with a partial/merge decomposition (sum/count/min/max and
+  avg as sum+count); the union-then-agg ≡ agg-then-merge law behind it is
+  property-tested in tests/test_properties.py.
+
+- **Salted (replicated-dim) join**: explode the small side ``n_salts``×
+  with every salt value, salt the big side deterministically, and equi-join
+  on (key, salt). Each hot join key's probe rows spread over ``n_salts``
+  tasks while every probe row still finds its build rows.
+
+AQE's runtime skew-join splitting (on in session.RUNTIME_CONFS) handles
+sort-merge skew automatically; these explicit operators cover what AQE
+cannot: aggregation skew, and broadcast-ineligible dims with hot keys.
+
+Salts are ``pmod(xxhash64(unique_col), n)`` — no RNG, stable across runs,
+retries, and re-planning (a nondeterministic salt would break task retry
+exactly-once semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_on: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: (sum, count, min, max, avg of
+    ``value``) grouped by ``keys``.
+
+    Stage 1 groups by (keys, salt) — the hot key's rows land on up to
+    ``n_salts`` different reducers; stage 2 merges the per-salt partials on
+    the bare keys. The second shuffle moves only ``|groups| × n_salts``
+    rows, which is negligible next to the first stage's input.
+    """
+    salt = F.pmod(F.xxhash64(salt_on), F.lit(n_salts)).alias("_salt")
+    partial = df.groupBy(*keys, salt).agg(
+        F.sum("value").alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("value").alias("_min"),
+        F.max("value").alias("_max"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_sum").alias("sum_value"),
+        F.sum("_n").alias("n"),
+        F.min("_min").alias("min_value"),
+        F.max("_max").alias("max_value"),
+        (F.sum("_sum") / F.sum("_n")).alias("avg_value"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_on: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the small side across all salts,
+    salt the big side deterministically, join on (key, salt).
+
+    Cost model: small side grows ``n_salts``× (fine — it is small by
+    contract); the big side's hot keys spread over ``n_salts`` tasks. Use
+    when the small side exceeds the broadcast threshold but a handful of
+    join keys dominate the big side.
+    """
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salts)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    replicated = small.select("*", salts).withColumn(
+        "_salt", F.col("_salt").cast("bigint")
+    )
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           sum(value)   AS sum_value,
+           count(*)     AS n,
+           min(value)   AS min_value,
+           max(value)   AS max_value,
+           avg(value)   AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over events keyed by event_type (a
+    low-cardinality key — exactly the shape that skews). Must hash-match
+    the plain one-stage oracle: salting is invisible in the result."""
+    t = load(spark, sf_dir)
+    return salted_aggregate(
+        t.events, keys=["event_type"], salt_on=F.col("event_id"), n_salts=16
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+    tags=("join", "skew"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (orders salted on o_orderkey, customer
+    replicated 8x). Same rows as a plain join — the skew plumbing is
+    result-invisible, which is the point of the hash check."""
+    t = load(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 100000).withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    out = salted_join(
+        big, t.customer, key="c_custkey", salt_on=F.col("o_orderkey"), n_salts=8
+    )
+    return out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")

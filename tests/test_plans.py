@@ -78,3 +78,29 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 def test_tfidf_broadcasts_df_side(spark, sf_dir):
     df = SPECS["q_tfidf"].fn(spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    """The salted aggregation must actually split the hot key: two shuffle
+    boundaries (keys+salt, then bare keys), each with map-side partials."""
+    from crypto_data_ingestion_script_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = SPECS["q_salted_agg"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 2, formatted_plan(df)
+    # Catalyst inlines the `_salt` alias into a _groupingexpression; the
+    # xxhash64-pmod salt itself is the stable witness.
+    assert "pmod(xxhash64" in formatted_plan(df)
+
+
+def test_salted_join_joins_on_salt(spark, sf_dir):
+    """Join keys must include the salt column — otherwise the replication
+    just multiplies rows without spreading the hot key."""
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    df = SPECS["q_join_salted"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
