@@ -104,6 +104,68 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           count(*)        AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary group combinations — rollup/cube
+    are special cases) through the SQL surface: one Expand over one scan,
+    not one scan per set."""
+    t = load(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*)        AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation, DuckDB-identical
+    semantics). Exact percentile sorts per group — fine per-key; at 100 TB
+    prefer q_approx_percentile's mergeable sketch."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+
+
+@query("q_approx_percentile", tags=("agg", "approx"))
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-sketch percentile estimate — one pass, mergeable partials, no
+    per-group sort: the 100 TB path. Approximate → rows-only check;
+    q_percentile is the exact twin."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        )
+    )
+
+
+@query(
     "q_cond_agg",
     oracle="""
     SELECT l_returnflag,

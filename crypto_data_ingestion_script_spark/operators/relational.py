@@ -154,6 +154,19 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sort_within_partitions", tags=("sort",))
+def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (no global Exchange): the layout op behind
+    sorted-parquet writes and merge-friendly downstream reads. Layout-only →
+    rows-only check (SURVEY §2.H); content equals the input by definition."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+
+
 # --- I. Set operations ------------------------------------------------------
 
 
