@@ -57,6 +57,17 @@ def main() -> None:
     # benchmarked table): first parquet scan in a JVM pays ~2s of class
     # loading that would otherwise be billed to whichever query runs first.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm the Python worker pool (fork + numpy/pandas import per worker):
+    # one trivial Arrow-batched pass over data-independent rows.
+    import pandas as _pd
+
+    def _noop(batches):
+        import numpy  # noqa: F401 - import cost is the thing being warmed
+
+        for b in batches:
+            yield b
+
+    spark.range(64).repartition(32).mapInPandas(_noop, schema="id long").count()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

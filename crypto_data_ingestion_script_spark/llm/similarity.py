@@ -65,40 +65,52 @@ _DOT_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
     tags=("llm", "similarity"),
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 5 query vectors: broadcast the (tiny)
-    query side across the corpus — one scan of the big side, no shuffle of
-    it; ranking shuffles only (n_queries × n_candidates) scored rows.
-    This is the exact baseline; q_ann_lsh is the sublinear path."""
+    """Brute-force cosine top-5 for 5 query vectors, Arrow-vectorized: the
+    tiny query matrix ships to every executor inside a ``mapInPandas``
+    closure (driver collect of 5 rows — the broadcast-dim pattern); each
+    Arrow batch of the corpus scores against ALL queries in one numpy
+    matmul. One scan of the big side, no shuffle of it; only the
+    (n_queries x n_candidates) scored rows hit the ranking shuffle.
+
+    Per-batch numpy replaces a per-pair interpreted higher-order fold —
+    the same semantics at ~100x the throughput on dense vectors; the
+    round-to-8 output absorbs summation-order float drift vs the oracle's
+    sequential fold. This is the exact baseline; q_ann_lsh is the
+    sublinear path."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     t = load(spark, sf_dir)
-    # Norms are per-row facts: compute each side's once *before* the
-    # crossJoin instead of per (query, candidate) pair — at k queries that
-    # deletes (k-1) redundant 64-element folds per corpus row, and the
-    # remaining per-pair work is a single dot product.
-    e = t.embeddings.withColumn(
-        "c_norm", F.sqrt(_dot(_as_double(F.col("embedding")), _as_double(F.col("embedding"))))
-    )
-    q = (
+    qrows = (
         t.embeddings.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.sqrt(
-                _dot(_as_double(F.col("embedding")), _as_double(F.col("embedding")))
-            ).alias("q_norm"),
-        )
+        .select("vec_id", "embedding")
+        .collect()
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("cand_id"),
-            F.col("label").alias("cand_label"),
-            (
-                _dot(_as_double(F.col("q_emb")), _as_double(F.col("embedding")))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cos_sim"),
-        )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    Q = np.array([r["embedding"] for r in qrows], dtype="float64")  # (k, d)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")  # (n, d)
+            sims = (E @ Q.T) / (
+                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
+            )  # (n, k)
+            n, k = sims.shape
+            cand_ids = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "cand_id": np.repeat(cand_ids, k),
+                    "cand_label": np.repeat(pdf["label"].to_numpy(), k),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+            yield out[out["q_id"] != out["cand_id"]]
+
+    scored = t.embeddings.mapInPandas(
+        score, schema="q_id bigint, cand_id bigint, cand_label int, cos_sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
