@@ -102,6 +102,66 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURE_DDL)
 
 
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: 1 video asset → N frame rows via ``mapInPandas``
+    (the 1→N expansion shape of a real frame extractor). Frames here are
+    deterministic byte-slices of the payload (codec stub, see module
+    docstring); the Spark-side contract — expansion inside the executor,
+    fixed output schema, no blob shuffle before sampling — is the real
+    pipeline's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_len": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                step = max(len(content) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = bytes(content[i * step : (i + 1) * step])
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(chunk)
+                    rows["frame_len"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        run,
+        schema="asset_id bigint, frame_idx int, frame_bytes binary, frame_len bigint",
+    )
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH f AS (SELECT doc_id AS asset_id, length(text) AS blen,
+                      unnest([0, 1, 2, 3]) AS frame_idx
+               FROM documents WHERE doc_id % 3 = 2)
+    SELECT asset_id, frame_idx,
+           CAST(CASE
+             WHEN greatest(blen // 4, 1) * frame_idx >= blen THEN 0
+             WHEN greatest(blen // 4, 1) * (frame_idx + 1) > blen
+               THEN blen - greatest(blen // 4, 1) * frame_idx
+             ELSE greatest(blen // 4, 1)
+           END AS BIGINT) AS frame_len
+    FROM f
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the 'video' assets (4 frames per asset): 1→N expansion
+    executor-side; the SQL-checkable projection is (asset_id, frame_idx,
+    frame_len) — byte-slice lengths the oracle reconstructs arithmetically."""
+    t = load(spark, sf_dir)
+    videos = assets_from_documents(t.documents).filter(F.col("modality") == "video")
+    return sample_frames(videos, n_frames=4).select(
+        "asset_id", "frame_idx", "frame_len"
+    )
+
+
 @query(
     "q_multimodal",
     oracle="""

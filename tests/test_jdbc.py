@@ -1,0 +1,34 @@
+"""JDBC edge construction tests — no driver jar/database in this container,
+so validate configuration up to (not including) the connection."""
+
+from __future__ import annotations
+
+from crypto_data_ingestion_script_spark.catalog import load
+from crypto_data_ingestion_script_spark.sources.jdbc import jdbc_reader, jdbc_writer
+
+
+def test_jdbc_reader_partitioned_options(spark):
+    r = jdbc_reader(
+        spark,
+        url="jdbc:postgresql://db:5432/prices",
+        table="downsampled_prices",
+        partition_column="hour",
+        lower_bound=0,
+        upper_bound=23,
+        num_partitions=8,
+        fetchsize="5000",
+    )
+    opts = r.applied_options
+    assert opts["partitionColumn"] == "hour"
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "5000"
+
+
+def test_jdbc_writer_batched(spark, sf_dir):
+    t = load(spark, sf_dir)
+    w = jdbc_writer(
+        t.events.limit(1), url="jdbc:postgresql://db:5432/prices", batchsize=2500
+    )
+    opts = w.applied_options
+    assert opts["batchsize"] == "2500"
+    assert opts["dbtable"] == "downsampled_prices"
