@@ -222,3 +222,62 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
         t.supplier.select(F.col("s_nationkey").alias("nationkey"))
     )
+
+
+# --- Reshaping: pivot / unpivot / sampling ----------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("reshape",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): one pass, conditional aggregation per pivot
+    value — values are declared explicitly so the plan needs no extra
+    distinct-scan to discover them (the 100 TB discipline: never let pivot
+    infer its columns from data)."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, kind, amount
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (amount FOR kind IN (l_extendedprice, l_discount, l_tax))
+    """,
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): melt three measure columns into (kind,
+    amount) rows — an Expand node, one input pass, no shuffle."""
+    t = load(spark, sf_dir)
+    return t.lineitem.filter(F.col("l_orderkey") < 100).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="kind",
+        valueColumnName="amount",
+    )
+
+
+@query("q_sample", tags=("reshape", "approx"))
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with a fixed seed — per-partition, scan-time, no
+    shuffle. Sampling is engine-specific randomness -> rows-only check (the
+    property is the rate, asserted in the declared fraction's ballpark)."""
+    t = load(spark, sf_dir)
+    return t.lineitem.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
