@@ -1,0 +1,164 @@
+"""Composite analytical queries (TPC-H Q1/Q3/Q5 adapted to the driver's
+TPC-H-lite star schema) — the proof that the operator surface composes:
+multi-way joins + filters + aggregation + sort/top-k in single declarative
+plans, the workload shape the reference's README delegates to PostgreSQL
+("ability to handle complex queries", /root/reference/README.md:31).
+
+Adaptations to the driver schema (TESTDATA.md): no l_commitdate /
+l_receiptdate / o_shippriority columns, dates span 1995–2001; filter
+constants chosen for meaningful selectivity on that range.
+
+Scale notes per query:
+- Q1: single-shuffle grouped aggregation after a pushed scan filter —
+  identical plan family to the flagship OHLC rollup.
+- Q3: customer is the small side (filtered on segment) — broadcast into
+  orders, then one shuffle join to lineitem on orderkey; top-10 via
+  TakeOrderedAndProject, never a global sort.
+- Q5: five-way join; region/nation/supplier broadcast (dims), the
+  customer-supplier same-nation condition rides the supplier broadcast —
+  only orders⋈lineitem shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: scan-filter (pushed) + one grouped agg."""
+    t = load(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (adapted: no o_shippriority column):
+    broadcast filtered customers, shuffle-join lineitem, top-10 revenue."""
+    t = load(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    c = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t.orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = t.lineitem.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: five-way join, all dims broadcast;
+    only the orders⋈lineitem edge shuffles."""
+    t = load(spark, sf_dir)
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            t.nation.n_regionkey == t.region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    s = t.supplier.join(
+        F.broadcast(asia_nations),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )

@@ -95,6 +95,20 @@ def test_salted_agg_is_two_stage(spark, sf_dir):
     assert "pmod(xxhash64" in formatted_plan(df)
 
 
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """Five-way join: every dim edge must broadcast; only orders⋈lineitem
+    may shuffle. A regression here turns one shuffle into four at scale."""
+    from crypto_data_ingestion_script_spark.plans.explain import (
+        _node_count,
+        formatted_plan,
+    )
+
+    df = SPECS["q_tpch_q5"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert _node_count(df, "BroadcastHashJoin") >= 3, plan
+    assert _node_count(df, "SortMergeJoin") + _node_count(df, "ShuffledHashJoin") <= 1, plan
+
+
 def test_salted_join_joins_on_salt(spark, sf_dir):
     """Join keys must include the salt column — otherwise the replication
     just multiplies rows without spreading the hot key."""
