@@ -39,6 +39,9 @@ HEADLINE = [
     "q_wordcount",
     "q_dedup_exact",
     "q_cosine_topk",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
 ]
 
 
