@@ -162,3 +162,74 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan-filter-agg — every
+    predicate reaches the parquet scan (PushedFilters), zero joins, one
+    partial/final agg with no grouping (single-row shuffle)."""
+    t = load(spark, sf_dir)
+    return t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.03, 0.05)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: group-having as a semi-join
+    filter, then a three-way join and top-100. The having-filter aggregates
+    lineitem once (single shuffle on l_orderkey) and the survivor set —
+    tiny by construction — broadcasts back against orders."""
+    t = load(spark, sf_dir)
+    big_orders = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 200)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    o = t.orders.join(
+        F.broadcast(big_orders), t.orders.o_orderkey == F.col("_bigkey")
+    ).drop("_bigkey")
+    joined = o.join(
+        F.broadcast(t.customer.select("c_custkey", "c_name")),
+        o.o_custkey == F.col("c_custkey"),
+    ).join(
+        t.lineitem.select("l_orderkey", "l_quantity"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

@@ -230,6 +230,87 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_to_silver(
+    agg: DataFrame, silver_path: str, checkpoint: str
+) -> "object":
+    """Production sink shape: windowed aggregation → ``foreachBatch`` →
+    idempotent partitioned silver write. Each micro-batch rewrites only the
+    date partitions it touches (dynamic partition overwrite) and dedups on
+    the bar PK, so a replayed batch after a crash cannot duplicate rows —
+    checkpoint + idempotent writer = effectively-once at rest, the property
+    the reference's plain INSERT lacks (dataCollector.py:146-150 vs :73)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.select(
+                F.to_date(F.col("w.start")).alias("date"),
+                F.hour(F.col("w.start")).alias("hour"),
+                F.col("event_type").alias("symbol"),
+                "open_price",
+                "high_price",
+                "low_price",
+                "close_price",
+                "avg_price",
+                "sample_count",
+            )
+            .dropDuplicates(["date", "hour", "symbol"])
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(silver_path)
+        )
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+@query(
+    "q_stream_silver",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS date,
+           CAST(hour(ts) AS INTEGER)            AS hour,
+           event_type                           AS symbol,
+           arg_min(value, ts)                   AS open_price,
+           max(value)                           AS high_price,
+           min(value)                           AS low_price,
+           arg_max(value, ts)                   AS close_price,
+           avg(value)                           AS avg_price,
+           count(*)                             AS sample_count
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "sink"),
+)
+def q_stream_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full production loop as one streaming pipeline:
+    file-source stream → event-time tumbling OHLC → foreachBatch idempotent
+    silver write → read back. Hash-checked against the direct batch oracle:
+    streaming + persistence must be value-invisible."""
+    import tempfile
+
+    load(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_silver_")
+    silver = os.path.join(base, "hourly_bars")
+    agg = tumbling_ohlc_stream(_events_stream(spark, sf_dir))
+    q = stream_to_silver(agg, silver, os.path.join(base, "ckpt")).start()
+    q.awaitTermination()
+    return spark.read.parquet(silver).select(
+        "date",
+        "hour",
+        "symbol",
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+        "avg_price",
+        "sample_count",
+    )
+
+
 @query("q_stream_dedup", tags=("streaming", "dedup"))
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
