@@ -135,6 +135,83 @@ def q_sink_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE (upsert) into a parquet table without a table format: new rows
+    win over existing rows on the PK, rewritten partition-scoped.
+
+    Plan shape: updates ∪ (existing ⟕-anti updates on keys) → dynamic
+    partition overwrite of only the partitions present in ``updates``. The
+    anti-join replaces a per-row UPDATE; at 100 TB the rewrite cost is
+    bounded by the touched partitions, never the whole table — the same
+    contract as Delta/Iceberg MERGE, built from stock operators.
+    """
+    existing = spark.read.parquet(target_path)
+    touched = updates.select(partition_col).distinct()
+    # Only partitions that receive updates are rewritten; anti-join keeps
+    # the rows of those partitions that no update supersedes.
+    keep = existing.join(F.broadcast(touched), partition_col, "left_semi").join(
+        updates.select(*keys), keys, "left_anti"
+    )
+    merged = updates.select(*existing.columns).unionByName(keep)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS date,
+           CAST(hour(ts) AS INTEGER)            AS hour,
+           event_type                           AS symbol,
+           arg_min(value, ts)                   AS open_price,
+           max(value)                           AS high_price,
+           min(value)                           AS low_price,
+           arg_max(value, ts)                   AS close_price,
+           avg(value)                           AS avg_price,
+           count(*)                             AS sample_count
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("ingest", "merge"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert correctness end-to-end: seed silver with bars computed from a
+    STALE subset (every even event dropped — wrong aggregates on purpose),
+    then MERGE the corrected full-data bars in. The merged table must equal
+    the oracle's direct full-data aggregation exactly: updates replaced
+    every stale row (same PK) and inserted every missing one."""
+    t = load(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="merge_")
+    silver = os.path.join(base, "hourly_bars")
+    ticks = _tick_stream_from_events(t)
+    stale = hourly_bars_table(
+        ticks.withColumn("_rn", F.monotonically_increasing_id())
+        .filter(F.col("_rn") % 2 == 1)
+        .drop("_rn")
+    )
+    stale.write.mode("overwrite").partitionBy("date").parquet(silver)
+    corrected = hourly_bars_table(ticks)
+    merge_upsert(
+        spark, silver, corrected, keys=["date", "hour", "symbol"], partition_col="date"
+    )
+    return spark.read.parquet(silver).select(
+        "date",
+        "hour",
+        "symbol",
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+        "avg_price",
+        "sample_count",
+    )
+
+
 @query("q_retention", tags=("ingest", "retention"))
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention: write multi-day bronze, drop partitions older than the

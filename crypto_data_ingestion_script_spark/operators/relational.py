@@ -281,3 +281,56 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
+
+
+# --- Null handling ----------------------------------------------------------
+
+
+@query(
+    "q_fillna",
+    oracle="""
+    SELECT event_id,
+           coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), -1.0)
+             AS k_filled,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                  IS NULL THEN 1 ELSE 0 END AS was_null
+    FROM events
+    """,
+    tags=("nulls",),
+)
+def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fillna / coalesce: sentinel-fill a sparsely-populated parsed column
+    plus a null-indicator — the imputation shape of feature pipelines."""
+    t = load(spark, sf_dir)
+    parsed = t.events.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') as double)").alias("k_val"),
+    )
+    return parsed.select(
+        "event_id",
+        F.coalesce(F.col("k_val"), F.lit(-1.0)).alias("k_filled"),
+        F.when(F.col("k_val").isNull(), 1).otherwise(0).alias("was_null"),
+    )
+
+
+@query(
+    "q_dropna",
+    oracle="""
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
+           value
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+      AND value IS NOT NULL
+    """,
+    tags=("nulls",),
+)
+def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna(how='any') over a projected column set — null predicates
+    reach the scan for stored columns."""
+    t = load(spark, sf_dir)
+    parsed = t.events.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') as double)").alias("k_val"),
+        "value",
+    )
+    return parsed.na.drop(how="any", subset=["k_val", "value"])
