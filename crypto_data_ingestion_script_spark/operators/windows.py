@@ -225,3 +225,41 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_moving_avg_time",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           avg(value) OVER (PARTITION BY event_type ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                      AND CURRENT ROW) AS avg_1h,
+           count(*)  OVER (PARTITION BY event_type ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                      AND CURRENT ROW) AS n_1h
+    FROM events
+    """,
+    tags=("window",),
+)
+def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time range frame: trailing 1-hour average per key —
+    ``rangeBetween`` on epoch seconds, so the frame is defined by TIME not
+    row count (irregular tick spacing gives different answers than the
+    rows-based q_moving_avg). One shuffle on the partition key; the frame
+    scan is a per-partition sliding cursor, never quadratic."""
+    t = load(spark, sf_dir)
+    # Epoch MICROseconds, not seconds: the oracle's INTERVAL arithmetic is
+    # microsecond-exact, and second-truncation shifts frame boundaries for
+    # ticks inside the same second.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.avg("value").over(w).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+    )
