@@ -334,3 +334,57 @@ def q_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return parsed.na.drop(how="any", subset=["k_val", "value"])
+
+
+# --- Subqueries -------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: the inner aggregate computes once and
+    broadcasts as a literal into the outer filter (Catalyst plans a
+    ReusedSubquery/scalar-subquery node, not a join)."""
+    t = load(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq)
+        """
+    )
+
+
+@query(
+    "q_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("subquery",),
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: Catalyst rewrites it to a left-semi join on the
+    correlation key — same plan family as q_join_semi, declared through the
+    SQL surface the reference's README promises."""
+    t = load(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer_sq")
+    t.orders.createOrReplaceTempView("orders_sq2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq2 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
