@@ -63,20 +63,29 @@ def _update_ohlc_state(
         n = 0
 
     for pdf in pdfs:
-        ts_us = pdf["ts"].astype("int64")  # pandas datetime64[ns] → ns; see below
+        if len(pdf) == 0:
+            continue
         # datetime64[ns] int view is nanoseconds; keep microseconds like Spark
-        ts_us = ts_us // 1000
-        for t, v in zip(ts_us, pdf["value"].astype("float64")):
-            # open = earliest-by-event-time; in nonzero_open parity mode a
-            # price of 0.0 can never become the open (dataCollector.py:83).
-            if not (nonzero_open and v == 0.0) and (op is None or t < open_ts):
-                open_ts, op = t, v
-            hi = v if hi is None else max(hi, v)
-            lo = v if lo is None else min(lo, v)
-            if close_ts is None or t > close_ts:
-                close_ts, cl = t, v
-            sm = v if sm is None else sm + v
-            n += 1
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        vals = pdf["value"].astype("float64").to_numpy()
+        # Batch-wise fold (numpy reductions, no per-row Python): combine this
+        # batch's extrema with the carried state exactly like a merge step.
+        # open = earliest-by-event-time; in nonzero_open parity mode a price
+        # of 0.0 can never become the open (dataCollector.py:83).
+        open_mask = vals != 0.0 if nonzero_open else slice(None)
+        o_ts, o_vals = ts_us[open_mask], vals[open_mask]
+        if len(o_vals):
+            i = int(o_ts.argmin())
+            if op is None or o_ts[i] < open_ts:
+                open_ts, op = int(o_ts[i]), float(o_vals[i])
+        j = int(ts_us.argmax())
+        if close_ts is None or ts_us[j] > close_ts:
+            close_ts, cl = int(ts_us[j]), float(vals[j])
+        bmax, bmin, bsum = float(vals.max()), float(vals.min()), float(vals.sum())
+        hi = bmax if hi is None else max(hi, bmax)
+        lo = bmin if lo is None else min(lo, bmin)
+        sm = bsum if sm is None else sm + bsum
+        n += len(vals)
 
     state.update((open_ts, op, hi, lo, close_ts, cl, sm, n))
     hour_ts, event_type = key
