@@ -109,6 +109,30 @@ def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
     assert _node_count(df, "SortMergeJoin") + _node_count(df, "ShuffledHashJoin") <= 1, plan
 
 
+def test_tpch_q6_pushes_all_filters(spark, sf_dir):
+    """Q6 is pure scan-filter-agg: predicates must reach the parquet scan
+    and the read schema must exclude every unused column."""
+    df = SPECS["q_tpch_q6"].fn(spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = read_schema_columns(df)
+    assert set(cols) == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }, cols
+    assert has_partial_aggregation(df)
+
+
+def test_tpch_q18_broadcasts_survivors(spark, sf_dir):
+    """The group-having survivor set and the customer dim must broadcast;
+    lineitem may shuffle only for its own aggregations."""
+    df = SPECS["q_tpch_q18"].fn(spark, sf_dir)
+    from crypto_data_ingestion_script_spark.plans.explain import _node_count
+
+    assert _node_count(df, "BroadcastHashJoin") >= 2
+
+
 def test_salted_join_joins_on_salt(spark, sf_dir):
     """Join keys must include the salt column — otherwise the replication
     just multiplies rows without spreading the hot key."""
