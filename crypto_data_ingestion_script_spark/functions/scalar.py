@@ -257,3 +257,28 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.filter(F.col("doc_id") < 50)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
+
+
+@query(
+    "q_higher_order_pred",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> length(x) > 12)) > 0 AS BOOLEAN) AS any_long,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> NOT length(x) > 0)) = 0 AS BOOLEAN) AS all_nonempty
+    FROM documents
+    """,
+    tags=("scalar", "array"),
+)
+def q_higher_order_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified lambda predicates over arrays: exists / forall — Catalyst
+    lambda expressions (JVM-side short-circuit scan of each array), the
+    idiom for per-document token tests without explode+groupBy."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return t.documents.select(
+        "doc_id",
+        F.exists(toks, lambda x: F.length(x) > 12).alias("any_long"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+    )

@@ -388,3 +388,15 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         """
     )
+
+
+@query("q_sample_stratified", tags=("reshape", "approx"))
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
+    a fixed seed — rebalancing skewed classes without a shuffle (scan-time
+    filter per stratum). Rows-only: engine-specific randomness."""
+    t = load(spark, sf_dir)
+    fractions = {"A": 0.5, "R": 0.1, "N": 0.05}
+    return t.lineitem.sampleBy("l_returnflag", fractions, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
