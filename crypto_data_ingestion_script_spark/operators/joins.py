@@ -309,3 +309,94 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value"),
         F.col("asof_ts"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """Forward as-of: each left row picks the EARLIEST right row at-or-after
+    its timestamp per key (the "next quote after the order" direction).
+    Mirror of asof_join: same union-tag composition scanned in descending
+    time order, so the carried value is the nearest following right row.
+    Identical scale shape — one shuffle on key, sort-based, linear."""
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    all_cols = set(left.columns) | set(right.columns) | {"_side", "_ats"}
+    lt = lt.select(
+        *[F.col(c) if c in lt.columns else F.lit(None).alias(c) for c in sorted(all_cols)]
+    )
+    rt = rt.select(
+        *[F.col(c) if c in rt.columns else F.lit(None).alias(c) for c in sorted(all_cols)]
+    )
+    unioned = lt.unionByName(rt)
+    # Descending time scan; right rows (side 0) sort before left rows at the
+    # same timestamp so an exact match is visible (>= semantics).
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ats").desc(), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{v}")
+            for v in right_vals
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *left.columns, *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in right_vals]
+    )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey % 20 AS uid,
+                      o_orderdate + INTERVAL 29 YEAR AS query_ts FROM orders),
+    e AS (SELECT user_id % 20 AS uid, ts, value FROM events),
+    u AS (
+      SELECT uid, query_ts AS ats, 1 AS side, o_orderkey,
+             CAST(NULL AS DOUBLE) AS val, CAST(NULL AS TIMESTAMP) AS ets FROM o
+      UNION ALL
+      SELECT uid, ts, 0, NULL, value, ts FROM e
+    ),
+    carried AS (
+      SELECT uid, ats, side, o_orderkey,
+             last_value(val IGNORE NULLS) OVER w AS asof_value,
+             last_value(ets IGNORE NULLS) OVER w AS asof_ts
+      FROM u
+      WINDOW w AS (PARTITION BY uid ORDER BY ats DESC, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderkey, uid, asof_value, asof_ts
+    FROM carried WHERE side = 1
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: first event at-or-after each (time-shifted) order per
+    bucketed user key. Oracle uses the identical union-tag window program in
+    SQL (DuckDB has no native forward ASOF) — engine-agnostic semantics."""
+    t = load(spark, sf_dir)
+    left = t.orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("uid"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEAR")).alias("query_ts"),
+    )
+    right = t.events.select(
+        (F.col("user_id") % 20).alias("uid"), F.col("ts"), F.col("value")
+    )
+    out = asof_join_forward(
+        left, right, key="uid", left_ts="query_ts", right_ts="ts",
+        right_vals=["value", "ts"],
+    )
+    return out.select(
+        "o_orderkey", "uid", F.col("asof_value"), F.col("asof_ts").cast("timestamp_ntz").alias("asof_ts")
+    )
