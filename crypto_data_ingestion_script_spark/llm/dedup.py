@@ -242,3 +242,48 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+                      substring(text, 1, 30) AS head FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup candidates by edit distance — with BLOCKING: pairs
+    are only formed inside (lang, length-bucket) blocks, so the quadratic
+    levenshtein cost is bounded per block instead of corpus-wide (the
+    standard entity-resolution shape; a full crossJoin at 100 TB is not a
+    plan). JVM-side levenshtein, equi-join on block keys — one shuffle."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(50)).cast("int").alias("len_bucket"),
+        F.substring("text", 1, 30).alias("head"),
+    )
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_lang") == F.col("b_lang"))
+        & (F.col("a_len_bucket") == F.col("b_len_bucket"))
+        & (F.col("a_doc_id") < F.col("b_doc_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a_doc_id").alias("id_a"),
+            F.col("b_doc_id").alias("id_b"),
+            F.levenshtein("a_head", "b_head").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+    )
