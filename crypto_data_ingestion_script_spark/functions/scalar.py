@@ -282,3 +282,25 @@ def q_higher_order_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda x: F.length(x) > 12).alias("any_long"),
         F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
     )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(substring(text, 1, 40), ' '), 1) - 1
+                AS INTEGER) AS pos,
+           unnest(string_split(substring(text, 1, 40), ' ')) AS tok
+    FROM documents
+    """,
+    tags=("scalar", "array", "udtf"),
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (1→N with position): posexplode keeps each element's
+    index — required whenever order inside the array carries meaning
+    (token position, frame number). Generate node, no shuffle."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.substring(F.col("text"), 1, 40), " ")
+    return t.documents.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
