@@ -190,3 +190,35 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_qty_f"
         ),
     )
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_extendedprice) AS sd_price,
+           var_samp(l_quantity)         AS var_qty,
+           corr(l_extendedprice, l_quantity)       AS corr_pq,
+           covar_samp(l_extendedprice, l_discount) AS cov_pd,
+           skewness(l_extendedprice)
+             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) AS skew_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar/skewness — all
+    single-pass streaming moments (Welford-style partial buffers), so the
+    plan is the same partial/final two-phase HashAggregate as any sum.
+
+    Definitional note: Spark's skewness is the population moment g1;
+    DuckDB's is the bias-corrected sample G1 — the oracle converts
+    (G1 * (n-2)/sqrt(n(n-1)) == g1, exactly)."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_extendedprice").alias("sd_price"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.corr("l_extendedprice", "l_quantity").alias("corr_pq"),
+        F.covar_samp("l_extendedprice", "l_discount").alias("cov_pd"),
+        F.skewness("l_extendedprice").alias("skew_price"),
+    )
