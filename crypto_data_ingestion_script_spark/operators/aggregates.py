@@ -222,3 +222,30 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_samp("l_extendedprice", "l_discount").alias("cov_pd"),
         F.skewness("l_extendedprice").alias("skew_price"),
     )
+
+
+@query(
+    "q_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name))           AS nations,
+           list_sort(list(DISTINCT n_name))  AS nations_distinct,
+           array_to_string(list_sort(list(n_name)), ',') AS nations_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "array"),
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/string aggregation: collect values per group into arrays and a
+    delimited string. collect_list order is partition-dependent, so results
+    are sorted before they leave the aggregation — the only deterministic
+    contract for distributed array_agg (and the reason the raw unsorted
+    form can never be oracle-checked)."""
+    t = load(spark, sf_dir)
+    return t.nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set("n_name")).alias("nations_distinct"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+    )
