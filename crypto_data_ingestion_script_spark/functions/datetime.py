@@ -138,3 +138,40 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_y2k"),
         F.expr("unix_timestamp(o_orderdate)").alias("unix_ts"),
     )
+
+
+@query(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)          AS month_end,
+           CAST(date_diff('month', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER)       AS months_since,
+           CAST(weekofyear(o_orderdate) AS INTEGER)                   AS woy,
+           CAST(CAST(quarter(o_orderdate) AS INTEGER) AS INTEGER)     AS qtr,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start
+    FROM orders
+    """,
+    tags=("datetime",),
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic: add_months / last_day / month-diff /
+    weekofyear / quarter / week truncation. Spark months_between counts
+    fractional months, so the integer month-diff is computed from
+    (year, month) fields to match DuckDB's date_diff('month') calendar
+    semantics exactly."""
+    t = load(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    months_since = (
+        (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+    ).cast("int")
+    return t.orders.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        months_since.alias("months_since"),
+        F.weekofyear(d).alias("woy"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+    )
