@@ -304,3 +304,58 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
+
+
+@query(
+    "q_regexp_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(substring(text, 1, 80), '[a-z]+') AS words,
+           CAST(len(regexp_extract_all(substring(text, 1, 80), '[0-9]+'))
+                AS INTEGER) AS n_numbers
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: all matches as an array (JVM-side regex over the
+    codegen'd row batch) — the tokenizer primitive behind BPE-ish splitting
+    in llm/text.py."""
+    t = load(spark, sf_dir)
+    head = F.substring(F.col("text"), 1, 80)
+    return t.documents.select(
+        "doc_id",
+        F.regexp_extract_all(head, F.lit("[a-z]+"), F.lit(0)).alias("words"),
+        F.size(F.regexp_extract_all(head, F.lit("[0-9]+"), F.lit(0))).alias("n_numbers"),
+    )
+
+
+@query(
+    "q_map_hof",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END AS n_large
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    tags=("scalar", "map"),
+)
+def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: parse props JSON into a real MapType,
+    then transform_values (double every value) and map_filter (keep values
+    > 50) — Catalyst lambda expressions over map entries, verified through
+    scalar projections the oracle reconstructs from the JSON directly."""
+    t = load(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    large = F.map_filter(m, lambda _, v: v > 50)
+    return (
+        t.events.select(
+            "event_id",
+            F.element_at(doubled, "k").alias("k_doubled"),
+            F.size(large).alias("n_large"),
+        )
+        .filter(F.col("k_doubled").isNotNull())
+    )
