@@ -287,3 +287,106 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 5)
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts labeled with its own id; each round, a node adopts the minimum
+    label among itself and its neighbors; converged when no label changes.
+
+    Scale notes: each round is one shuffle (join on node id) + one
+    aggregation; rounds needed = graph diameter (near-dup clusters are
+    shallow, a handful of rounds). ``localCheckpoint`` truncates the plan
+    lineage every round — without it the iterative plan nests one join per
+    round and planning cost explodes. Driver holds only the convergence
+    counter, never the data.
+
+    nodes: (id bigint); edges: (a bigint, b bigint) undirected.
+    """
+    sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
+        edges.selectExpr("b AS src", "a AS dst")
+    )
+    labels = nodes.selectExpr("id", "id AS label")
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM (SELECT doc_id, lang, n_chars // 50 AS lb,
+                   substring(text, 1, 30) AS head FROM documents) a
+      JOIN (SELECT doc_id, lang, n_chars // 50 AS lb,
+                   substring(text, 1, 30) AS head FROM documents) b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 5
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: blocked fuzzy pairs → connected
+    components → (doc_id, cluster_id = min doc id in component). The
+    'keep one per cluster' dedup decision is then a groupBy(cluster_id).
+    Oracle: recursive CTE computing min reachable id — same fixpoint."""
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / F.lit(50)).cast("int").alias("lb"),
+        F.substring("text", 1, 30).alias("head"),
+    )
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    edges = (
+        a.join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_lb") == F.col("b_lb"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .filter(F.levenshtein("a_head", "b_head") <= 5)
+        .select(F.col("a_doc_id").alias("a"), F.col("b_doc_id").alias("b"))
+    )
+    nodes = t.documents.select(F.col("doc_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )
