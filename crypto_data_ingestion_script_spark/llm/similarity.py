@@ -182,3 +182,80 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") > 0.3)
     )
+
+
+def ivf_assignments(embeddings: DataFrame, k: int = 16, seed: int = 7):
+    """IVF coarse quantizer: k-means centroids over the corpus (MLlib,
+    seeded → deterministic for a given dataset), each vector assigned to
+    its nearest centroid cell. Returns (assigned_df, centers) where
+    assigned_df = embeddings + ``cell`` column.
+
+    Scale: training samples the corpus via MLlib's distributed Lloyd's
+    iterations; assignment is one broadcast of k×d centroids + a map-side
+    argmin — no shuffle of the corpus."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = embeddings.withColumn(
+        "_vec", array_to_vector(_as_double(F.col("embedding")))
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="cell").fit(
+        with_vec
+    )
+    assigned = model.transform(with_vec).drop("_vec")
+    centers = np.array(model.clusterCenters())
+    return assigned, centers
+
+
+@query("q_ann_ivf", tags=("llm", "similarity", "approx"))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + 3-cell probing. Query vectors probe their
+    3 nearest centroids and run exact cosine only inside those cells —
+    corpus scanned once for assignment, search cost is |probed cells| not
+    |corpus|. The scale twin of q_cosine_topk alongside the LSH path
+    (IVF gives tunable recall via n_probe; LSH gives constant-time
+    bucketing). Approximate → rows-only; recall measured in tests against
+    the exact baseline."""
+    import numpy as np
+
+    t = load(spark, sf_dir)
+    assigned, centers = ivf_assignments(t.embeddings, k=16)
+    qrows = (
+        t.embeddings.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    Q = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_ids = [r["vec_id"] for r in qrows]
+    # 3 nearest cells per query (driver-side: k×d matrix, trivially small)
+    d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    probe = {qid: np.argsort(d2[i])[:3].tolist() for i, qid in enumerate(q_ids)}
+    probe_df = spark.createDataFrame(
+        [(qid, int(c)) for qid, cells in probe.items() for c in cells],
+        "q_id bigint, cell int",
+    )
+    q_df = spark.createDataFrame(
+        [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(q_ids)],
+        "q_id bigint, q_emb array<double>",
+    )
+    cands = assigned.join(F.broadcast(probe_df), "cell").join(
+        F.broadcast(q_df), "q_id"
+    )
+    scored = cands.filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            _dot(F.col("q_emb"), _as_double(F.col("embedding")))
+            / (
+                F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                * F.sqrt(
+                    _dot(_as_double(F.col("embedding")), _as_double(F.col("embedding")))
+                )
+            )
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .withColumn("cos_sim", F.round("cos_sim", 8))
+    )

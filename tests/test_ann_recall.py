@@ -28,6 +28,29 @@ def test_bucket_distribution_not_degenerate(spark, sf_dir):
     assert largest < 0.2 * n_total, "one bucket swallowed >=20% of vectors"
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with 3-cell probing must recover most of the exact top-5: on a
+    near-random corpus the nearest neighbors are spread (the hard case for
+    IVF), so demand recall@5 >= 0.5 — well above the 3/16 cell-mass a
+    random probe covers — and exact score agreement on every common pair."""
+    from crypto_data_ingestion_script_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        (r["q_id"], r["cand_id"]): r["cos_sim"]
+        for r in specs["q_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["q_id"], r["cand_id"]): r["cos_sim"]
+        for r in specs["q_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
+    for k in hits:  # scores must agree exactly where both found the pair
+        assert abs(exact[k] - approx[k]) < 1e-7, k
+
+
 def test_lsh_recall_on_planted_neighbors(spark):
     """The driver corpus is near-random (max pairwise cos ~0.51 at sf0.01),
     so recall is measured on planted pairs: 100 base vectors, each with a
