@@ -1,0 +1,253 @@
+"""Market-analytics composites over the events stream — the query family the
+reference's README points its "downsampled_prices" store at
+(/root/reference/README.md:41-42, dataCollector.py:140-163): VWAP, Bollinger
+bands, EMA, anomaly z-scores, and gap-filled bar series.
+
+All five are pure DataFrame compositions (no Python in the hot path) and
+every one has a DuckDB oracle.
+
+Scale notes (100 TB design point):
+- q_vwap / q_gap_fill group on (event_type, calendar bucket) — bounded
+  cardinality (#types × #buckets), so the final agg is tiny regardless of
+  input size; the only shuffle is the partial-aggregated one.
+- q_bollinger / q_zscore / q_ema shuffle once on event_type and then run
+  window/agg functions partition-locally. Per-key series windows are the
+  canonical time-series layout: one key's history per partition. Skewed key
+  histories would be handled by range-repartitioning on (key, time) and
+  windowing per segment (see skew.py for the salting pattern).
+- q_ema uses the algebraic closed form EMA_n = a·Σ r^{n-i}·x_i + r^{n-1}·x_1
+  (r = 1-a) so the whole recurrence is one grouped SUM — no iteration, no
+  UDF, and map-side partial aggregation applies. Exponents only appear as
+  r^{positive}, which underflows to 0 for ancient rows instead of
+  overflowing — stable at any history length.
+- q_gap_fill materializes the hour spine with sequence()+explode from the
+  per-key min/max — O(#keys × #hours) rows, never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+_EMA_ALPHA = 0.03
+
+
+@query(
+    "q_vwap",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day_ts,
+           event_type,
+           sum(value * CAST(json_extract_string(props, '$.k') AS BIGINT))
+             / sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS vwap,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))     AS volume
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+    GROUP BY 1, 2
+    """,
+    tags=("finance", "agg"),
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price per event_type; volume comes out
+    of the JSON props payload (props.k), mirroring the reference's
+    API-JSON → metric path (dataCollector.py:97-117)."""
+    t = load(spark, sf_dir)
+    vol = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        t.events.withColumn("vol", vol)
+        .filter(F.col("vol") > 0)
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day_ts"),
+            "event_type",
+        )
+        .agg(
+            (F.sum(F.col("value") * F.col("vol")) / F.sum("vol")).alias("vwap"),
+            F.sum("vol").alias("volume"),
+        )
+    )
+
+
+@query(
+    "q_bollinger",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             avg(value)         OVER frame AS mid,
+             stddev_samp(value) OVER frame AS sd,
+             row_number()       OVER (PARTITION BY event_type
+                                      ORDER BY event_id) AS rn
+      FROM events
+      WINDOW frame AS (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, value, mid,
+           mid + 2 * sd AS upper_band,
+           mid - 2 * sd AS lower_band
+    FROM w
+    WHERE rn >= 24
+    """,
+    tags=("finance", "window"),
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-sample Bollinger bands (mid ± 2σ) per event_type series; only
+    full frames are emitted so band widths are well-defined."""
+    t = load(spark, sf_dir)
+    frame = (
+        Window.partitionBy("event_type").orderBy("event_id").rowsBetween(-23, 0)
+    )
+    seq = Window.partitionBy("event_type").orderBy("event_id")
+    sd = F.stddev_samp("value").over(frame)
+    mid = F.avg("value").over(frame)
+    return (
+        t.events.select(
+            "event_id",
+            "event_type",
+            "value",
+            mid.alias("mid"),
+            (mid + 2 * sd).alias("upper_band"),
+            (mid - 2 * sd).alias("lower_band"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .filter(F.col("rn") >= 24)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_ema",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+             count(*)     OVER (PARTITION BY event_type)                   AS cnt
+      FROM events
+    )
+    SELECT event_type,
+           sum(CASE WHEN rn = 1
+                    THEN power(1 - {_EMA_ALPHA}, cnt - 1) * value
+                    ELSE {_EMA_ALPHA} * power(1 - {_EMA_ALPHA}, cnt - rn) * value
+               END) AS ema
+    FROM seq
+    GROUP BY event_type
+    """,
+    tags=("finance", "agg"),
+)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final exponential moving average per event_type via the algebraic
+    closed form — the recurrence EMA_n = a·x_n + (1-a)·EMA_{n-1} unrolled
+    into one grouped SUM (see module docstring), seeded EMA_1 = x_1."""
+    t = load(spark, sf_dir)
+    a, r = _EMA_ALPHA, 1 - _EMA_ALPHA
+    per_key = Window.partitionBy("event_type")
+    seq = per_key.orderBy("event_id")
+    rn = F.row_number().over(seq)
+    cnt = F.count(F.lit(1)).over(per_key)
+    term = F.when(
+        rn == 1, F.pow(F.lit(r), cnt - 1) * F.col("value")
+    ).otherwise(F.lit(a) * F.pow(F.lit(r), cnt - rn) * F.col("value"))
+    return (
+        t.events.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(F.sum("term").alias("ema"))
+    )
+
+
+@query(
+    "q_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             (value - avg(value) OVER (PARTITION BY event_type))
+               / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+      FROM events
+    )
+    SELECT event_id, event_type, value, z
+    FROM s
+    WHERE abs(z) > 2.5
+    """,
+    tags=("finance", "window"),
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous samples: |z| > 2.5 against the per-event_type distribution
+    — the outlier gate a production ingestion loop would quarantine on."""
+    t = load(spark, sf_dir)
+    per_key = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(per_key)) / F.stddev_samp(
+        "value"
+    ).over(per_key)
+    return (
+        t.events.select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close_price, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(hour_ts), max(hour_ts),
+                                    INTERVAL 1 HOUR)) AS hour_ts
+      FROM bars GROUP BY event_type
+    ),
+    j AS (
+      SELECT s.event_type, s.hour_ts, b.n_events, b.close_price
+      FROM spine s LEFT JOIN bars b USING (event_type, hour_ts)
+    )
+    SELECT event_type, hour_ts,
+           COALESCE(n_events, 0) AS n_events,
+           close_price IS NULL   AS is_gap,
+           last_value(close_price IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS close_filled
+    FROM j
+    """,
+    tags=("finance", "window"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly bar series: generate the full hour spine per event_type
+    (sequence + explode), left-join the observed bars, and forward-fill the
+    close with last(…, ignorenulls) — the reference's downsampler emits
+    nothing for empty hours (dataCollector.py:140-163); this closes them."""
+    t = load(spark, sf_dir)
+    bars = (
+        t.events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        )
+        .agg(
+            F.max_by("value", "ts").alias("close_price"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    spine = (
+        bars.groupBy("event_type")
+        .agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    ffill = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(bars, ["event_type", "hour_ts"], "left").select(
+        "event_type",
+        "hour_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("close_price").isNull().alias("is_gap"),
+        F.last("close_price", ignorenulls=True).over(ffill).alias(
+            "close_filled"
+        ),
+    )
