@@ -21,7 +21,7 @@ Scale notes per query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -232,4 +232,234 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between a nation pair: the nation filter is
+    pushed INTO the broadcast dims (each nation side pre-filtered to the
+    pair), so supplier/nation ride broadcasts and only orders⋈lineitem and
+    customer⋈orders shuffle — the two unavoidable fact-side exchanges."""
+    t = load(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = t.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    sup = t.supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("_s_nk"))
+    cust = t.customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("_c_nk"))
+    return (
+        li.join(t.orders, li.l_orderkey == t.orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item ranking: both fact filters (order-date
+    quarter, returnflag='R') are pushed to the scans; nation broadcasts;
+    top-20 runs as TakeOrderedAndProject, never a global sort."""
+    t = load(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t.lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue share: one month of lineitem (pushed scan
+    filter) ⋈ broadcast part, collapsed to a single conditional-agg row —
+    zero shuffles beyond the broadcast when AQE coalesces the final agg."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(disc_price)).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive predicate pushdown: Catalyst derives the
+    cross-branch envelopes (l_quantity ∈ [1,30] onto the lineitem scan,
+    brand/size union onto the broadcast part scan) from the OR-of-ANDs, so
+    both scans prune before the join evaluates the exact disjunction."""
+    t = load(spark, sf_dir)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+            t.lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .filter(branch)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, supplier, lineitem, nation
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND p_size = 15
+      AND s_nationkey = n_nationkey
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part; lineitem stands in
+    for the absent partsupp): the correlated MIN subquery is expressed as a
+    window-min over l_partkey — ONE shuffle computes the per-part minimum
+    and keeps the qualifying rows, where the naive agg-then-self-join
+    formulation would shuffle lineitem twice."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .withColumn("_minp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_minp"))
+    )
+    return (
+        cheapest.join(
+            F.broadcast(t.part.filter(F.col("p_size") == 15)),
+            cheapest.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t.supplier), cheapest.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
     )
