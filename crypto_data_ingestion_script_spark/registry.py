@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .llm import multimodal  # noqa: F401
     from .sources import files, rest  # noqa: F401
     from . import ingest  # noqa: F401
-    from .streaming import jobs, stateful  # noqa: F401
+    from .streaming import jobs, stateful, tws  # noqa: F401
+    from .streaming import joins as streaming_joins  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,108 @@
+"""Streaming joins (SURVEY §2.D extension): stream⋈static dimension
+enrichment and watermarked stream⋈stream correlation.
+
+The reference enriches nothing — each poll row is stored as-is
+(/root/reference/dataCollector.py:118-138). These are the two joins a
+production version of that loop needs the moment it has context tables:
+
+- stream⋈static: every micro-batch hash-joins against the (broadcast)
+  dimension snapshot — no state, re-planned per batch, dimension updates
+  picked up on next batch. At scale the dim broadcast is per-executor
+  memory; a dim too big to broadcast becomes a shuffle join per batch.
+- stream⋈stream: both sides buffered in the state store, matched on key +
+  event-time range; the watermark bounds state (rows older than the range
+  plus watermark are evicted). State size ≈ input rate × (range + lateness)
+  per key — the knob that keeps a 100 TB/day correlation bounded.
+
+Tests drive both with availableNow over the file source (deterministic,
+single batch) and hash-check against the equivalent batch SQL — stream ≡
+batch is the correctness contract, as for every streaming query here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from .jobs import _events_stream, run_to_memory
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           sum(value) AS total_value,
+           count(*)   AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment: the events stream joined per-batch to the
+    broadcast customer dimension, then aggregated by market segment —
+    equal to the batch join+agg on the same data (one availableNow batch)."""
+    t = load(spark, sf_dir)
+    dim = F.broadcast(t.customer.select("c_custkey", "c_mktsegment"))
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           b.user_id  AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click'
+     AND b.event_type = 'purchase'
+     AND a.ts BETWEEN b.ts - INTERVAL 10 MINUTE AND b.ts
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream⋈stream inner join: clicks attributed to a
+    same-user purchase within the following 10 minutes. Both sides carry
+    watermarks and the join carries the event-time range, so the engine
+    can evict buffered rows; with the whole input in one batch the result
+    must equal the batch self-join."""
+    load(spark, sf_dir)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("click_id", "purchase_id", "user_id")
+    return run_to_memory(joined, output_mode="append")

@@ -48,6 +48,39 @@ STATE_DDL = (
 )
 
 
+#: Empty carry: (open_ts, open, high, low, close_ts, close, sum, n).
+EMPTY_STATE: tuple = (None, None, None, None, None, None, None, 0)
+
+
+def fold_pdf(carry: tuple, pdf: pd.DataFrame, nonzero_open: bool = False) -> tuple:
+    """Merge one Arrow batch into the running OHLC carry tuple — shared by
+    both stateful APIs (applyInPandasWithState here, transformWithState in
+    tws.py). Batch-wise numpy reductions, no per-row Python."""
+    open_ts, op, hi, lo, close_ts, cl, sm, n = carry
+    if len(pdf) == 0:
+        return carry
+    # datetime64[ns] int view is nanoseconds; keep microseconds like Spark
+    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+    vals = pdf["value"].astype("float64").to_numpy()
+    # open = earliest-by-event-time; in nonzero_open parity mode a price
+    # of 0.0 can never become the open (dataCollector.py:83).
+    open_mask = vals != 0.0 if nonzero_open else slice(None)
+    o_ts, o_vals = ts_us[open_mask], vals[open_mask]
+    if len(o_vals):
+        i = int(o_ts.argmin())
+        if op is None or o_ts[i] < open_ts:
+            open_ts, op = int(o_ts[i]), float(o_vals[i])
+    j = int(ts_us.argmax())
+    if close_ts is None or ts_us[j] > close_ts:
+        close_ts, cl = int(ts_us[j]), float(vals[j])
+    bmax, bmin, bsum = float(vals.max()), float(vals.min()), float(vals.sum())
+    hi = bmax if hi is None else max(hi, bmax)
+    lo = bmin if lo is None else min(lo, bmin)
+    sm = bsum if sm is None else sm + bsum
+    n += len(vals)
+    return (open_ts, op, hi, lo, close_ts, cl, sm, n)
+
+
 def _update_ohlc_state(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -56,36 +89,10 @@ def _update_ohlc_state(
 ) -> Iterator[pd.DataFrame]:
     """Fold this micro-batch's rows for one (hour_ts, key) group into the
     running state and emit the updated bar (update semantics)."""
-    if state.exists:
-        open_ts, op, hi, lo, close_ts, cl, sm, n = state.get
-    else:
-        open_ts = op = hi = lo = close_ts = cl = sm = None
-        n = 0
-
+    carry = tuple(state.get) if state.exists else EMPTY_STATE
     for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        # datetime64[ns] int view is nanoseconds; keep microseconds like Spark
-        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-        vals = pdf["value"].astype("float64").to_numpy()
-        # Batch-wise fold (numpy reductions, no per-row Python): combine this
-        # batch's extrema with the carried state exactly like a merge step.
-        # open = earliest-by-event-time; in nonzero_open parity mode a price
-        # of 0.0 can never become the open (dataCollector.py:83).
-        open_mask = vals != 0.0 if nonzero_open else slice(None)
-        o_ts, o_vals = ts_us[open_mask], vals[open_mask]
-        if len(o_vals):
-            i = int(o_ts.argmin())
-            if op is None or o_ts[i] < open_ts:
-                open_ts, op = int(o_ts[i]), float(o_vals[i])
-        j = int(ts_us.argmax())
-        if close_ts is None or ts_us[j] > close_ts:
-            close_ts, cl = int(ts_us[j]), float(vals[j])
-        bmax, bmin, bsum = float(vals.max()), float(vals.min()), float(vals.sum())
-        hi = bmax if hi is None else max(hi, bmax)
-        lo = bmin if lo is None else min(lo, bmin)
-        sm = bsum if sm is None else sm + bsum
-        n += len(vals)
+        carry = fold_pdf(carry, pdf, nonzero_open=nonzero_open)
+    open_ts, op, hi, lo, close_ts, cl, sm, n = carry
 
     state.update((open_ts, op, hi, lo, close_ts, cl, sm, n))
     hour_ts, event_type = key
