@@ -9,7 +9,7 @@ aggregation, no Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -267,5 +267,36 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
                 8,
             ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    SELECT source, entropy(lang) AS lang_entropy, count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "agg"),
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of the language mix per source — the
+    diversity score a corpus-curation pipeline ranks sources by. Spark has
+    no entropy aggregate; it decomposes into two cheap aggs: count per
+    (source, lang) — the only full shuffle — then -Σ p·log2(p) over the
+    tiny per-source distribution (matches DuckDB's entropy())."""
+    t = load(spark, sf_dir)
+    counts = t.documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_source = Window.partitionBy("source")
+    p = F.col("n") / F.sum("n").over(per_source)
+    return (
+        counts.select("source", F.col("n"), (-p * F.log2(p)).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("term").alias("lang_entropy"),
+            F.sum("n").alias("n_docs"),
         )
     )

@@ -249,3 +249,64 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nations_csv"
         ),
     )
+
+
+@query(
+    "q_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, v) AS rn
+      FROM c
+    )
+    SELECT event_type, v AS mode_value FROM r WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent floor(value) per event_type,
+    lowest value on frequency ties (Spark's mode(expr, true) contract; the
+    oracle spells the same tie-break out as a rank)."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.select(
+            "event_type",
+            F.floor("value").cast("bigint").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(F.mode(F.col("v"), True).alias("mode_value"))
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+           count(*)   AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin index is a pure projection, so the whole
+    histogram is one partial-aggregated shuffle of #bins rows — the
+    constant-size answer shape that survives any input scale."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.floor(F.col("value") / 25).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

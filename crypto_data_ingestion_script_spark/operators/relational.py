@@ -400,3 +400,55 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.sampleBy("l_returnflag", fractions, seed=42).select(
         "l_orderkey", "l_linenumber", "l_returnflag"
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    (SELECT event_id, event_type, value FROM events WHERE value > 100)
+    UNION ALL BY NAME
+    (SELECT value, event_id FROM events WHERE value <= 100)
+    """,
+    tags=("setop",),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union: unionByName(allowMissingColumns) matches
+    columns positionally-independently and null-fills the gap — the safe
+    way to append heterogeneous extracts (positional UNION would silently
+    misalign)."""
+    t = load(spark, sf_dir)
+    wide = t.events.filter(F.col("value") > 100).select(
+        "event_id", "event_type", "value"
+    )
+    narrow = t.events.filter(F.col("value") <= 100).select("value", "event_id")
+    return wide.unionByName(narrow, allowMissingColumns=True)
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                  THEN [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                        CAST(json_extract_string(props, '$.k') AS BIGINT) * 2]
+             END AS arr
+      FROM events
+    )
+    SELECT event_id, unnest(arr) AS k_val FROM src WHERE arr IS NOT NULL
+    UNION ALL
+    SELECT event_id, NULL AS k_val FROM src WHERE arr IS NULL
+    """,
+    tags=("generator",),
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: generator rows for non-null arrays, a null row for
+    null input — parent rows are never dropped (plain explode's silent
+    row loss is the bug this variant exists for). The oracle spells the
+    outer semantics out as a two-branch union."""
+    t = load(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    arr = F.when(k > 50, F.array(k, k * 2))
+    return t.events.select(
+        "event_id", F.explode_outer(arr).alias("k_val")
+    )

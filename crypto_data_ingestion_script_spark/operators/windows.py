@@ -263,3 +263,61 @@ def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(w).alias("avg_1h"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
     )
+
+
+@query(
+    "q_rank_dist",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+           cume_dist()    OVER (PARTITION BY event_type ORDER BY value) AS cd,
+           ntile(4)       OVER (PARTITION BY event_type
+                                ORDER BY value, event_id)               AS quartile
+    FROM events
+    """,
+    tags=("window",),
+)
+def q_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (tie-stable
+    on value alone) and ntile quartiles (event_id tiebreak makes bucket
+    assignment deterministic). Same single-shuffle profile as q_rank."""
+    t = load(spark, sf_dir)
+    by_value = Window.partitionBy("event_type").orderBy("value")
+    total = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t.events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(by_value).alias("pr"),
+        F.cume_dist().over(by_value).alias("cd"),
+        F.ntile(4).over(total).alias("quartile"),
+    )
+
+
+@query(
+    "q_nth_value",
+    oracle="""
+    SELECT event_id, event_type, value,
+           nth_value(value, 3) OVER (PARTITION BY event_type ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS third_seen
+    FROM events
+    """,
+    tags=("window",),
+)
+def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a running frame: NULL until the 3rd row of each key's
+    history, then pinned to that 3rd value — frame made explicit so Spark
+    and the oracle agree on the default-frame subtlety."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.nth_value("value", 3).over(w).alias("third_seen"),
+    )
