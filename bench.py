@@ -71,6 +71,20 @@ def main() -> None:
             yield b
 
     spark.range(64).repartition(32).mapInPandas(_noop, schema="id long").count()
+    # Per-plan warmup: run every headline query once at the SMALLEST scale
+    # factor (different dataset, same plan shape) so whole-stage codegen
+    # classes, AQE machinery, and expression-specific code paths are compiled
+    # before measurement. This mirrors the BASELINE.md DuckDB methodology —
+    # "warm in-process run of the same oracle_sql() text" — so both engines
+    # are timed warm and the measured delta is data-scale work at SF_DIR,
+    # not first-call compilation. Skipped for any query when SF_DIR *is*
+    # the warm dir (then the old cold-plan numbers apply).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+        for name in HEADLINE:
+            spec = specs.get(name)
+            if spec is not None:
+                spec.fn(spark, warm_dir).count()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -11,9 +11,11 @@ constants chosen for meaningful selectivity on that range.
 Scale notes per query:
 - Q1: single-shuffle grouped aggregation after a pushed scan filter —
   identical plan family to the flagship OHLC rollup.
-- Q3: customer is the small side (filtered on segment) — broadcast into
-  orders, then one shuffle join to lineitem on orderkey; top-10 via
-  TakeOrderedAndProject, never a global sort.
+- Q3: customer (filtered on segment) broadcasts into orders; the resulting
+  (orders⋈customer) product is the planner-chosen broadcast side against
+  streaming lineitem — size-estimate-driven, so it falls back to a shuffle
+  join past the threshold; top-10 via TakeOrderedAndProject, never a
+  global sort.
 - Q5: five-way join; region/nation/supplier broadcast (dims), the
   customer-supplier same-nation condition rides the supplier broadcast —
   only orders⋈lineitem shuffles.
@@ -98,9 +100,14 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = t.lineitem.filter(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # Fact on the left, filtered dim-side on the right: the planner
+    # broadcasts the (orders⋈customer) product from its own size estimate
+    # (no forced hint — at a scale where that side outgrows the threshold
+    # this degrades to a shuffle join instead of OOMing the driver), and
+    # lineitem streams through without ever being collected.
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(oc, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
