@@ -230,3 +230,60 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ingest_date")
         .agg(F.count(F.lit(1)).alias("n_ticks"))
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM customer WHERE c_acctbal >= 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           TIMESTAMP '1995-01-01', TIMESTAMP '2000-01-01', FALSE
+    FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT c_custkey, 'DELINQUENT', c_acctbal,
+           TIMESTAMP '2000-01-01', NULL, TRUE
+    FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("ingest", "merge"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a change batch (negative
+    balances reclassified to 'DELINQUENT', deterministically derived from
+    the data) to the customer dim — close the superseded row, open the new
+    version, pass unchanged rows through. The standard batch SCD2 plan:
+    semi/anti joins on the PK plus a three-way union, with the change
+    batch broadcast (change sets are small relative to the dimension).
+    The oracle enumerates the same three branches declaratively."""
+    t = load(spark, sf_dir)
+    eff_old = F.lit("1995-01-01").cast("timestamp_ntz")
+    eff_new = F.lit("2000-01-01").cast("timestamp_ntz")
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    dim = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    changes = dim.filter(F.col("c_acctbal") < 0).withColumn(
+        "c_mktsegment", F.lit("DELINQUENT")
+    )
+    change_keys = F.broadcast(changes.select("c_custkey"))
+    unchanged = dim.join(change_keys, "c_custkey", "left_anti").select(
+        "*",
+        eff_old.alias("valid_from"),
+        null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(change_keys, "c_custkey", "left_semi").select(
+        "*",
+        eff_old.alias("valid_from"),
+        eff_new.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changes.select(
+        "*",
+        eff_new.alias("valid_from"),
+        null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)

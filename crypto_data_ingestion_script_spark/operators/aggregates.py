@@ -310,3 +310,27 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@query("q_hll_sketch", tags=("agg", "approx"))
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per event_type, plus the global estimate produced by UNIONING
+    the per-type sketches — never re-reading the input. Associative sketch
+    merge is the property that makes distinct-count scale: partial sketches
+    combine map-side, re-aggregate across partitions, and roll up across
+    time grains at fixed memory. Rows-only (estimates are
+    implementation-specific); tests/test_sketches.py bounds the error
+    against the exact counts."""
+    t = load(spark, sf_dir)
+    sketches = t.events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type = sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return per_type.unionByName(merged)

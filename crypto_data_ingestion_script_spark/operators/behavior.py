@@ -1,0 +1,118 @@
+"""User-behavior composites over the events stream: cohort retention and
+conversion funnel — the product-analytics queries a stored event log exists
+to answer (the reference's README pitches its PostgreSQL store for exactly
+this "complex query" role, /root/reference/README.md:31).
+
+Scale notes (100 TB design point):
+- q_cohort: two aggregations keyed on user_id (first-day, distinct active
+  days) then a join on user_id — all three hash-partition on the same key,
+  so AQE/exchange-reuse keeps it to effectively one fact shuffle; the final
+  (cohort_day, offset) rollup is bounded by #days², independent of users.
+- q_funnel: three chained per-user conditional MINs. Each stage joins the
+  previous stage's per-user timestamps (1 row/user, shrinking) back to
+  events on user_id — same-key shuffles again, and every stage's output is
+  dimension-sized, never fact-sized. The whole funnel collapses to one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_cohort",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+      FROM events
+    )
+    SELECT cohort_day,
+           datediff('day', cohort_day, active_day) AS day_offset,
+           count(*) AS n_users
+    FROM firstday JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("behavior", "agg"),
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    on each later active day as an offset from their cohort day."""
+    t = load(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    firstday = t.events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = t.events.select(
+        "user_id", day.alias("active_day")
+    ).distinct()
+    return (
+        firstday.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t_signup
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_click_after_signup,
+           (SELECT count(*) FROM s3) AS n_purchase_after_click
+    """,
+    tags=("behavior", "agg"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel: first signup, first click at-or-after
+    it, first purchase at-or-after that click; per-stage distinct-user
+    counts in one row."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
