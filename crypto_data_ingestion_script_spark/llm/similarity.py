@@ -259,3 +259,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .withColumn("cos_sim", F.round("cos_sim", 8))
     )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    WITH idx AS (
+      SELECT label, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    )
+    SELECT label, i AS pos, avg(embedding[i]) AS centroid_val
+    FROM idx
+    GROUP BY label, i
+    """,
+    tags=("llm", "similarity", "agg"),
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space in long form
+    (label, dimension, mean): posexplode unrolls the vectors and one
+    grouped avg reduces them — cardinality #labels × 64, so partial
+    aggregation absorbs the fact-side volume map-side. (Re-packing to
+    array<double> is a trivial sorted collect_list; the long form is what
+    hash-checks, since array columns compare exactly while float scalars
+    compare with tolerance.) DuckDB is 1-based on list indexing, so pos
+    is emitted 1-based to match."""
+    t = load(spark, sf_dir)
+    return (
+        t.embeddings.select(
+            "label", F.posexplode("embedding").alias("pos0", "v")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg("v").alias("centroid_val"))
+    )

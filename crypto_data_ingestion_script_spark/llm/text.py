@@ -300,3 +300,68 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_docs"),
         )
     )
+
+
+@query(
+    "q_dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+                THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    tags=("text", "dataset"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free key hash
+    (first md5 hex digit: 0-b → train 75%, c-d → val 12.5%, e-f → test
+    12.5%) — reproducible across engines and runs, no RNG state, and
+    stable under re-partitioning, which per-row rand() splits are not.
+    A pure projection: no shuffle at any scale."""
+    t = load(spark, sf_dir)
+    digit = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return t.documents.select(
+        "doc_id",
+        F.when(digit.between("0", "b"), "train")
+        .when(digit.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "q_chunk_text",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text), 1) + 1, 400)) AS s
+      FROM documents
+    )
+    SELECT doc_id, s AS chunk_start, substr(text, s, 500) AS chunk
+    FROM starts
+    """,
+    tags=("text", "dataset"),
+)
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training chunks: 500-char windows every 400 chars
+    (100-char overlap), generated with sequence+explode — the 1→N row
+    expansion stays inside the engine (no UDF, no driver loop), and chunk
+    extraction is a substring projection. At scale the expansion factor is
+    len/stride, applied partition-locally."""
+    t = load(spark, sf_dir)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(400)
+    )
+    return t.documents.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.substring(F.col("text"), F.col("chunk_start"), F.lit(500)).alias("chunk"),
+    )

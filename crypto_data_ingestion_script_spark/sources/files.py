@@ -70,3 +70,24 @@ def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="json_roundtrip_"), "events_json")
     subset.coalesce(1).write.mode("overwrite").json(out)
     return read_json(spark, out, schema=EVENTS_DDL)
+
+
+@query(
+    "q_scan_orc_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events WHERE event_id < 200
+    """,
+    tags=("source", "orc"),
+)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC → read back; the second columnar format the lake can
+    speak natively (vectorized reader, predicate pushdown, same scan
+    planning as parquet). Values must survive bit-for-bit."""
+    t = load(spark, sf_dir)
+    subset = t.events.filter(F.col("event_id") < 200).select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_roundtrip_"), "events_orc")
+    subset.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
