@@ -142,3 +142,63 @@ def test_salted_join_joins_on_salt(spark, sf_dir):
     plan = formatted_plan(df)
     assert "_salt" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q3_stays_broadcast(spark, sf_dir):
+    """Q3 must resolve both joins as broadcast-hash (size-estimate-driven,
+    no forced fact-side hint) — a SortMergeJoin here means the planner
+    stopped seeing a small build side and the bench profile regressed."""
+    from crypto_data_ingestion_script_spark.plans.explain import (
+        _node_count,
+        formatted_plan,
+    )
+
+    df = SPECS["q_tpch_q3"].fn(spark, sf_dir)
+    assert _node_count(df, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_tpch_q19_derives_disjunctive_envelopes(spark, sf_dir):
+    """The OR-of-ANDs must yield per-side envelope filters BELOW the join:
+    a quantity-bounds disjunction on the lineitem side and a brand/size
+    disjunction on the part side (Catalyst CNF extraction). Without them,
+    the scan reads every row and the join filters after the fact."""
+    df = SPECS["q_tpch_q19"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    filters = [l for l in optimized.splitlines() if "Filter" in l]
+    assert any(
+        "l_quantity" in l and "p_brand" not in l for l in filters
+    ), optimized
+    assert any(
+        "p_brand" in l and "l_quantity" not in l for l in filters
+    ), optimized
+
+
+def test_tpch_q14_pushes_month_filter(spark, sf_dir):
+    df = SPECS["q_tpch_q14"].fn(spark, sf_dir)
+    assert has_pushed_filters(df), "l_shipdate month filter not pushed to scan"
+    assert uses_broadcast_join(df), "part dim not broadcast"
+
+
+def test_vwap_single_shuffle(spark, sf_dir):
+    """VWAP is one grouped aggregation: exactly one exchange, with map-side
+    partials absorbing the tick volume."""
+    df = SPECS["q_vwap"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregation(df)
+
+
+def test_ema_is_single_pass(spark, sf_dir):
+    """The closed-form EMA must stay a window + one grouped agg — no
+    iterative loop, no UDF in the plan."""
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(SPECS["q_ema"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_partial_aggregation(SPECS["q_ema"].fn(spark, sf_dir))
+
+
+def test_dataset_split_is_shuffle_free(spark, sf_dir):
+    """Hash-based split assignment is a pure projection: zero exchanges."""
+    df = SPECS["q_dataset_split"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
