@@ -1,0 +1,153 @@
+"""Data-quality audit and snapshot change-detection — the validation layer
+the reference's ingestion loop is missing (it stores whatever the API
+returns, no checks: /root/reference/dataCollector.py:115-128, a gap its own
+README acknowledges, README.md:33-36,45).
+
+Scale notes (100 TB design point):
+- q_dq_audit: every check is a scan-side aggregation (count over a
+  predicate) except referential integrity, which is a left-anti join on the
+  fact key — one shuffle, or zero when the checked dim broadcasts. All
+  checks share one pass per table; the answer is a single row regardless
+  of input size.
+- q_snapshot_diff: full-outer join of two snapshots on the PK, emitting
+  added/removed/changed. Both sides hash-partition on the same key (one
+  co-located shuffle each); with bucketed snapshots the diff is
+  exchange-free. This is the batch CDC primitive: diff-then-merge is how a
+  lake without a table format detects upstream changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM events WHERE value IS NULL)    AS null_values,
+      (SELECT count(*) FROM events WHERE value < 0)        AS negative_values,
+      (SELECT count(*) FROM lineitem l
+         LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IS NULL)                         AS orphan_lineitems,
+      (SELECT count(*) FROM (SELECT event_id FROM events
+                             GROUP BY event_id HAVING count(*) > 1))
+                                                           AS dup_event_ids,
+      (SELECT count(*) FROM events
+       WHERE ts < TIMESTAMP '2020-01-01'
+          OR ts >= TIMESTAMP '2030-01-01')                 AS out_of_range_ts
+    """,
+    tags=("quality", "agg"),
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality audit: null rate, domain violations,
+    referential orphans (anti-join), PK uniqueness, timestamp sanity —
+    the gate an ingestion job should fail on before publishing a batch."""
+    t = load(spark, sf_dir)
+    ev = t.events
+    nulls = ev.filter(F.col("value").isNull()).agg(
+        F.count(F.lit(1)).alias("null_values")
+    )
+    negatives = ev.filter(F.col("value") < 0).agg(
+        F.count(F.lit(1)).alias("negative_values")
+    )
+    orphans = (
+        t.lineitem.select("l_orderkey")
+        .join(t.orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    dups = (
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_event_ids"))
+    )
+    lo = F.lit("2020-01-01").cast("timestamp_ntz")
+    hi = F.lit("2030-01-01").cast("timestamp_ntz")
+    ts_range = ev.filter((F.col("ts") < lo) | (F.col("ts") >= hi)).agg(
+        F.count(F.lit(1)).alias("out_of_range_ts")
+    )
+    return (
+        nulls.crossJoin(negatives)
+        .crossJoin(orphans)
+        .crossJoin(dups)
+        .crossJoin(ts_range)
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, c_acctbal FROM customer
+    ),
+    b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal
+      FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN b.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.c_acctbal AS old_val,
+           b.c_acctbal AS new_val
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    WHERE a.c_custkey IS NULL
+       OR b.c_custkey IS NULL
+       OR a.c_acctbal <> b.c_acctbal
+    """,
+    tags=("quality", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection: full-outer join of snapshot A (the
+    customer dim) against snapshot B (a deterministically perturbed
+    version: every 10th balance doubled, every 97th row deleted, every
+    101st re-keyed as an insert), classifying rows added / removed /
+    changed — the diff a CDC-less lake computes to feed MERGE."""
+    t = load(spark, sf_dir)
+    a = t.customer.select("c_custkey", "c_acctbal")
+    b = (
+        t.customer.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_acctbal") * 2
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            t.customer.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+            )
+        )
+    )
+    a2 = a.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("old_val")
+    )
+    b2 = b.select(
+        F.col("c_custkey").alias("b_key"), F.col("c_acctbal").alias("new_val")
+    )
+    joined = a2.join(b2, a2.a_key == b2.b_key, "full_outer")
+    return joined.filter(
+        F.col("a_key").isNull()
+        | F.col("b_key").isNull()
+        | (F.col("old_val") != F.col("new_val"))
+    ).select(
+        F.coalesce("a_key", "b_key").alias("c_custkey"),
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_val",
+        "new_val",
+    )
