@@ -320,3 +320,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     return run_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                               AS session_start,
+           max(ts) + INTERVAL 30 MINUTE          AS session_end,
+           count(*)                              AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-NATIVE sessionization hash-checked: session_window()
+    (engine-managed dynamic-gap state) driven through one availableNow
+    batch must produce exactly the sessions the batch gaps-and-islands
+    formulation (q_session's oracle) derives — session_end is last event
+    + gap by session_window's definition, mirrored in the oracle. A new
+    session starts when the gap is ≥ the 30-minute threshold (session
+    windows are [start, last+gap) half-open)."""
+    load(spark, sf_dir)
+    agg = sessionized_stream(_events_stream(spark, sf_dir))
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
