@@ -287,3 +287,94 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(opened)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_files: int) -> None:
+    """OPTIMIZE-style small-file compaction with stock operators: read,
+    coalesce to the target file count, rewrite atomically (temp dir + swap).
+    coalesce() is a narrow dependency — no shuffle; each output file unions
+    whole input files. At 100 TB this runs per-partition (bounded working
+    set), keyed off file-count/size stats, exactly like a table format's
+    OPTIMIZE — compaction cost scales with the data rewritten, never the
+    table."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+@query(
+    "q_compact",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+    tags=("ingest", "maintenance"),
+)
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end: events written as 32 shards
+    (the pathological many-small-files state a 5-second micro-batch writer
+    like the reference produces daily), compacted to 4, read back — content
+    must be byte-identical to the source (the oracle reads the original
+    table). tests/test_compaction.py asserts the file count actually
+    dropped."""
+    t = load(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="compact_"), "events_shards")
+    t.events.select("event_id", "event_type", "value").repartition(
+        32
+    ).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path, target_files=4)
+    return spark.read.parquet(path)
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day_ts, event_type,
+           sum(value) AS total_value,
+           count(*)   AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           sum(value) / count(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("ingest", "agg"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance via mergeable partials: two disjoint
+    arrival batches (split on event_id parity, so every (day, type) group
+    receives rows from BOTH) are each reduced to partial aggregates
+    (sum/count/min/max — all associative+commutative), then merged by
+    re-aggregation: sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes,
+    with AVG derived at the end (never averaged across partials). The
+    merged view must equal the oracle's full recompute — the algebraic
+    contract that lets a 100 TB rollup absorb a new partition by merging
+    its partials instead of rescanning history."""
+    t = load(spark, sf_dir)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day_ts"), "event_type"
+        ).agg(
+            F.sum("value").alias("p_sum"),
+            F.count(F.lit(1)).alias("p_n"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+
+    batch1 = partials(t.events.filter(F.col("event_id") % 2 == 0))
+    batch2 = partials(t.events.filter(F.col("event_id") % 2 == 1))
+    return (
+        batch1.unionByName(batch2)
+        .groupBy("day_ts", "event_type")
+        .agg(
+            F.sum("p_sum").alias("total_value"),
+            F.sum("p_n").alias("n_events"),
+            F.min("p_min").alias("min_value"),
+            F.max("p_max").alias("max_value"),
+            (F.sum("p_sum") / F.sum("p_n")).alias("avg_value"),
+        )
+    )

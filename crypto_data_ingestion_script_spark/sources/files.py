@@ -91,3 +91,30 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="orc_roundtrip_"), "events_orc")
     subset.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query("q_scan_binaryfile", tags=("source", "binary"))
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: opaque assets (here: per-document text payloads
+    written as raw .bin files) ingested as (path, length, content) rows —
+    the entry point of every multimodal pipeline (llm/multimodal.py decodes
+    downstream). Rows-only: paths are temp-dir-local; the checked property
+    is lossless whole-file ingestion with schema (path, modificationTime,
+    length, content)."""
+    t = load(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="binassets_")
+    # Write a deterministic handful of binary assets from document texts.
+    docs = (
+        t.documents.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .collect()
+    )
+    for r in docs:
+        with open(os.path.join(out, f"doc_{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(bytes(r["payload"]))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select("path", "length", "content")
+    )
