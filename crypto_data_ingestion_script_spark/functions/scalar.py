@@ -359,3 +359,36 @@ def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k_doubled").isNotNull())
     )
+
+
+@query(
+    "q_try_arith",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                         THEN CAST(value AS VARCHAR) || 'x'
+                         ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS maybe_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
+                THEN NULL
+                ELSE value / CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS safe_ratio
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression semantics: try_cast turns malformed numerics
+    (a deterministic corrupt subset: trailing 'x' when k>50) into NULL
+    instead of failing the job, try_divide turns ÷0 into NULL — the ANSI
+    escape hatches that keep a 100 TB batch from dying on one bad row.
+    The oracle spells the same semantics with TRY_CAST and a CASE guard."""
+    t = load(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    corrupt = F.when(
+        k > 50, F.concat(F.col("value").cast("string"), F.lit("x"))
+    ).otherwise(F.col("value").cast("string"))
+    return t.events.select(
+        "event_id",
+        corrupt.try_cast("double").alias("maybe_value"),
+        F.try_divide(F.col("value"), k).alias("safe_ratio"),
+    )

@@ -334,3 +334,84 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("ALL").alias("event_type"), "approx_users")
     return per_type.unionByName(merged)
+
+
+@query(
+    "q_median",
+    oracle="""
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated percentile-0.5) per key. Exact medians
+    need the full sorted group — at scale prefer percentile_approx
+    (q_approx_percentile's KLL sketch); this is the exact-answer path for
+    dimension-sized groups."""
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(F.median("value").alias("med"))
+
+
+@query(
+    "q_regression",
+    oracle="""
+    SELECT event_type,
+           regr_slope(value, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                             / 86400000000.0)     AS slope_per_day,
+           regr_intercept(value,
+                          (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                          / 86400000000.0)        AS intercept,
+           regr_r2(value, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                          / 86400000000.0)        AS r2
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend (ordinary least squares) as one-pass moment
+    aggregates: regr_slope/intercept/r2 over (value, days-since-epoch).
+    The regressor is CENTERED to day units before aggregating — raw
+    microsecond epochs (~1.7e15) would put the covariance into
+    catastrophic-cancellation territory and engines would disagree;
+    conditioning the input is part of the operator's contract."""
+    t = load(spark, sf_dir)
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) / F.lit(86400000000.0)
+    return t.events.groupBy("event_type").agg(
+        F.regr_slope(F.col("value"), x).alias("slope_per_day"),
+        F.regr_intercept(F.col("value"), x).alias("intercept"),
+        F.regr_r2(F.col("value"), x).alias("r2"),
+    )
+
+
+@query(
+    "q_bit_bool_agg",
+    oracle="""
+    SELECT event_type,
+           bit_and(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_and,
+           bit_or(CAST(json_extract_string(props, '$.k') AS BIGINT))  AS k_or,
+           bit_xor(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_xor,
+           bool_and(value > 0)   AS all_positive,
+           bool_or(value > 400)  AS any_extreme,
+           count_if(value > 100) AS n_over_100
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q_bit_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregates — associative/commutative reductions
+    (map-side partials apply), the toolkit for flag-mask rollups and
+    predicate summaries."""
+    t = load(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return t.events.groupBy("event_type").agg(
+        F.bit_and(k).alias("k_and"),
+        F.bit_or(k).alias("k_or"),
+        F.bit_xor(k).alias("k_xor"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_extreme"),
+        F.count_if(F.col("value") > 100).alias("n_over_100"),
+    )
