@@ -470,3 +470,71 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (adapted: returnflag='R' stands in
+    for the absent commit/receipt dates): the EXISTS is a LEFT SEMI join —
+    lineitem deduplicates inside the join, no distinct pass, and the
+    priority rollup is bounded at 5 groups."""
+    t = load(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    flagged = t.lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(flagged, o.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority (adapted: l_linestatus stands in
+    for the absent l_shipmode): year-filtered lineitem joins orders on the
+    key, split-counted by priority class — one join shuffle, two
+    conditional sums, two result rows."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders, li.l_orderkey == t.orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -116,3 +116,73 @@ def q_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fetch_fn=simulated_fetch_from_events(sf_dir),
         ingest_ts=fixed_ts,
     )
+
+
+def with_retry(
+    fetch_fn: Callable[[str], float],
+    attempts: int = 3,
+    base_delay_s: float = 0.5,
+    sleep: Callable[[float], None] | None = None,
+) -> Callable[[str], float]:
+    """Exponential-backoff retry around a fetch — the resilience layer the
+    reference acknowledges it lacks (README.md:33-36,45: no rate-limit
+    handling, no retry; a failed poll is silently dropped). Delay doubles
+    per attempt (base, 2·base, 4·base …); the final failure re-raises so
+    the caller's row-level tolerance still applies. ``sleep`` is injectable
+    so tests run with zero wall-clock delay."""
+    import time
+
+    do_sleep = sleep if sleep is not None else time.sleep
+
+    def fetch(symbol: str) -> float:
+        delay = base_delay_s
+        for attempt in range(attempts):
+            try:
+                return fetch_fn(symbol)
+            except Exception:
+                if attempt == attempts - 1:
+                    raise
+                do_sleep(delay)
+                delay *= 2
+        raise AssertionError("unreachable")
+
+    return fetch
+
+
+def flaky_fetch(
+    inner: Callable[[str], float], fail_first: int = 2
+) -> Callable[[str], float]:
+    """Deterministic transient-failure simulator: the first ``fail_first``
+    calls per symbol raise, later calls succeed — models rate-limit 429s."""
+    counts: dict[str, int] = {}
+
+    def fetch(symbol: str) -> float:
+        n = counts.get(symbol, 0)
+        counts[symbol] = n + 1
+        if n < fail_first:
+            raise ConnectionError(f"simulated transient failure #{n} for {symbol}")
+        return inner(symbol)
+
+    return fetch
+
+
+@query("q_source_ingest_retry", tags=("source", "ingest"))
+def q_source_ingest_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poll cycle against a transiently-failing endpoint (every symbol 429s
+    twice, then succeeds) with exponential-backoff retry: every symbol must
+    survive — where the reference (and q_source_ingest's bare path) would
+    have dropped the row. Rows-only; tests/test_rest_retry.py asserts the
+    with/without-retry row counts differ."""
+    import datetime as dt
+
+    load(spark, sf_dir)
+    fixed_ts = dt.datetime(2024, 1, 15, 12, 0, 0)
+    base = simulated_fetch_from_events(sf_dir)
+    # fail_first < attempts, and the flaky counter lives inside the Python
+    # worker that executes the symbol's batch, so retries see its state.
+    resilient = with_retry(
+        flaky_fetch(base, fail_first=2), attempts=3, sleep=lambda _s: None
+    )
+    return fetch_ticks(
+        spark, symbols=DEFAULT_SYMBOLS, fetch_fn=resilient, ingest_ts=fixed_ts
+    )
