@@ -116,3 +116,66 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, count(*) AS n_any FROM ut GROUP BY 1
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           p.n_both / a.n_any AS confidence_a_to_b,
+           p.n_both / b.n_any AS confidence_b_to_a
+    FROM pair p
+    JOIN base a ON p.type_a = a.event_type
+    JOIN base b ON p.type_b = b.event_type
+    """,
+    tags=("behavior", "join"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-engagement association rules: distinct (user, type) pairs
+    self-joined on user (ordered pair to emit each combination once),
+    confidence = P(B|A) from the per-type bases. The self-join input is
+    already deduplicated to dimension size (users × types), so the
+    quadratic blowup is per-user over #types (bounded), never over raw
+    events; the base-rate joins are broadcasts."""
+    t = load(spark, sf_dir)
+    ut = t.events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(
+        F.col("user_id").alias("user_b"), F.col("event_type").alias("type_b")
+    )
+    pair = (
+        a.join(b, (a.user_id == b.user_b) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    base = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_any"))
+    base_a = F.broadcast(
+        base.select(F.col("event_type").alias("_ta"), F.col("n_any").alias("n_a"))
+    )
+    base_b = F.broadcast(
+        base.select(F.col("event_type").alias("_tb"), F.col("n_any").alias("n_b"))
+    )
+    return (
+        pair.join(base_a, pair.type_a == F.col("_ta"))
+        .join(base_b, pair.type_b == F.col("_tb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (F.col("n_both") / F.col("n_a")).alias("confidence_a_to_b"),
+            (F.col("n_both") / F.col("n_b")).alias("confidence_b_to_a"),
+        )
+    )
