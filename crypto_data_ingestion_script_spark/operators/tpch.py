@@ -538,3 +538,153 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the quarter's per-supplier revenue CTE is
+    computed ONCE and reused for both the max (scalar subquery) and the
+    equality probe — Catalyst's subquery reuse keeps it one aggregation
+    of lineitem, and the supplier join rides a broadcast of the
+    (max-revenue) survivors."""
+    t = load(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_rev").alias("_max_rev"))
+    best = revenue.join(
+        F.broadcast(top), revenue.total_rev == F.col("_max_rev")
+    ).drop("_max_rev")
+    return t.supplier.join(
+        F.broadcast(best), t.supplier.s_suppkey == best.l_suppkey
+    ).select("s_suppkey", "s_name", "total_rev")
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier-count per part profile (lineitem stands in for
+    the absent partsupp): broadcast the filtered part dim into lineitem,
+    then a distinct count per (brand, type, size) — Spark expands
+    count(DISTINCT) into a two-phase partial-distinct aggregation, so the
+    dedup happens map-side before the group shuffle."""
+    t = load(spark, sf_dir)
+    p = t.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated per-part AVG
+    becomes a window average over l_partkey — the whole query is one
+    shuffle of lineitem plus a broadcast part filter, where the textbook
+    plan re-aggregates lineitem and self-joins."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("l_partkey")
+    li = t.lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        li.join(
+            F.broadcast(
+                t.part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity (adapted: nationkey stands in
+    for the absent phone country code): above-average-balance customers
+    with no orders since 2000 (dormant accounts) — an uncorrelated scalar
+    threshold plus a LEFT ANTI join against the recent-order keys, grouped
+    per nation. The recency filter pushes to the orders scan before the
+    anti-join."""
+    t = load(spark, sf_dir)
+    avg_bal = (
+        t.customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("_avg"))
+    )
+    rich = t.customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    no_orders = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("c_acctbal").alias("totacctbal"),
+    )
