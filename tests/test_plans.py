@@ -202,3 +202,34 @@ def test_dataset_split_is_shuffle_free(spark, sf_dir):
     """Hash-based split assignment is a pure projection: zero exchanges."""
     df = SPECS["q_dataset_split"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
+
+
+def test_tpch_q16_expands_distinct(spark, sf_dir):
+    """count(DISTINCT) must plan as the two-phase expand/partial-distinct
+    aggregation (dedup before the group shuffle), with part broadcast."""
+    df = SPECS["q_tpch_q16"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_tpch_q17_is_single_lineitem_shuffle(spark, sf_dir):
+    """The window-decorrelated Q17 must shuffle lineitem ONCE (for the
+    per-part window) — the agg-and-self-join formulation would shuffle it
+    twice. The second exchange in the plan is the SinglePartition gather
+    for the one-row global sum, which moves partial-agg rows, not fact
+    data."""
+    df = SPECS["q_tpch_q17"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 2, "expected window shuffle + 1-row gather"
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    assert "SinglePartition" in formatted_plan(df)
+    assert uses_broadcast_join(df)
+
+
+def test_tpch_q22_pushes_recency_to_orders_scan(spark, sf_dir):
+    """The dormant-account anti-join must push the o_orderdate recency
+    filter to the orders scan, not apply it post-join."""
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(SPECS["q_tpch_q22"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan

@@ -185,3 +185,27 @@ def test_union_then_agg_equals_agg_then_merge(spark, ticks, split):
         d = direct[r["symbol"]]
         assert (r["n"], r["mn"], r["mx"]) == (d["n"], d["mn"], d["mx"])
         assert math.isclose(r["sm"], d["sm"], rel_tol=1e-9)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=500.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_ema_closed_form_equals_recurrence(series):
+    """q_ema's algebraic unroll (EMA_n = a·Σ r^{n-i}·x_i + r^{n-1}·x_1)
+    must equal the textbook recurrence EMA_n = a·x_n + (1-a)·EMA_{n-1}
+    for any series — the derivation the single-SUM formulation rests on."""
+    a = 0.03
+    r = 1 - a
+    ema = series[0]
+    for x in series[1:]:
+        ema = a * x + r * ema
+    n = len(series)
+    closed = r ** (n - 1) * series[0] + sum(
+        a * r ** (n - 1 - i) * x for i, x in enumerate(series[1:], start=1)
+    )
+    assert math.isclose(ema, closed, rel_tol=1e-9, abs_tol=1e-9)
