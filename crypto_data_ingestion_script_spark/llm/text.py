@@ -365,3 +365,44 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_start",
         F.substring(F.col("text"), F.col("chunk_start"), F.lit(500)).alias("chunk"),
     )
+
+
+@query(
+    "q_bigrams",
+    oracle="""
+    WITH words AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text", "agg"),
+)
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams: the n-gram generation is a pure array
+    expression (sequence over positions → element_at pairs — no UDF, no
+    shuffle until the count), so the corpus-size work stays in the scan
+    stage and only (distinct-bigram, count) partials reach the exchange;
+    top-20 is TakeOrderedAndProject. The unigram twin is q_wordcount."""
+    t = load(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    return (
+        t.documents.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
