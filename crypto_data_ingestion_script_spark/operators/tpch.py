@@ -688,3 +688,323 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum("c_acctbal").alias("totacctbal"),
     )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           sum(CASE WHEN n2.n_name = 'NATION_3'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+    FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+         region
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey
+      AND o_custkey = c_custkey
+      AND c_nationkey = n1.n_nationkey
+      AND n1.n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND s_nationkey = n2.n_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the deepest join tree in the suite
+    (8 relations). Every dimension edge — part (type-filtered), supplier,
+    both nation roles, region — rides a broadcast; the only shuffles are
+    the two fact edges (lineitem⋈orders, orders⋈customer), and the final
+    per-year share is a two-branch conditional sum over at most a handful
+    of groups. Ratio-of-sums stays a single aggregation, not two passes."""
+    t = load(spark, sf_dir)
+    asia = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            t.nation.n_regionkey == t.region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("_cust_nk"))
+    )
+    cust = t.customer.join(
+        F.broadcast(asia), t.customer.c_nationkey == F.col("_cust_nk")
+    ).select("c_custkey")
+    supp = t.supplier.join(
+        F.broadcast(t.nation.select(F.col("n_nationkey").alias("_supp_nk"),
+                                    F.col("n_name").alias("supp_nation"))),
+        t.supplier.s_nationkey == F.col("_supp_nk"),
+    ).select("s_suppkey", "supp_nation")
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    promo = t.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_extendedprice", "l_discount")
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(target) / F.sum(vol)).alias("mkt_share"))
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           sum(l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity) AS sum_profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey
+      AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: 0.1 × p_retailprice stands in
+    for the absent ps_supplycost): the p_name LIKE filter prunes the
+    broadcast part dim FIRST, so the lineitem⋈part broadcast join discards
+    ~90% of lineitem before the single fact shuffle against orders. The
+    (nation, year) rollup is bounded by 25 nations × 7 years."""
+    t = load(spark, sf_dir)
+    p = t.part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        t.supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH natl AS (
+      SELECT l_partkey, l_extendedprice * l_quantity AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+    )
+    SELECT l_partkey AS partkey, sum(value) AS part_value
+    FROM natl
+    GROUP BY l_partkey
+    HAVING sum(value) > (SELECT 0.001 * sum(value) FROM natl)
+    """,
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: per-part shipped value
+    l_extendedprice × l_quantity stands in for the absent partsupp
+    ps_supplycost × ps_availqty): one nation's lineitem is aggregated
+    per part ONCE and that grouped result feeds both the global total
+    (scalar threshold, broadcast back) and the HAVING probe — the
+    self-referential threshold costs one extra single-row exchange, not
+    a second scan."""
+    t = load(spark, sf_dir)
+    nat_supp = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_3")),
+        t.supplier.s_nationkey == t.nation.n_nationkey,
+    ).select("s_suppkey")
+    per_part = (
+        t.lineitem.select("l_partkey", "l_suppkey",
+                          (F.col("l_extendedprice") * F.col("l_quantity")).alias("_v"))
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("_v").alias("part_value"))
+    )
+    threshold = per_part.agg((F.lit(0.001) * F.sum("part_value")).alias("_thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted: the
+    o_orderpriority exclusion stands in for the absent o_comment NOT
+    LIKE): a LEFT OUTER join with a compound condition — the priority
+    predicate belongs to the join condition, NOT a pre-filter that would
+    drop customers — then two cascaded aggregations, the second over a
+    value domain of at most a few dozen counts (near-free shuffle)."""
+    t = load(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(o, t.customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS total_qty,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1996
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                        WHERE qty_1996 > 0.5 * total_qty)
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_8'
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: a (part, supplier)
+    pair's all-time shipped quantity stands in for ps_availqty, and the
+    original "availqty > half the year's shipments" becomes "1996 carried
+    more than half the pair's lifetime volume"): the nested IN-chain is
+    two semi-joins — part names prune the pair aggregation's INPUT via a
+    broadcast semi-join (not after), and the surviving supplier keys
+    (tiny) broadcast into the nation-filtered supplier dim."""
+    t = load(spark, sf_dir)
+    small_parts = t.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    in_1996 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    pairs = (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1996"
+            ),
+        )
+    )
+    hot_suppliers = (
+        pairs.filter(F.col("qty_1996") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_8")),
+            t.supplier.s_nationkey == t.nation.n_nationkey,
+        )
+        .join(F.broadcast(hot_suppliers),
+              t.supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_13'
+    GROUP BY s_name
+    """,
+    tags=("tpch", "subquery", "window"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted:
+    l_returnflag='R' stands in for the absent receipt-after-commit
+    predicate): the EXISTS / NOT EXISTS pair over sibling lineitem rows is
+    decorrelated into ONE window pass over l_orderkey — per order,
+    collect_set counts the distinct suppliers and the distinct
+    R-flag suppliers, and the textbook double self-join of lineitem
+    (two extra shuffles of the largest table) disappears. Per-order
+    supplier sets are bounded (≤ lines per order), so the collect_set
+    state cannot skew."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey")
+    li = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "_n_rsupp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    blamed = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("_n_supp") > 1)
+        & (F.col("_n_rsupp") == 1)
+    )
+    fin = t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_13")),
+        t.supplier.s_nationkey == t.nation.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    return (
+        blamed.join(fin, blamed.l_orderkey == fin.o_orderkey, "left_semi")
+        .join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -233,3 +233,70 @@ def test_tpch_q22_pushes_recency_to_orders_scan(spark, sf_dir):
 
     plan = formatted_plan(SPECS["q_tpch_q22"].fn(spark, sf_dir))
     assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q8_broadcasts_every_dim(spark, sf_dir):
+    """Q8's 8-relation tree must keep all dimension edges on broadcasts —
+    only the two fact edges (lineitem⋈orders, orders⋈customer) may
+    shuffle. A plan that sort-merge-joins a nation/part/supplier edge
+    would add fact-sized exchanges at 100 TB."""
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    df = SPECS["q_tpch_q8"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    plan = formatted_plan(df)
+    # part/type filter must prune the broadcast scan, not post-filter
+    assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_tpch_q9_prunes_part_before_fact_shuffle(spark, sf_dir):
+    """Q9's p_name LIKE filter must reach the part scan so the broadcast
+    join discards non-matching lineitem before the orders shuffle."""
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(SPECS["q_tpch_q9"].fn(spark, sf_dir))
+    assert "StringContains(p_name,widget)" in plan
+
+
+def test_tpch_q11_reuses_the_rollup_exchange(spark, sf_dir):
+    """The per-part rollup feeds both the threshold scalar and the HAVING
+    probe; at runtime the identical shuffle must be computed once and
+    reused (AQE materializes ReusedExchange only in the executed plan)."""
+    from crypto_data_ingestion_script_spark.plans.explain import simple_plan
+
+    df = SPECS["q_tpch_q11"].fn(spark, sf_dir)
+    df.collect()
+    assert "ReusedExchange" in simple_plan(df), "rollup recomputed twice"
+
+
+def test_tpch_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    """The priority exclusion must live in the join condition: customers
+    with only urgent orders still appear with c_count = 0."""
+    import duckdb, os
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    zero = con.execute(
+        """SELECT count(*) FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderpriority <> '1-URGENT')"""
+    ).fetchone()[0]
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in SPECS["q_tpch_q13"].fn(spark, sf_dir).collect()
+    }
+    assert rows.get(0, 0) == zero
+    con.close()
+
+
+def test_tpch_q21_single_lineitem_window_pass(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS decorrelation must cost one lineitem shuffle
+    (the window over l_orderkey) — not the textbook double self-join."""
+    from crypto_data_ingestion_script_spark.plans.explain import _node_count
+
+    df = SPECS["q_tpch_q21"].fn(spark, sf_dir)
+    assert _node_count(df, "Scan parquet") <= 4, "lineitem scanned twice"
+    assert uses_broadcast_join(df)
