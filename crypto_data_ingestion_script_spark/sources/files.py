@@ -118,3 +118,29 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
         .select("path", "length", "content")
     )
+
+
+@query(
+    "q_scan_xml_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events WHERE event_id < 200
+    """,
+    tags=("source", "xml"),
+)
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → XML → read back with an explicit schema (Spark 4 ships the
+    XML source natively): the interchange format for feed-style ingestion.
+    Schema-on-read is declared, never inferred, so numeric types survive
+    the text roundtrip exactly like the CSV discipline above."""
+    t = load(spark, sf_dir)
+    subset = t.events.filter(F.col("event_id") < 200).select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="xml_roundtrip_"), "events_xml")
+    subset.write.mode("overwrite").option("rowTag", "event").xml(out)
+    return (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .option("rowTag", "event")
+        .xml(out)
+    )

@@ -364,3 +364,67 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+#: RocksDB-backed state store (SURVEY §2.D scale path): keeps streaming
+#: state off-heap and spillable-to-disk, so per-executor state is bounded
+#: by local SSD, not JVM heap — the difference between OOM and steady-state
+#: at 100 TB keyspaces. Changelog checkpointing uploads per-batch deltas
+#: instead of full SST snapshots.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "q_stream_rocksdb",
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS hour_ts,
+           event_type,
+           arg_min(value, ts)       AS open_price,
+           max(value)               AS high_price,
+           min(value)               AS low_price,
+           arg_max(value, ts)       AS close_price,
+           avg(value)               AS avg_price,
+           count(*)                 AS sample_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "statestore"),
+)
+def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-OHLC stream executed on the RocksDB state store
+    provider instead of the default HDFS-backed in-memory map — byte-for-
+    byte the same results (same oracle as q_stream_tumbling), different
+    state engine. Changelog checkpointing is enabled the way a production
+    job would run it: per-batch deltas to the checkpoint, full SST uploads
+    only at maintenance intervals."""
+    load(spark, sf_dir)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    spark.conf.set(changelog_key, "true")
+    try:
+        agg = tumbling_ohlc_stream(_events_stream(spark, sf_dir))
+        out = run_to_memory(agg, output_mode="complete")
+        # Materialize while the provider conf is active (memory sink is
+        # already complete at awaitTermination; this is belt-and-braces).
+        out.count()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_ts"),
+        "event_type",
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+        "avg_price",
+        "sample_count",
+    )
