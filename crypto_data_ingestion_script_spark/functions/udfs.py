@@ -167,3 +167,46 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out[out["text_len"] > 100]
 
     return t.documents.mapInPandas(batch_len, schema="doc_id bigint, text_len bigint")
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(len(str_split(text, ' ')))) AS pos,
+           unnest(str_split(text, ' '))             AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    tags=("udf", "udtf"),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function, SURVEY §2.K): one row in, N
+    rows out with per-call Python state — the escape hatch when a generator
+    genuinely needs imperative logic. This one is deliberately SQL-
+    expressible (token split with ordinals) so the oracle can hash it;
+    the DuckDB side zips two unnests. LATERAL-joined against the documents
+    table, so the UDTF runs distributed per input partition — at scale the
+    cost model is identical to any Arrow-batched Python stage. Prefer
+    posexplode(split(...)) (JVM-side, q_posexplode) when expressions
+    suffice; reference test parity per SURVEY §5."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, piece in enumerate(text.split(" ")):
+                yield i, piece
+
+    spark.udtf.register("token_split", TokenSplit)
+    t = load(spark, sf_dir)
+    t.documents.createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM _docs_udtf d, LATERAL token_split(d.text) s
+        WHERE d.doc_id < 50
+        """
+    )

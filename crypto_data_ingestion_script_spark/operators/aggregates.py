@@ -415,3 +415,54 @@ def q_bit_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 400).alias("any_extreme"),
         F.count_if(F.col("value") > 100).alias("n_over_100"),
     )
+
+
+@query("q_kll_quantiles", tags=("agg", "approx"))
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL, Spark 4.1):
+    per-key value sketches queried for p50/p90/p99, plus the GLOBAL
+    quantiles produced by merging the per-key sketches — the property that
+    makes distributed percentiles scale: partials combine map-side and roll
+    up across keys/time grains at fixed memory, where exact percentiles
+    re-sort the world. Rows-only (sketch estimates are order-sensitive);
+    tests/test_sketches.py bounds the error against exact percentiles."""
+    t = load(spark, sf_dir)
+    sketches = t.events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    per_type = sketches.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+    # kll_sketch_merge_double is a binary scalar merge (no union-agg
+    # counterpart yet, unlike HLL): fold the handful of per-key sketches
+    # with a higher-order aggregate — associative merge is still the
+    # scale property being exercised, just spelled as a fold.
+    merged_sk = sketches.agg(F.collect_list("sk").alias("arr")).select(
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1), arr[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk")
+    )
+    merged = merged_sk.select(
+        F.lit("ALL").alias("event_type"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+    return per_type.unionByName(merged)
+
+
+@query("q_theta_sketch", tags=("agg", "approx"))
+def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches, Spark 4.1): the third sketch family —
+    distinct-count with set-algebra support. Per-type distinct-user
+    estimates; rows-only, error-bounded in tests/test_sketches.py."""
+    t = load(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
+            "approx_users"
+        )
+    )

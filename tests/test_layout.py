@@ -1,0 +1,97 @@
+"""Z-order layout: measure the file-pruning win with parquet footer stats.
+
+A layout op that doesn't change what a box predicate READS is dead code —
+this test computes, for each output file, its (min, max) on both dimensions
+straight from the parquet metadata, and counts how many files a predicate
+would have to touch. Z-order must beat a single-dimension sort on the
+dimension that sort neglects."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_script_spark.catalog import load
+from crypto_data_ingestion_script_spark.operators.layout import zorder_write
+
+N_FILES = 16
+
+
+def _file_bounds(path: str, cols: tuple[str, str]):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo, hi = {}, {}
+        for c in cols:
+            stats = [
+                md.row_group(g).column(idx[c]).statistics
+                for g in range(md.num_row_groups)
+            ]
+            lo[c] = min(s.min for s in stats)
+            hi[c] = max(s.max for s in stats)
+        out.append((lo, hi))
+    return out
+
+
+def _touched(bounds, col: str, lo_v, hi_v) -> int:
+    return sum(1 for lo, hi in bounds if not (hi[col] < lo_v or lo[col] > hi_v))
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    src = load(spark, sf_dir).events.select("event_id", "user_id", "value")
+    zdir = tempfile.mkdtemp(prefix="z_") + "/z"
+    ldir = tempfile.mkdtemp(prefix="l_") + "/linear"
+    zorder_write(src, ("user_id", "value"), zdir, N_FILES)
+    # Baseline: classic single-dimension clustering on user_id.
+    (
+        src.repartitionByRange(N_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    zb = _file_bounds(zdir, ("user_id", "value"))
+    lb = _file_bounds(ldir, ("user_id", "value"))
+    assert len(zb) > 4 and len(lb) > 4, "need a multi-file layout to measure"
+
+    stats = src.agg(
+        F.expr("percentile(value, 0.45)").alias("v_lo"),
+        F.expr("percentile(value, 0.55)").alias("v_hi"),
+        F.expr("percentile(user_id, 0.45)").alias("u_lo"),
+        F.expr("percentile(user_id, 0.55)").alias("u_hi"),
+    ).first()
+
+    # The dimension the linear sort neglects: value-range predicates read
+    # EVERY linear file; the z-curve must skip a real fraction of them.
+    z_val = _touched(zb, "value", stats.v_lo, stats.v_hi)
+    l_val = _touched(lb, "value", stats.v_lo, stats.v_hi)
+    assert l_val == len(lb), "baseline unexpectedly clusters value"
+    assert z_val < l_val, f"z-order pruned nothing on value: {z_val}/{len(zb)}"
+
+    # The z-curve must still retain user_id locality (not read everything).
+    z_usr = _touched(zb, "user_id", stats.u_lo, stats.u_hi)
+    assert z_usr < len(zb), "z-order lost all user_id locality"
+
+
+def test_zorder_key_is_expression_only(spark, sf_dir):
+    """The z key must be pure column expressions (codegen), no Python UDF."""
+    from crypto_data_ingestion_script_spark.operators.layout import (
+        interleave_bits,
+        quantize,
+    )
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    src = load(spark, sf_dir).events.select("user_id", "value")
+    df = src.select(
+        interleave_bits(
+            quantize(F.col("user_id"), F.lit(0.0), F.lit(1000.0)),
+            quantize(F.col("value"), F.lit(0.0), F.lit(100.0)),
+        )
+    )
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
