@@ -378,3 +378,81 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("p_sum") / F.sum("p_n")).alias("avg_value"),
         )
     )
+
+
+def observed(df: DataFrame, name: str = "ingest"):
+    """Attach write-path observability (``Dataset.observe``): row count,
+    null-price count, event-time bounds — collected as accumulator-style
+    metrics DURING whatever action consumes ``df``, costing zero extra
+    passes. The lakehouse replacement for the reference's per-iteration
+    log lines (dataCollector.py:116,163,204): metrics ride the job instead
+    of a second scan. Returns ``(df, observation)``; read
+    ``observation.get`` after the action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    value_col = "value" if "value" in df.columns else df.columns[-1]
+    ts_col = "ts" if "ts" in df.columns else df.columns[0]
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("null_values"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+    )
+    return out, obs
+
+
+@query(
+    "q_incremental_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+    """,
+    tags=("ingest", "incremental", "join"),
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance (the join sibling of
+    q_incremental_agg): given a materialized A⋈B over yesterday's
+    snapshots and today's deltas ΔA, ΔB, the maintained result is
+    old ∪ (ΔA⋈B_old) ∪ (A_old⋈ΔB) ∪ (ΔA⋈ΔB) — delta-join algebra that
+    touches |Δ|-proportional data instead of re-joining the world, THE
+    operation that keeps a 100 TB materialization fresh from a 100 GB
+    daily batch. Here lineitem/orders are split on a date boundary into
+    (old, delta); the four delta terms are computed, unioned with the
+    'materialized' old⋈old, rolled up, and hash-checked against the
+    full-recompute oracle."""
+    t = load(spark, sf_dir)
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = t.lineitem.select(
+        "l_orderkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = t.orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    a_old, a_new = li.filter(F.col("l_shipdate") < cut), li.filter(
+        F.col("l_shipdate") >= cut
+    )
+    b_old, b_new = o.filter(F.col("o_orderdate") < cut), o.filter(
+        F.col("o_orderdate") >= cut
+    )
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.l_orderkey == b.o_orderkey)
+
+    maintained = (
+        j(a_old, b_old)  # the standing materialization
+        .unionByName(j(a_new, b_old))
+        .unionByName(j(a_old, b_new))
+        .unionByName(j(a_new, b_new))
+    )
+    return (
+        maintained.join(
+            F.broadcast(t.customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_custkey", "c_name")
+        .agg(F.sum("rev").alias("revenue"))
+    )

@@ -1,0 +1,138 @@
+"""Iterative graph algorithms on DataFrames (SURVEY §2.M): PageRank by
+power iteration over a weighted edge list — the template for any
+fixed-point computation the lake needs (influence scoring, trust
+propagation, dedup-cluster authority). Near-dup connected components
+(llm/dedup.py) is the other iterative member of the family.
+
+Graph here: the nation-level trade network — an edge (customer nation →
+supplier nation) weighted by the number of lineitems flowing between them.
+25 nodes, dense, deterministic; node count is dimension-sized while the
+edge WEIGHTS aggregate the full fact table, which is the realistic shape
+(the iteration runs on a tiny graph distilled from 100 TB of events).
+
+Scale notes: each iteration is one broadcast join (ranks are node-sized)
++ one groupBy(dst) shuffle bounded by the edge list. ``localCheckpoint``
+every few rounds truncates the lineage so the plan doesn't grow linearly
+with iterations — without it, iteration 30's plan contains 30 joins.
+
+The oracle unrolls the same fixed number of iterations as chained CTEs —
+an iterative algorithm with a FULL SQL hash-check, not a rows-only waiver.
+Both sides round to 8 decimals to absorb summation-order drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+DAMPING = 0.85
+ITERATIONS = 8
+
+
+def _oracle(iterations: int = ITERATIONS, d: float = DAMPING) -> str:
+    """Generate the unrolled fixed-iteration PageRank SQL."""
+    head = f"""
+    WITH edges_raw AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, w * 1.0 / sum(w) OVER (PARTITION BY src) AS p
+      FROM edges_raw
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges_raw
+              UNION SELECT DISTINCT dst FROM edges_raw),
+    n AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes)
+    """
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f""",
+    r{i} AS (
+      SELECT nodes.node,
+             (1 - {d}) / (SELECT n FROM n)
+             + {d} * coalesce(sum(r{i-1}.rank * edges.p), 0) AS rank
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN r{i-1} ON r{i-1}.node = edges.src
+      GROUP BY nodes.node
+    )"""
+        )
+    tail = f"""
+    SELECT node, round(rank, 8) AS rank FROM r{iterations}
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q_pagerank", oracle=_oracle(), tags=("graph", "iterative"))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph: power iteration with damping,
+    uniform teleport, no dangling nodes by construction (every nation that
+    appears has outgoing trade). One fact-table aggregation distills the
+    edges; the iteration itself is node-sized."""
+    t = load(spark, sf_dir)
+    edges_raw = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # The distilled graph is tiny: keep it (and everything after) local to
+    # the driver-side plan via cache — the iteration must not re-aggregate
+    # the fact table every round.
+    from pyspark.sql import Window
+
+    edges = edges_raw.withColumn(
+        "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
+    ).select("src", "dst", "p")
+    edges = edges.localCheckpoint(eager=True)
+
+    nodes = (
+        edges_raw.select(F.col("src").alias("node"))
+        .union(edges_raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(ITERATIONS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - DAMPING) / n)
+                + F.lit(DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 4 == 0:
+            # Truncate lineage so the plan stays iteration-count-free.
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

@@ -50,12 +50,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-bearing module so REGISTRY is fully populated."""
-    from .operators import aggregates, behavior, finance, joins, layout, quality, relational, rollup, skew, sqlsurface, tpch, windows  # noqa: F401
+    from .operators import aggregates, behavior, finance, graph, joins, layout, quality, relational, rollup, skew, sqlsurface, tpch, windows  # noqa: F401
     from .functions import datetime as datetime_fns  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .llm import dedup, similarity, text  # noqa: F401
     from .llm import multimodal  # noqa: F401
-    from .sources import files, rest  # noqa: F401
+    from .sources import custom, files, rest  # noqa: F401
     from . import ingest  # noqa: F401
     from .streaming import jobs, stateful, tws  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401

@@ -300,3 +300,37 @@ def test_tpch_q21_single_lineitem_window_pass(spark, sf_dir):
     df = SPECS["q_tpch_q21"].fn(spark, sf_dir)
     assert _node_count(df, "Scan parquet") <= 4, "lineitem scanned twice"
     assert uses_broadcast_join(df)
+
+
+def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
+    """With broadcast off (the 100 TB big-big join case), a selective
+    build side must inject a runtime bloom filter onto the probe-side
+    scan (might_contain) so non-matching lineitem rows die before the
+    shuffle, not after it."""
+    saved = {}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+        assert "might_contain" in formatted_plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -116,3 +116,19 @@ def test_stateful_agg_resumes_from_checkpoint(spark, split_inputs, provider):
         n, s = last_update[k]
         assert n == row["n"]
         assert abs(s - row["s"]) < 1e-6 * max(1.0, abs(row["s"]))
+
+
+def test_observed_metrics_ride_the_action(spark, sf_dir):
+    """observe() metrics must report the written row count and time bounds
+    without a second scan of the input."""
+    from crypto_data_ingestion_script_spark.catalog import load
+    from crypto_data_ingestion_script_spark.ingest import observed
+
+    events = load(spark, sf_dir).events
+    df, obs = observed(events.select("ts", "event_type", "value"))
+    n_written = df.count()
+    got = obs.get
+    assert got["rows"] == n_written
+    assert got["null_values"] == 0
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    assert got["min_ts"] == lo and got["max_ts"] == hi
