@@ -106,3 +106,77 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts")),
     ).select("click_id", "purchase_id", "user_id")
     return run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "q_stream_chained_stateful",
+    oracle="""
+    WITH j AS (
+      SELECT b.ts AS purchase_ts, b.value AS value
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click'
+       AND b.event_type = 'purchase'
+       AND a.ts BETWEEN b.ts - INTERVAL 10 MINUTE AND b.ts
+    ),
+    wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 30 MINUTE AS wm
+    )
+    SELECT date_trunc('hour', purchase_ts) AS hour_ts,
+           count(*) AS n_attributed,
+           sum(value) AS attributed_value
+    FROM j
+    GROUP BY 1
+    HAVING date_trunc('hour', purchase_ts) + INTERVAL 1 HOUR
+           <= (SELECT wm FROM wm)
+    """,
+    tags=("streaming", "join", "chained"),
+)
+def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4
+    watermark propagation): watermarked stream⋈stream attribution join
+    feeding a tumbling-window aggregation, append mode end-to-end. The
+    engine tracks a per-operator watermark chain — the join's output
+    watermark gates the window's emission — so only windows whose end
+    precedes the global watermark (min over both sources of max event time
+    minus the 30-minute bound) are final; the oracle reproduces exactly
+    that emission rule in SQL. Before Spark 4 this pipeline required two
+    queries with an intermediate sink."""
+    load(spark, sf_dir)
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    agg = (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("value").alias("attributed_value"),
+        )
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_ts"),
+        "n_attributed",
+        "attributed_value",
+    )
