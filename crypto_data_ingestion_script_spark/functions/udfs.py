@@ -210,3 +210,42 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("udf", "arrow"),
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python hop: RecordBatches pass
+    straight through (no pandas conversion), numpy works on zero-copy
+    views. The right tier for dense vector math over wide batches; the
+    rounding absorbs summation-order drift vs the oracle's sequential
+    fold (same contract as q_cosine_topk)."""
+    import pyarrow as pa
+
+    t = load(spark, sf_dir)
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            mat = np.asarray(
+                batch.column(1).to_pylist(), dtype=np.float64
+            )
+            out = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(out)], names=["vec_id", "l2_norm"]
+            )
+
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .mapInArrow(norms, schema="vec_id bigint, l2_norm double")
+    )

@@ -35,8 +35,13 @@ def interleave_bits(x: Column, y: Column, bits: int = BITS) -> Column:
     """Morton-interleave two non-negative int columns: bit i of ``x`` lands
     at position 2i, bit i of ``y`` at 2i+1. Pure column expressions — the
     whole key compiles into one codegen stage."""
+    # Work in BIGINT: bit position 2*bits-1 = 31 would land on the Int32
+    # sign bit and flip the top quadrant's ordering negative.
     pairs = [
-        F.shiftleft(F.shiftrightunsigned(c, i).bitwiseAND(F.lit(1)), 2 * i + off)
+        F.shiftleft(
+            F.shiftrightunsigned(c.cast("long"), i).bitwiseAND(F.lit(1)),
+            2 * i + off,
+        )
         for i in range(bits)
         for off, c in ((0, x), (1, y))
     ]

@@ -144,3 +144,37 @@ def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "event")
         .xml(out)
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT doc_id, n_chars, NULL AS lang
+    FROM documents WHERE doc_id < 100
+    UNION ALL BY NAME
+    SELECT doc_id, n_chars, lang
+    FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+    tags=("source", "schema"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 0 was written before the
+    ``lang`` column existed; generation 1 added it. ``mergeSchema`` unifies
+    the footers into one superset schema, null-filling the old files —
+    additive evolution without rewriting history, the lake's contract for
+    append-heavy bronze zones. (Type-changing or renaming evolution still
+    requires a rewrite — only additive is free.)"""
+    t = load(spark, sf_dir)
+    base = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "docs")
+    t.documents.filter(F.col("doc_id") < 100).select("doc_id", "n_chars").write.parquet(
+        os.path.join(base, "gen=0")
+    )
+    t.documents.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "n_chars", "lang"
+    ).write.parquet(os.path.join(base, "gen=1"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+        .select("doc_id", "n_chars", "lang")
+    )

@@ -95,3 +95,40 @@ def test_zorder_key_is_expression_only(spark, sf_dir):
     )
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interleave_matches_reference_morton(spark):
+    """The column-expression interleave must equal the arithmetic Morton
+    code for a seeded sample of the full 16-bit × 16-bit domain (plus the
+    corners) — and be injective over the sample."""
+    import numpy as np
+
+    from crypto_data_ingestion_script_spark.operators.layout import (
+        BITS,
+        interleave_bits,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 4096
+    xs = rng.integers(0, 1 << BITS, n).tolist() + [0, 0, (1 << BITS) - 1]
+    ys = rng.integers(0, 1 << BITS, n).tolist() + [0, (1 << BITS) - 1, (1 << BITS) - 1]
+
+    def morton(x, y):
+        z = 0
+        for i in range(BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    expect = [morton(x, y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x int, y int"
+    )
+    got = [
+        r["_z"]
+        for r in df.select(
+            interleave_bits(F.col("x"), F.col("y"))
+        ).collect()
+    ]
+    assert got == expect
+    assert len(set(zip(xs, ys))) == len(set(expect)), "interleave not injective"

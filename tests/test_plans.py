@@ -334,3 +334,29 @@ def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The optimizer-control surface: BROADCAST / MERGE / SHUFFLE_HASH
+    hints must each produce their physical join, REBALANCE must insert a
+    rebalance exchange — the knobs a 100 TB operator reaches for when the
+    cost model guesses wrong."""
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cond = li.l_orderkey == o.o_orderkey
+
+    bcast = li.join(o.hint("broadcast"), cond)
+    assert "BroadcastHashJoin" in formatted_plan(bcast)
+
+    merge = li.join(o.hint("merge"), cond)
+    assert "SortMergeJoin" in formatted_plan(merge)
+
+    shuffle_hash = li.join(o.hint("shuffle_hash"), cond)
+    assert "ShuffledHashJoin" in formatted_plan(shuffle_hash)
+
+    rebalanced = li.hint("rebalance", "l_orderkey")
+    assert "REBALANCE_PARTITIONS_BY_COL" in formatted_plan(rebalanced) or (
+        "RebalancePartitions" in formatted_plan(rebalanced)
+    )
