@@ -466,3 +466,34 @@ def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users"
         )
     )
+
+
+@query(
+    "q_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS exact_sum,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "decimal"),
+)
+def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance-grade exact aggregation: DECIMAL(18,4) sums are associative
+    with NO floating-point drift — the same total regardless of partition
+    count or merge order, which doubles cannot promise (SURVEY §1.2 notes
+    the reference stores REAL; this is the upgrade path). Spark widens
+    decimal sums internally (DECIMAL(28,4)) to absorb overflow."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("p"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p").alias("exact_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -251,3 +251,61 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close_filled"
         ),
     )
+
+
+@query(
+    "q_rsi",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, event_type, value,
+             value - lag(value) OVER w AS delta,
+             row_number()       OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    ),
+    g AS (
+      SELECT event_id, event_type, rn,
+             avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER frame AS avg_gain,
+             avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER frame AS avg_loss
+      FROM d
+      WINDOW frame AS (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           round(CASE WHEN avg_loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1 + avg_gain / avg_loss) END,
+                 8) AS rsi
+    FROM g
+    WHERE rn >= 15
+    """,
+    tags=("finance", "window"),
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI-14 (simple-average variant: Cutler's RSI — window-expressible,
+    unlike Wilder's recursive smoothing which would need the EMA
+    closed-form trick from q_ema): bar-over-bar deltas split into
+    gain/loss streams, 14-bar trailing averages, RSI = 100·gain/(gain+
+    loss). One window shuffle per key — same profile as q_bollinger.
+    Rows before the 15th (no full lookback) are excluded on both sides."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    frame = w.rowsBetween(-13, 0)
+    d = t.events.select("event_id", "event_type", "value").withColumn(
+        "delta", F.col("value") - F.lag("value").over(w)
+    ).withColumn("rn", F.row_number().over(w))
+    g = d.withColumn(
+        "avg_gain",
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0)).over(frame),
+    ).withColumn(
+        "avg_loss",
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0.0)).over(frame),
+    )
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (1 + F.col("avg_gain") / F.col("avg_loss"))
+    )
+    return (
+        g.filter(F.col("rn") >= 15)
+        .select("event_id", "event_type", F.round(rsi, 8).alias("rsi"))
+    )

@@ -400,3 +400,42 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "uid", F.col("asof_value"), F.col("asof_ts").cast("timestamp_ntz").alias("asof_ts")
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+             CASE WHEN value >= 50 THEN event_type END AS k
+      FROM events
+    ),
+    dim(k, label) AS (
+      VALUES ('click', 'CLICK'), ('purchase', 'BUY'), (NULL, 'UNKEYED')
+    )
+    SELECT label, count(*) AS n
+    FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
+    GROUP BY label
+    """,
+    tags=("join", "null"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys match
+    the dimension's NULL row instead of silently dropping — the semantics
+    that separate 'unkeyed bucket' from 'lost rows'. Still a hash join
+    (null-safe equality is a valid hash key), so the plan is identical to
+    the plain equi-join, never a nested loop."""
+    t = load(spark, sf_dir)
+    keyed = t.events.select(
+        "event_id",
+        F.when(F.col("value") >= 50, F.col("event_type")).alias("k"),
+    )
+    dim = spark.createDataFrame(
+        [("click", "CLICK"), ("purchase", "BUY"), (None, "UNKEYED")],
+        "k string, label string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.k))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
