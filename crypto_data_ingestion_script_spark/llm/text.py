@@ -406,3 +406,74 @@ def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "q_pipeline_training_data",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, text, lang, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text FROM dedup
+      WHERE rn = 1 AND lang IN ('en', 'de', 'fr', 'es') AND n_chars >= 100
+    ),
+    chunks AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text), 1) + 1, 400)) AS s
+      FROM kept
+    )
+    SELECT doc_id, s AS chunk_start,
+           substr(text, s, 500) AS chunk,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+                THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM chunks
+    """,
+    tags=("text", "dataset", "pipeline"),
+)
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline — the proof that the individual
+    LLM-data operators chain into ONE declarative DAG: exact dedup (keep
+    lowest doc_id per content hash) → language + length quality gate →
+    overlapping 500/400 chunking → deterministic hash split. Catalyst sees
+    the whole pipeline at once: the lang/n_chars filters push below the
+    dedup window where legal, the chunk explosion runs partition-local,
+    and the split is a pure projection — one shuffle total (the dedup
+    window), regardless of scale."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    kept = (
+        t.documents.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("lang").isin("en", "de", "fr", "es")
+            & (F.col("n_chars") >= 100)
+        )
+        .select("doc_id", "text")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(400)
+    )
+    digit = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return (
+        kept.select("doc_id", F.explode(starts).alias("chunk_start"), "text")
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.substring(F.col("text"), F.col("chunk_start"), F.lit(500)).alias(
+                "chunk"
+            ),
+            F.when(digit.between("0", "b"), "train")
+            .when(digit.isin("c", "d"), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

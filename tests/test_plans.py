@@ -360,3 +360,11 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "REBALANCE_PARTITIONS_BY_COL" in formatted_plan(rebalanced) or (
         "RebalancePartitions" in formatted_plan(rebalanced)
     )
+
+
+def test_training_pipeline_single_shuffle(spark, sf_dir):
+    """The composed dedup→filter→chunk→split pipeline must cost exactly
+    one exchange (the dedup window) — composition may not multiply
+    shuffles."""
+    df = SPECS["q_pipeline_training_data"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
