@@ -368,3 +368,33 @@ def test_training_pipeline_single_shuffle(spark, sf_dir):
     shuffles."""
     df = SPECS["q_pipeline_training_data"].fn(spark, sf_dir)
     assert shuffle_count(df) == 1
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS must populate rowCount (and
+    column NDVs) in the catalog, and the optimizer must surface them in
+    plan stats — the inputs the cost-based join reorderer works from on
+    a real warehouse."""
+    spark.sql("DROP TABLE IF EXISTS _stats_nation")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.saveAsTable(
+        "_stats_nation"
+    )
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql(
+            "ANALYZE TABLE _stats_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+        )
+        df = spark.table("_stats_nation")
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "rowCount missing after ANALYZE"
+        n = int(str(stats.rowCount().get()))
+        assert n == df.count()
+        described = spark.sql(
+            "DESCRIBE EXTENDED _stats_nation n_nationkey"
+        ).collect()
+        kv = {r["info_name"]: r["info_value"] for r in described}
+        assert kv.get("distinct_count") not in (None, "NULL"), kv
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql("DROP TABLE IF EXISTS _stats_nation")
