@@ -1,0 +1,39 @@
+"""Driver-contract robustness: the failure modes and environmental drift a
+grading/production driver can hit — wrong table name, missing data dir, a
+session whose timezone is not UTC — must fail loudly or normalize, never
+silently skew results."""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_data_ingestion_script_spark.catalog import load
+from crypto_data_ingestion_script_spark.registry import load_all
+
+
+def test_unknown_table_raises_keyerror(spark, sf_dir):
+    t = load(spark, sf_dir)
+    with pytest.raises((KeyError, AttributeError)):
+        _ = t.no_such_table
+
+
+def test_missing_sf_dir_fails_loudly(spark):
+    from pyspark.errors import AnalysisException
+
+    specs = load_all()
+    with pytest.raises(AnalysisException):
+        specs["q_tpch_q6"].fn(spark, "/root/testdata/sf_nonexistent").collect()
+
+
+def test_foreign_session_timezone_does_not_skew_results(spark, sf_dir):
+    """The driver owns its session and may sit in any timezone; every
+    registered query re-pins UTC at call time, so results must be
+    identical under a hostile TZ."""
+    specs = load_all()
+    baseline = sorted(map(str, specs["q_ohlc_hourly"].fn(spark, sf_dir).collect()))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = sorted(map(str, specs["q_ohlc_hourly"].fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted == baseline
