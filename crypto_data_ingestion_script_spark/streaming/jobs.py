@@ -428,3 +428,43 @@ def q_stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_price",
         "sample_count",
     )
+
+
+@query(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` under REAL duplication: the same
+    events file is delivered as two successive micro-batches (a redelivery
+    storm — the at-least-once upstream every pipeline eventually meets),
+    and the operator must emit each key exactly once while expiring state
+    past the watermark. Unlike plain dropDuplicates, state is bounded by
+    the watermark horizon, not the key universe — the difference between
+    O(recent) and O(forever) state at 100 TB/day. Oracle: the batch
+    distinct, i.e. the original table."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load(spark, sf_dir)
+    indir = tempfile.mkdtemp(prefix="dedup_wm_")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(indir, "gen0.parquet"))
+    shutil.copy(src, os.path.join(indir, "gen1.parquet"))
+    raw_ddl = EVENTS_DDL.replace("ts timestamp_ntz", "ts bigint")
+    stream = (
+        spark.readStream.schema(raw_ddl)
+        .option("maxFilesPerTrigger", "1")  # two generations, two batches
+        .parquet(indir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    return run_to_memory(deduped, output_mode="append")
