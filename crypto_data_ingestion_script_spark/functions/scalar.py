@@ -392,3 +392,33 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         corrupt.try_cast("double").alias("maybe_value"),
         F.try_divide(F.col("value"), k).alias("safe_ratio"),
     )
+
+
+@query(
+    "q_explode_map",
+    oracle="""
+    SELECT event_id, 'type' AS key, event_type AS val
+    FROM events WHERE event_id < 500
+    UNION ALL
+    SELECT event_id, 'bucket' AS key,
+           CAST(CAST(floor(value / 10) AS INTEGER) AS VARCHAR) AS val
+    FROM events WHERE event_id < 500
+    """,
+    tags=("map", "generator"),
+)
+def q_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map generator: explode(map) → one (key, value) row per entry — the
+    attribute-unpivot pattern for semi-structured columns (each map entry
+    becomes a fact row, partition-local expansion, no shuffle). Oracle
+    spells the same expansion as a UNION ALL of per-key projections."""
+    t = load(spark, sf_dir)
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("bucket"),
+        F.floor(F.col("value") / 10).cast("int").cast("string"),
+    )
+    return (
+        t.events.filter(F.col("event_id") < 500)
+        .select("event_id", F.explode(m).alias("key", "val"))
+    )
