@@ -89,7 +89,7 @@ def main() -> None:
     # ±20% run-to-run noise (BASELINE.md); the minimum is the standard
     # microbenchmark estimator of the noise-free cost. Both trials execute
     # the full plan (build + run to a count action).
-    TRIALS = 2
+    TRIALS = 3
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
