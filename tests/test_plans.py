@@ -398,3 +398,18 @@ def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS _stats_nation")
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark, sf_dir):
+    """Input-split sizing: spark.sql.files.maxPartitionBytes is the knob
+    that matches scan task size to executor memory at 100 TB — smaller
+    caps must yield proportionally more scan partitions."""
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        wide = spark.read.parquet(f"{sf_dir}/lineitem.parquet").rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+        narrow = spark.read.parquet(f"{sf_dir}/lineitem.parquet").rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert narrow > wide, (narrow, wide)
