@@ -439,3 +439,83 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey % 20 AS uid,
+                      o_orderdate + INTERVAL 29 YEAR AS qts FROM orders),
+         e AS (SELECT user_id % 20 AS uid, ts, value FROM events),
+    b AS (SELECT o.o_orderkey, o.qts, e.ts AS bts, e.value AS bval
+          FROM o ASOF LEFT JOIN e ON o.uid = e.uid AND o.qts >= e.ts),
+    f AS (SELECT o.o_orderkey, e.ts AS fts, e.value AS fval
+          FROM o ASOF LEFT JOIN e ON o.uid = e.uid AND o.qts <= e.ts)
+    SELECT b.o_orderkey,
+           CASE WHEN fts IS NULL THEN bval
+                WHEN bts IS NULL THEN fval
+                WHEN (qts - bts) <= (fts - qts) THEN bval ELSE fval
+           END AS nearest_value,
+           CASE WHEN fts IS NULL THEN bts
+                WHEN bts IS NULL THEN fts
+                WHEN (qts - bts) <= (fts - qts) THEN bts ELSE fts
+           END AS nearest_ts
+    FROM b JOIN f USING (o_orderkey)
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (either direction, ties to the prior tick): the two
+    directional passes — each one union-tag + single window shuffle —
+    composed by an equi-join on the left key, then a pure-projection
+    arbiter on |Δt|. Completes the as-of family (backward q_join_asof,
+    forward q_join_asof_forward); DuckDB oracles it with two native ASOF
+    JOINs in opposite directions."""
+    t = load(spark, sf_dir)
+    left = t.orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("uid"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEAR")).alias("query_ts"),
+    )
+    right = t.events.select(
+        (F.col("user_id") % 20).alias("uid"), F.col("ts"), F.col("value")
+    )
+    back = asof_join(
+        left, right, key="uid", left_ts="query_ts", right_ts="ts",
+        right_vals=["value", "ts"],
+    ).select(
+        "o_orderkey",
+        F.col("query_ts").alias("qts"),
+        F.col("asof_value").alias("bval"),
+        F.col("asof_ts").alias("bts"),
+    )
+    fwd = asof_join_forward(
+        left, right, key="uid", left_ts="query_ts", right_ts="ts",
+        right_vals=["value", "ts"],
+    ).select(
+        "o_orderkey",
+        F.col("asof_value").alias("fval"),
+        F.col("asof_ts").alias("fts"),
+    )
+    j = back.join(fwd, "o_orderkey")
+    # NTZ − NTZ is a DayTimeInterval and intervals compare directly —
+    # the same arithmetic the DuckDB oracle spells.
+    back_wins = (
+        F.col("fts").isNull()
+        | (
+            F.col("bts").isNotNull()
+            & (
+                (F.col("qts") - F.col("bts"))
+                <= (F.col("fts") - F.col("qts"))
+            )
+        )
+    )
+    return j.select(
+        "o_orderkey",
+        F.when(back_wins, F.col("bval")).otherwise(F.col("fval")).alias(
+            "nearest_value"
+        ),
+        F.when(back_wins, F.col("bts")).otherwise(F.col("fts")).alias(
+            "nearest_ts"
+        ),
+    )
