@@ -309,3 +309,83 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter(F.col("rn") >= 15)
         .select("event_id", "event_type", F.round(rsi, 8).alias("rsi"))
     )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           sum(value * dur_us) / sum(dur_us) AS twap
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("finance", "window"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP — each tick weighted by how long its price HELD (until the
+    next tick), the manipulation-resistant twin of VWAP (q_vwap weights
+    by traded volume; TWAP by elapsed time). One window pass builds the
+    holding durations, one grouped agg folds them — same two-exchange
+    profile as every per-key window+agg here. The open-ended last tick
+    (no successor) is excluded on both sides."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = t.events.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seg.groupBy("event_type").agg(
+        (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twap")
+    )
+
+
+@query(
+    "q_drawdown",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts, event_id, value,
+             max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM events
+    )
+    SELECT event_type,
+           round(max((peak - value) / peak), 8) AS max_drawdown
+    FROM r
+    GROUP BY event_type
+    """,
+    tags=("finance", "window"),
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown: running peak (cumulative max window) → relative
+    drop → grouped max. The canonical risk metric, and the canonical
+    running-extreme window pattern (cummax) — one window shuffle, one
+    bounded agg."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = t.events.select(
+        "event_type", "value", F.max("value").over(w).alias("peak")
+    )
+    return r.groupBy("event_type").agg(
+        F.round(
+            F.max((F.col("peak") - F.col("value")) / F.col("peak")), 8
+        ).alias("max_drawdown")
+    )
