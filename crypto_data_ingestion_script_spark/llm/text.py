@@ -477,3 +477,41 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           least(greatest(e.value, b.lo), b.hi) AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+    tags=("dataset", "prep"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — clamp each value into its group's [p1, p99]: the
+    standard outlier treatment before feature scaling. Per-group bounds
+    are a dimension-sized aggregate broadcast back onto the fact stream;
+    the clamp itself is a pure projection. (percentile_approx swaps in
+    for the exact percentile at 100 TB — same shape, mergeable sketch.)"""
+    t = load(spark, sf_dir)
+    bounds = t.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        t.events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "value_w"
+            ),
+        )
+    )

@@ -389,3 +389,44 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("peak") - F.col("value")) / F.col("peak")), 8
         ).alias("max_drawdown")
     )
+
+
+@query(
+    "q_realized_vol",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             ln(value / lag(value) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)) AS lr
+      FROM events
+      WHERE value > 0
+    )
+    SELECT event_type,
+           round(sqrt(sum(lr * lr)), 8) AS realized_vol,
+           count(lr) AS n_returns
+    FROM r WHERE lr IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("finance", "window"),
+)
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility: √Σ(log-returns²) per key — the standard
+    model-free vol estimator. Log returns come from one lag window; the
+    quadratic variation folds in the same grouped agg. Zero/negative
+    prices are excluded before the log on both sides."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = (
+        t.events.filter(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.log(F.col("value") / F.lag("value").over(w)).alias("lr"),
+        )
+        .filter(F.col("lr").isNotNull())
+    )
+    return r.groupBy("event_type").agg(
+        F.round(F.sqrt(F.sum(F.col("lr") * F.col("lr"))), 8).alias("realized_vol"),
+        F.count("lr").alias("n_returns"),
+    )
