@@ -430,3 +430,51 @@ def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("lr") * F.col("lr"))), 8).alias("realized_vol"),
         F.count("lr").alias("n_returns"),
     )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    WITH bars AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.v, b.v), 8) AS rho,
+           count(*) AS n_hours
+    FROM bars a JOIN bars b ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("finance", "stats", "join"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-series correlation: downsample each key to hourly
+    bars (the fact-volume reduction happens FIRST — the self-join runs on
+    dimension-sized bars, never on raw ticks), equi-join on the hour with
+    a triangular key predicate, one corr() fold per pair. At 100 TB the
+    bar table is what a 1000× tick stream collapses to, so the quadratic
+    pair-join stays cheap regardless of input scale."""
+    t = load(spark, sf_dir)
+    bars = (
+        t.events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    a = bars.select(
+        F.col("h"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = bars.select(
+        F.col("h").alias("hb"),
+        F.col("event_type").alias("type_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, (a.h == b.hb) & (a.type_a < b.type_b))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("va", "vb"), 8).alias("rho"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
