@@ -151,3 +151,37 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_val",
         "new_val",
     )
+
+
+@query(
+    "q_masking",
+    oracle="""
+    SELECT event_id,
+           sha256('pepper-2026' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+           CAST(floor(value / 25) AS INTEGER) AS value_band,
+           CASE WHEN event_type IN ('purchase', 'refund')
+                THEN event_type ELSE 'other' END AS type_coarse
+    FROM events
+    """,
+    tags=("governance", "masking"),
+)
+def q_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic data masking (governance projection): salted-hash
+    pseudonymization of the user key (joinable within a release, not
+    reversible), value banding, and category coarsening — the export
+    shape for analytics consumers who must not see raw identifiers.
+    Pure projection: masking adds zero shuffles at any scale, and the
+    pseudonym stays a valid join/group key across masked tables."""
+    t = load(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.sha2(
+            F.concat(F.lit("pepper-2026"), F.col("user_id").cast("string")), 256
+        ).alias("user_pseudo"),
+        F.floor(F.col("value") / 25).cast("int").alias("value_band"),
+        F.when(
+            F.col("event_type").isin("purchase", "refund"), F.col("event_type")
+        )
+        .otherwise("other")
+        .alias("type_coarse"),
+    )
