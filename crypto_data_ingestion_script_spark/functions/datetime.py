@@ -38,14 +38,16 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_to_date",
     oracle="""
-    SELECT CAST(ts AS DATE) AS d, count(*) AS n
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d, count(*) AS n
     FROM events GROUP BY 1
     """,
     tags=("datetime",),
 )
 def q_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
-    return t.events.groupBy(F.to_date("ts").alias("d")).agg(
+    return t.events.groupBy(
+        F.to_date("ts").cast("timestamp_ntz").alias("d")
+    ).agg(
         F.count(F.lit(1)).alias("n")
     )
 
@@ -115,7 +117,7 @@ def q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate)  AS INTEGER)                       AS y,
            CAST(month(o_orderdate) AS INTEGER)                       AS m,
            CAST(dayofweek(o_orderdate) AS INTEGER)                   AS dow,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
            CAST(date_diff('day', CAST(o_orderdate AS DATE),
                           DATE '2000-01-01') AS BIGINT)              AS days_to_y2k,
            CAST(epoch(o_orderdate) AS BIGINT)                        AS unix_ts
@@ -132,7 +134,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("y"),
         F.month("o_orderdate").alias("m"),
         (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
-        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.date_add(F.to_date("o_orderdate"), 30).cast("timestamp_ntz").alias("due_date"),
         F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
         .cast("bigint")
         .alias("days_to_y2k"),
@@ -144,13 +146,13 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_arith",
     oracle="""
     SELECT o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)          AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)     AS month_end,
            CAST(date_diff('month', DATE '1995-01-01',
                           CAST(o_orderdate AS DATE)) AS INTEGER)       AS months_since,
            CAST(weekofyear(o_orderdate) AS INTEGER)                   AS woy,
            CAST(CAST(quarter(o_orderdate) AS INTEGER) AS INTEGER)     AS qtr,
-           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS week_start
     FROM orders
     """,
     tags=("datetime",),
@@ -168,10 +170,10 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return t.orders.select(
         "o_orderkey",
-        F.add_months(d, 3).alias("plus_3m"),
-        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).cast("timestamp_ntz").alias("plus_3m"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
         months_since.alias("months_since"),
         F.weekofyear(d).alias("woy"),
         F.quarter(d).alias("qtr"),
-        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.date_trunc("week", d).cast("timestamp_ntz").alias("week_start"),
     )

@@ -133,9 +133,9 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(text, ' ')[1]                              AS first_token,
            CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN) AS has_spark,
            CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)     AS n_unique,
-           list_sort(list_distinct(string_split(substring(text, 1, 40), ' '))) AS head_vocab,
-           list_transform(string_split(substring(text, 1, 20), ' '), x -> upper(x)) AS head_up,
-           list_filter(string_split(substring(text, 1, 40), ' '), x -> length(x) > 4) AS long_tokens,
+           to_json(list_sort(list_distinct(string_split(substring(text, 1, 40), ' ')))) AS head_vocab,
+           to_json(list_transform(string_split(substring(text, 1, 20), ' '), x -> upper(x))) AS head_up,
+           to_json(list_filter(string_split(substring(text, 1, 40), ' '), x -> length(x) > 4)) AS long_tokens,
            CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars
     FROM documents
     """,
@@ -154,9 +154,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.getItem(0).alias("first_token"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.sort_array(F.array_distinct(head40)).alias("head_vocab"),
-        F.transform(head20, lambda x: F.upper(x)).alias("head_up"),
-        F.filter(head40, lambda x: F.length(x) > 4).alias("long_tokens"),
+        F.to_json(F.sort_array(F.array_distinct(head40))).alias("head_vocab"),
+        F.to_json(F.transform(head20, lambda x: F.upper(x))).alias("head_up"),
+        F.to_json(F.filter(head40, lambda x: F.length(x) > 4)).alias("long_tokens"),
         F.aggregate(
             toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
@@ -310,7 +310,7 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regexp_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(substring(text, 1, 80), '[a-z]+') AS words,
+           to_json(regexp_extract_all(substring(text, 1, 80), '[a-z]+')) AS words,
            CAST(len(regexp_extract_all(substring(text, 1, 80), '[0-9]+'))
                 AS INTEGER) AS n_numbers
     FROM documents
@@ -325,7 +325,7 @@ def q_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = F.substring(F.col("text"), 1, 80)
     return t.documents.select(
         "doc_id",
-        F.regexp_extract_all(head, F.lit("[a-z]+"), F.lit(0)).alias("words"),
+        F.to_json(F.regexp_extract_all(head, F.lit("[a-z]+"), F.lit(0))).alias("words"),
         F.size(F.regexp_extract_all(head, F.lit("[0-9]+"), F.lit(0))).alias("n_numbers"),
     )
 

@@ -118,7 +118,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_apply_in_pandas",
     oracle="""
     SELECT event_type,
-           CAST(ts AS DATE)  AS d,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
            value - avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE))
                              AS value_centered,
            event_id
@@ -140,9 +140,10 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["value_centered"] = pdf["value"] - pdf["value"].mean()
         return pdf[["event_type", "d", "value_centered", "event_id"]]
 
-    return with_day.groupBy("event_type", "d").applyInPandas(
+    out = with_day.groupBy("event_type", "d").applyInPandas(
         center, schema="event_type string, d date, value_centered double, event_id bigint"
     )
+    return out.withColumn("d", F.col("d").cast("timestamp_ntz"))
 
 
 @query(

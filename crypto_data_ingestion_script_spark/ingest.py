@@ -98,7 +98,7 @@ def q_sink_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sink_silver",
     oracle="""
-    SELECT CAST(date_trunc('hour', ts) AS DATE) AS date,
+    SELECT CAST(CAST(date_trunc('hour', ts) AS DATE) AS TIMESTAMP) AS date,
            CAST(hour(ts) AS INTEGER)            AS hour,
            event_type                           AS symbol,
            arg_min(value, ts)                   AS open_price,
@@ -123,7 +123,7 @@ def q_sink_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup_to_silver(spark, bronze, silver)
     rollup_to_silver(spark, bronze, silver)  # idempotency: must not duplicate
     return spark.read.parquet(silver).select(
-        "date",
+        F.col("date").cast("timestamp_ntz").alias("date"),
         "hour",
         "symbol",
         "open_price",
@@ -166,7 +166,7 @@ def merge_upsert(
 @query(
     "q_merge_upsert",
     oracle="""
-    SELECT CAST(date_trunc('hour', ts) AS DATE) AS date,
+    SELECT CAST(CAST(date_trunc('hour', ts) AS DATE) AS TIMESTAMP) AS date,
            CAST(hour(ts) AS INTEGER)            AS hour,
            event_type                           AS symbol,
            arg_min(value, ts)                   AS open_price,
@@ -200,7 +200,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, silver, corrected, keys=["date", "hour", "symbol"], partition_col="date"
     )
     return spark.read.parquet(silver).select(
-        "date",
+        F.col("date").cast("timestamp_ntz").alias("date"),
         "hour",
         "symbol",
         "open_price",

@@ -228,8 +228,8 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name))           AS nations,
-           list_sort(list(DISTINCT n_name))  AS nations_distinct,
+           to_json(list_sort(list(n_name)))          AS nations,
+           to_json(list_sort(list(DISTINCT n_name))) AS nations_distinct,
            array_to_string(list_sort(list(n_name)), ',') AS nations_csv
     FROM nation GROUP BY n_regionkey
     """,
@@ -243,8 +243,8 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     form can never be oracle-checked)."""
     t = load(spark, sf_dir)
     return t.nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set("n_name")).alias("nations_distinct"),
+        F.to_json(F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.to_json(F.sort_array(F.collect_set("n_name"))).alias("nations_distinct"),
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
             "nations_csv"
         ),
@@ -472,7 +472,7 @@ def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_exact",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS exact_sum,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE) AS exact_sum,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -493,7 +493,7 @@ def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag")
         .agg(
-            F.sum("p").alias("exact_sum"),
+            F.sum("p").cast("double").alias("exact_sum"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -272,7 +272,7 @@ def stream_to_silver(
 @query(
     "q_stream_silver",
     oracle="""
-    SELECT CAST(date_trunc('hour', ts) AS DATE) AS date,
+    SELECT CAST(CAST(date_trunc('hour', ts) AS DATE) AS TIMESTAMP) AS date,
            CAST(hour(ts) AS INTEGER)            AS hour,
            event_type                           AS symbol,
            arg_min(value, ts)                   AS open_price,
@@ -299,7 +299,7 @@ def q_stream_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_to_silver(agg, silver, os.path.join(base, "ckpt")).start()
     q.awaitTermination()
     return spark.read.parquet(silver).select(
-        "date",
+        F.col("date").cast("timestamp_ntz").alias("date"),
         "hour",
         "symbol",
         "open_price",
