@@ -515,3 +515,90 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_pmi",
+    oracle="""
+    WITH words AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    ),
+    uni AS (
+      SELECT unnest(w) AS tok FROM words
+    ),
+    uni_counts AS (
+      SELECT tok, count(*) AS c FROM uni GROUP BY tok
+    ),
+    n_uni AS (SELECT count(*) AS n FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      FROM words WHERE len(w) >= 2
+    ),
+    bg_counts AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    n_bg AS (SELECT count(*) AS n FROM bg)
+    SELECT w1, w2, c12,
+           round(ln((CAST(c12 AS DOUBLE) * u.n * u.n)
+                    / (CAST(b.n AS DOUBLE) * c1.c * c2.c)), 6) AS pmi
+    FROM bg_counts
+    JOIN uni_counts c1 ON c1.tok = w1
+    JOIN uni_counts c2 ON c2.tok = w2
+    CROSS JOIN n_uni u CROSS JOIN n_bg b
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "collocation"),
+)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information — the classic
+    'which word pairs co-occur far more than chance' signal (phrase
+    detection for tokenizer/vocab curation in a training-data pipeline).
+    PMI = ln(p(xy) / (p(x)p(y))) with counts from one corpus pass.
+
+    Scale shape: bigram generation is the same in-scan array expression as
+    q_bigrams (no shuffle until counts); unigram counts and the two scalar
+    totals are tiny aggregates broadcast back onto the bigram counts — the
+    only fact-sized shuffle is the bigram groupBy. The min-count >= 5 gate
+    both stabilizes the statistic and caps the join input. Rounded to 6
+    decimals and ordered on the rounded value so the top-20 boundary is
+    engine-independent.
+    """
+    t = load(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    words = t.documents.select(w.alias("w"))
+    uni = words.select(F.explode("w").alias("tok"))
+    uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_u"))
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    bg = (
+        words.filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_bg = bg.agg(F.count(F.lit(1)).alias("n_b"))
+    c1 = F.broadcast(uni_counts.select(F.col("tok").alias("w1"), F.col("c").alias("c1")))
+    c2 = F.broadcast(uni_counts.select(F.col("tok").alias("w2"), F.col("c").alias("c2")))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("n_u") * F.col("n_u"))
+            / (F.col("n_b").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        bg_counts.filter(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -136,3 +136,85 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Truncate lineage so the plan stays iteration-count-free.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "q_triangles",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    )
+    SELECT
+      (SELECT count(DISTINCT p) FROM li)                    AS n_nodes,
+      (SELECT count(*) FROM e)                              AS n_edges,
+      (SELECT count(*)
+       FROM e e1
+       JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)            AS n_triangles
+    """,
+    tags=("graph", "join"),
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph (parts sharing an
+    order are adjacent) — the clustering-coefficient / community-density
+    primitive. The oracle orients edges low-id -> high-id and counts
+    closed wedges with a triple self-join; correct, but wedge volume is
+    sum(out_deg^2) under that orientation, and one celebrity node at
+    100 TB makes it explode.
+
+    The Spark plan uses degree-ordered orientation (Schank & Wagner /
+    Cohen's MapReduce triangle counting): orient every edge from its
+    lower-(degree, id) endpoint to the higher one. Max out-degree is then
+    O(sqrt(|E|)) regardless of raw degree, bounding total wedges by
+    |E|^1.5 — the celebrity problem disappears by construction. Each
+    triangle has exactly one doubly-outgoing node in any total-order
+    orientation, so the count is orientation-invariant and matches the
+    oracle exactly. Degrees are node-sized (broadcast); the wedge and
+    closing joins are equi-joins (hash/SMJ), never a nested loop.
+    """
+    t = load(spark, sf_dir)
+    li = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = li.alias("ea"), li.alias("eb")
+    undirected = (
+        a.join(b, (F.col("ea.o") == F.col("eb.o")) & (F.col("ea.p") < F.col("eb.p")))
+        .select(F.col("ea.p").alias("u"), F.col("eb.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        undirected.select(F.col("u").alias("node"))
+        .unionAll(undirected.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
+    ranked = undirected.join(du, "u").join(dv, "v")
+    # total-order rank of an endpoint: (degree, id) as a comparable struct
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = ranked.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ru < rv, rv).otherwise(ru).alias("rdst"),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("b1"), F.col("rdst").alias("rb1")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("w_src"), F.col("dst").alias("b2"), F.col("rdst").alias("rb2")
+    )
+    wedges = e1.join(e2, "w_src").filter(F.col("rb1") < F.col("rb2"))
+    closing = oriented.select(
+        F.col("src").alias("b1"), F.col("dst").alias("b2")
+    )
+    tri = wedges.join(closing, ["b1", "b2"])
+    n_nodes = li.select("p").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = undirected.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

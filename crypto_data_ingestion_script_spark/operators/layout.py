@@ -111,3 +111,69 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = t.events.select("event_id", "user_id", "value")
     zorder_write(src, ("user_id", "value"), out, n_files=16)
     return spark.read.parquet(out)
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 150000
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("layout", "join"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED tables: both sides are written
+    ``bucketBy(8, join_key).sortBy(join_key)`` so the join runs with no
+    Exchange and no Sort on either side — the shuffle is paid once at
+    write time and amortized over every subsequent join on that key. At
+    100 TB this is the difference between re-shuffling 100 TB per query
+    and a local merge per bucket pair. tests/test_bucketing.py asserts the
+    no-Exchange plan property; this query asserts the RESULT is identical
+    to the plain join (the oracle joins the raw parquet).
+
+    The write repartitions each side by the join key first so every bucket
+    is a single file (otherwise each of the N writing tasks emits its own
+    fragment per bucket -> N*8 small files, and the reader must merge-sort
+    fragments to keep the per-bucket sort guarantee).
+    """
+    import os
+    import re
+    import tempfile
+
+    t = load(spark, sf_dir)
+    tag = re.sub(r"\W", "_", sf_dir).strip("_")
+    db = "bucketed_q_" + tag
+    # External-path tables: a stale warehouse dir from a previous session
+    # would make managed-table creation fail with LOCATION_ALREADY_EXISTS;
+    # an explicit location + overwrite mode is restart-safe.
+    base = os.path.join(tempfile.gettempdir(), "bucketed_q", tag)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, df, key in (
+        ("orders_b", t.orders, "o_orderkey"),
+        ("lineitem_b", t.lineitem, "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(f"{db}.{name}"):
+            (
+                df.repartition(8, key)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{name}")
+            )
+    o = spark.table(f"{db}.orders_b").filter(F.col("o_totalprice") > 150000)
+    l = spark.table(f"{db}.lineitem_b")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

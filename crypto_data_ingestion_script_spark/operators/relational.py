@@ -452,3 +452,54 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.select(
         "event_id", F.explode_outer(arr).alias("k_val")
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    ORDER BY p_size, p_partkey
+    """,
+    tags=("relational", "skyline"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): parts not dominated on (size max,
+    retailprice min). The textbook formulation is the quadratic NOT EXISTS
+    self-join the oracle runs — O(n^2) comparisons, a non-starter at 100 TB.
+    The Spark plan exploits the 2-D structure instead: aggregate to one
+    (size, min_price) row per distinct size (tiny — map-side partial
+    aggregation does almost all the work), compute the prefix-min price
+    over strictly larger sizes on that tiny table, and broadcast-join it
+    back. A row survives iff it is the cheapest at its own size AND
+    strictly cheaper than everything bigger. One cheap shuffle on p_size,
+    one broadcast — linear scan cost, no self-join of the fact table.
+    """
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    by_size = (
+        t.part.groupBy("p_size").agg(F.min("p_retailprice").alias("best_here"))
+    )
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = by_size.withColumn("best_above", F.min("best_here").over(w))
+    return (
+        t.part.join(F.broadcast(frontier), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("best_here"))
+            & (
+                F.col("best_above").isNull()
+                | (F.col("p_retailprice") < F.col("best_above"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )

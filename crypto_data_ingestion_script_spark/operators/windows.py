@@ -321,3 +321,104 @@ def q_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.nth_value("value", 3).over(w).alias("third_seen"),
     )
+
+
+@query(
+    "q_median_window",
+    oracle="""
+    SELECT event_id, event_type,
+           round(median(value) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                 8) AS rolling_median
+    FROM events
+    """,
+    tags=("window", "robust-stats"),
+)
+def q_median_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (interpolated) median of the last 10 observations per key —
+    the robust-statistics twin of q_moving_avg, outlier-proof where the
+    mean is not. Spark has no median window function, so the frame is
+    materialized as a bounded collect_list (10 elements — constant memory
+    per row), sorted, and interpolated with pure array expressions; the
+    whole thing stays in codegen, no UDF. A full-history frame would NOT
+    scale this way — the bounded frame is the point: state per row is
+    O(frame), not O(partition).
+
+    Reference parity: robust analysis over downsampled_prices is delegated
+    query surface (reference README.md:41-42); the reference keeps only the
+    running mean (dataCollector.py:91-93).
+    """
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    median = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2.0
+    )
+    return t.events.select(
+        "event_id",
+        "event_type",
+        F.round(median, 8).alias("rolling_median"),
+    )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+    ),
+    swept AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS live
+      FROM pts
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("window", "interval"),
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via sweep line: each event opens a
+    half-open [ts, ts+30min) validity interval; the answer is the max
+    number simultaneously live per key. The classic O(n^2) formulation is
+    a self-join on range overlap; the sweep line is O(n log n) — unpivot
+    every interval into a (+1 at start, -1 at end) point, running-sum in
+    event order, take the max. Ends sort before starts at the same instant
+    (delta ascending), so touching intervals do not overlap.
+
+    One union (no shuffle — same source scanned twice, map-side), one
+    shuffle on the partition key, streaming window. At 100 TB the per-key
+    sweep is sequential by nature; the scale move is sweeping per (key,
+    day) with carry-in counts when keys are few and partitions huge.
+    """
+    t = load(spark, sf_dir)
+    starts = t.events.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = t.events.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        starts.unionAll(ends)
+        .select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").alias("peak_concurrent"))
+        .orderBy("event_type")
+    )

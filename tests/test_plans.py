@@ -413,3 +413,50 @@ def test_max_partition_bytes_controls_scan_parallelism(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     assert narrow > wide, (narrow, wide)
+
+
+def test_skyline_avoids_quadratic_self_join(spark, sf_dir):
+    """The skyline plan must be the window-over-distinct-sizes + broadcast
+    shape, never the oracle's O(n^2) NOT EXISTS nested loop: no
+    BroadcastNestedLoopJoin anywhere, and the join back to the fact table
+    must be a broadcast hash join."""
+    from crypto_data_ingestion_script_spark.operators.relational import q_skyline
+    from crypto_data_ingestion_script_spark.plans.explain import (
+        _node_count,
+        uses_broadcast_join,
+    )
+
+    df = q_skyline(spark, sf_dir)
+    assert _node_count(df, "BroadcastNestedLoopJoin") == 0
+    assert uses_broadcast_join(df)
+
+
+def test_triangles_all_equi_joins(spark, sf_dir):
+    """Degree-ordered triangle counting must stay in hash/sort-merge join
+    land — an OR-shaped closing-edge condition silently degrades to a
+    nested loop, which is the difference between |E|^1.5 and |E|^2. The
+    only nested-loop joins allowed are the two 1-row x 1-row scalar
+    crossJoins assembling the (n_nodes, n_edges, n_triangles) result row."""
+    from crypto_data_ingestion_script_spark.operators.graph import q_triangles
+    from crypto_data_ingestion_script_spark.plans.explain import _node_count
+
+    df = q_triangles(spark, sf_dir)
+    assert _node_count(df, "BroadcastNestedLoopJoin") <= 2
+    assert _node_count(df, "CartesianProduct") == 0
+    equi = sum(
+        _node_count(df, n)
+        for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert equi >= 3, f"expected wedge+closing equi joins, saw {equi}"
+
+
+def test_bucketed_query_is_shuffle_free(spark, sf_dir):
+    """q_join_bucketed end-to-end: bucketed scans satisfy both the join
+    distribution AND the groupBy distribution (grouping keys are a
+    superset of the bucket key), so the whole plan runs with ZERO
+    exchanges — scan, merge join, aggregate, all partition-local."""
+    from crypto_data_ingestion_script_spark.operators.layout import q_join_bucketed
+    from crypto_data_ingestion_script_spark.plans.explain import _node_count
+
+    df = q_join_bucketed(spark, sf_dir)
+    assert _node_count(df, "Exchange") == 0, "bucketed pipeline shuffled"
