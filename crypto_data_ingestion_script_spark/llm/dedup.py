@@ -390,3 +390,90 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )
+
+
+@query(
+    "q_jaccard_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "similarity-join"),
+)
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (token Jaccard >= 0.9) via prefix
+    filtering (PPJoin family, Chaudhuri/Xiao et al.) — the exact
+    complement to the MinHash-LSH approximate path (q_dedup_near): same
+    candidate-pruning idea, but with a zero-false-negative guarantee, so
+    the output is checkable against the quadratic oracle value-for-value.
+
+    Why it scales where the oracle's all-pairs join cannot: tokens are
+    ranked by global rarity (ascending document frequency); each doc only
+    emits its first |A| - ceil(tau*|A|) + 1 rarest tokens as join keys. Two
+    docs whose rare-token prefixes are disjoint provably cannot reach
+    Jaccard tau, so the candidate set concentrates on pairs sharing RARE
+    tokens — frequent tokens (the skew bombs of any token self-join) never
+    become join keys. Candidates are then verified exactly with one
+    array_intersect/array_union per pair. At 100 TB: token-rank dictionary
+    is vocabulary-sized (broadcast); the only fact-scale shuffles are the
+    doc-token groupBys and the candidate equi-join.
+    """
+    from pyspark.sql import Window
+
+    tau = 0.9
+    t = load(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+                "tok"
+            ),
+        )
+    )
+    # global rarity rank: ascending df, token as tiebreak — vocabulary-sized
+    rank = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
+        .select("tok", "r")
+    )
+    ranked_sets = (
+        tok.join(F.broadcast(rank), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+        .withColumn("n", F.size("rs"))
+        .withColumn("plen", F.col("n") - F.ceil(F.lit(tau) * F.col("n")).cast("int") + 1)
+    )
+    prefixes = ranked_sets.select(
+        "doc_id", "rs", "n", F.explode(F.expr("slice(rs, 1, plen)")).alias("ptok")
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"), F.col("rs").alias("ra"), F.col("ptok")
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"), F.col("rs").alias("rb"), F.col("ptok")
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ra", "rb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("ra", "rb"))
+    union = F.size(F.array_union("ra", "rb"))
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -185,3 +185,62 @@ def q_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("type_coarse"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m, median(abs(e.value - m)) AS d
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, m
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m) / (1.4826 * d), 6) AS robust_z
+    FROM events e JOIN mad USING (event_type)
+    WHERE d > 0 AND abs(e.value - m) > 3 * 1.4826 * d
+    ORDER BY e.event_id
+    """,
+    tags=("quality", "robust-stats"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: flag rows
+    more than 3 robust standard deviations (1.4826 * MAD) from their
+    group median. Unlike the mean/stddev z-score (q_zscore), both center
+    and spread are breakdown-resistant — a single wild value cannot mask
+    itself by inflating the spread estimate, which is exactly the failure
+    mode of naive z-scoring on heavy-tailed training data.
+
+    Two aggregation passes (median, then median of deviations), each a
+    key-sized result broadcast back onto the facts — no window over the
+    full partition, no sort of the fact table. At 100 TB: two fact scans
+    + two tiny broadcasts; Spark's exact median agg is
+    single-pass-with-buffer per group (same contract the oracle uses).
+    """
+    t = load(spark, sf_dir)
+    med = t.events.groupBy("event_type").agg(F.median("value").alias("m"))
+    mad = (
+        t.events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.median(F.abs(F.col("value") - F.col("m"))).alias("d"))
+    )
+    return (
+        t.events.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("d") > 0)
+            & (F.abs(F.col("value") - F.col("m")) > 3 * 1.4826 * F.col("d"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("m")) / (1.4826 * F.col("d")), 6).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("event_id")
+    )
