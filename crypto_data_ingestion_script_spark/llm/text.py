@@ -602,3 +602,49 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "q_text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS clean_text,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS clean_len,
+           n_chars - length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS removed
+    FROM documents
+    """,
+    tags=("text", "cleaning"),
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every training-
+    data pipeline: lowercase, strip everything outside [a-z0-9 ], collapse
+    whitespace runs, trim. Emits the cleaned text plus a removed-char
+    count (the quality signal: a document whose length collapses under
+    cleaning was mostly markup/noise — downstream filters threshold on
+    exactly this ratio).
+
+    All regexp_replace: JVM-side, codegen, zero shuffles — a pure map
+    stage that pipelines into whatever consumes it. At 100 TB this is the
+    op that must NEVER be a Python UDF: per-row Python costs more than
+    the rest of the pipeline combined at this width.
+    """
+    t = load(spark, sf_dir)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return t.documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_len"),
+        (F.col("n_chars") - F.length(cleaned)).alias("removed"),
+    )

@@ -497,3 +497,66 @@ def q_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS bucket,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    row_m AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY event_type),
+    col_m AS (SELECT bucket, sum(o) AS ct FROM cells GROUP BY bucket),
+    tot AS (SELECT sum(o) AS n FROM cells)
+    SELECT round(sum((o - rt * ct / CAST(n AS DOUBLE))
+                     * (o - rt * ct / CAST(n AS DOUBLE))
+                     / (rt * ct / CAST(n AS DOUBLE))), 6) AS chi2,
+           CAST((count(DISTINCT c.event_type) - 1)
+                * (count(DISTINCT c.bucket) - 1) AS BIGINT) AS dof
+    FROM cells c
+    JOIN row_m USING (event_type)
+    JOIN col_m USING (bucket)
+    CROSS JOIN tot
+    """,
+    tags=("agg", "stats"),
+)
+def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and a value
+    band — the feature-association screen run before keeping a categorical
+    column in a training set. chi2 = sum over contingency cells of
+    (observed - expected)^2 / expected with expected = row_total *
+    col_total / N.
+
+    The contingency table is cells-sized (categories^2), so after ONE
+    fact-table groupBy everything downstream — margins, totals, the
+    statistic — is dimension-scale arithmetic on broadcast-sized data.
+    This is the general template for engine-side statistics: reduce to
+    sufficient statistics early, never move raw rows twice.
+    """
+    t = load(spark, sf_dir)
+    cells = t.events.groupBy(
+        "event_type",
+        F.when(F.col("value") >= 50, "hi").otherwise("lo").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_m = cells.groupBy("bucket").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    exp = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    return (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6
+            ).alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("bucket") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
+        )
+    )

@@ -16,7 +16,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -178,4 +178,77 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both") / F.col("n_a")).alias("confidence_a_to_b"),
             (F.col("n_both") / F.col("n_b")).alias("confidence_b_to_a"),
         )
+    )
+
+
+@query(
+    "q_streaks",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, value, ts, event_id,
+             lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN prev IS NULL OR value <= prev THEN 1 ELSE 0 END AS brk
+      FROM ordered
+    ),
+    grouped AS (
+      SELECT event_type,
+             sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    ),
+    runs AS (
+      SELECT event_type, run_id, count(*) AS run_len
+      FROM grouped GROUP BY event_type, run_id
+    )
+    SELECT event_type,
+           CAST(max(run_len) AS BIGINT) AS longest_up_streak,
+           count(*) AS n_runs
+    FROM runs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("behavior", "window"),
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing streak per key — the gaps-and-islands
+    pattern applied to monotone runs (momentum/anomaly signal over the
+    reference's price series; sessionization's q_session twin uses time
+    gaps where this uses value direction). A break flag (first row or
+    value <= previous) cumulative-summed in event order assigns each row a
+    run id without any self-join; run lengths are then a plain groupBy.
+
+    CAVEAT the oracle must mirror: the run-id cumsum needs a stable row
+    order shared by both engines — (ts, event_id) is the deterministic
+    event order used everywhere else in this engine.
+
+    Scale: one shuffle on event_type, two streaming window passes over
+    sorted partitions, then an agg whose cardinality is runs (<< rows).
+    """
+    t = load(spark, sf_dir)
+    order_w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("value").over(order_w).isNull()
+            | (F.col("value") <= F.lag("value").over(order_w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select("event_type", F.sum("brk").over(run_w).alias("run_id"))
+    runs = flagged.groupBy("event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.max("run_len").alias("longest_up_streak"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .orderBy("event_type")
     )
