@@ -422,3 +422,110 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").alias("peak_concurrent"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_topk_ties",
+    oracle="""
+    SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT event_type, event_id, value,
+             rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    ORDER BY event_type, rnk, event_id
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group WITH TIES (SQL:2008 FETCH ... WITH TIES semantics):
+    rank() instead of q_topk_group's row_number(), so equal values at the
+    boundary all survive — the difference between 'give me 3 rows' and
+    'give me the top-3 values', which matters whenever downstream logic
+    keys on the VALUE (price levels, score cutoffs). Same single-shuffle
+    rank-and-filter shape; output cardinality is data-dependent.
+    """
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    return (
+        t.events.select(
+            "event_type", "event_id", "value", F.rank().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("event_type", "rnk", "event_id")
+    )
+
+
+@query(
+    "q_ratio_to_report",
+    oracle="""
+    SELECT event_type, event_id, value,
+           round(value / sum(value) OVER (PARTITION BY event_type), 8)
+             AS share_of_type,
+           round(value / sum(value) OVER (), 8) AS share_of_total
+    FROM events
+    """,
+    tags=("window", "agg"),
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (Oracle/Teradata RATIO_TO_REPORT): each row's
+    share of its group total and of the grand total, via unbounded window
+    sums — no join back, no second scan. The grand-total window is a
+    single-partition reduction of already-partial sums, not a
+    single-partition sort of the data (no ORDER BY in the frame), so it
+    stays safe at scale.
+    """
+    t = load(spark, sf_dir)
+    by_type = Window.partitionBy("event_type")
+    total = Window.partitionBy()
+    return t.events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(F.col("value") / F.sum("value").over(by_type), 8).alias(
+            "share_of_type"
+        ),
+        F.round(F.col("value") / F.sum("value").over(total), 8).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@query(
+    "q_window_distinct",
+    oracle="""
+    SELECT event_type, ts, event_id,
+           count(DISTINCT user_id) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)
+             AS distinct_users_so_far
+    FROM events
+    """,
+    tags=("window", "distinct"),
+)
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per key — Spark does not support
+    DISTINCT aggregates over windows, so the engine expresses it as
+    size(collect_set(...)) over the running frame: same semantics, and the
+    set dedupes incrementally inside the frame buffer. At true 100 TB
+    cardinalities the exact set per row stops being cheap and the right
+    tool becomes the HLL sketch variant (q_hll_sketch) — this op is the
+    exact twin for key-bounded cardinalities.
+    """
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.size(F.collect_set("user_id").over(w))
+        .cast("bigint")
+        .alias("distinct_users_so_far"),
+    )
