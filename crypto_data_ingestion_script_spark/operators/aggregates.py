@@ -13,7 +13,7 @@ Expand (one input pass, G group-replicas) rather than G separate scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -559,4 +559,70 @@ def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("dof"),
         )
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey, sum(o.o_totalprice) AS x
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY x, c_custkey) AS i,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n,
+             sum(x)   OVER (PARTITION BY c_mktsegment) AS tot
+      FROM spend
+    )
+    SELECT c_mktsegment,
+           round(2.0 * sum(i * x) / (n * tot) - (n + 1.0) / n, 8) AS gini,
+           n AS n_customers
+    FROM ranked
+    GROUP BY c_mktsegment, n, tot
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    concentration/inequality screen (is revenue spread across customers
+    or owned by whales?), same machinery a data curator uses to ask
+    whether a corpus is dominated by a few sources. Computed by the
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending
+    per-customer totals.
+
+    Shape: fact-table groupBy to customer grain, then ONE window sort at
+    customer cardinality (already aggregate-sized), then a group agg.
+    The (n, tot) window values ride the same partition sort — no extra
+    shuffles, no self-join.
+    """
+    t = load(spark, sf_dir)
+    spend = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    by_seg = Window.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        "x",
+        F.row_number().over(by_seg.orderBy("x", "c_custkey")).alias("i"),
+        F.count(F.lit(1)).over(by_seg).alias("n"),
+        F.sum("x").over(by_seg).alias("tot"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment", "n", "tot")
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x")) / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                8,
+            ).alias("gini")
+        )
+        .select("c_mktsegment", "gini", F.col("n").alias("n_customers"))
+        .orderBy("c_mktsegment")
     )

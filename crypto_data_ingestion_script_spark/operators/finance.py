@@ -478,3 +478,170 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hours"),
         )
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 4) AS weighted_median_price
+    FROM cum
+    WHERE cw >= tw / 2
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("finance", "robust-stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price
+    at which cumulative quantity reaches half the group's total — the
+    volume-centric 'typical price' (plain median treats a 1-unit and a
+    50-unit line identically; TWAP/VWAP are the mean-family analogs).
+
+    One shuffle on the group key, one sorted streaming pass for the
+    cumulative weight (the total is a window agg over the same partition,
+    no extra exchange), then a filter + min. No percentile buffer, no
+    collect — the 100 TB path is identical to the small-data path.
+    """
+    t = load(spark, sf_dir)
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    return (
+        t.lineitem.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.sum("l_quantity").over(cum_w).alias("cw"),
+            F.sum("l_quantity").over(tot_w).alias("tw"),
+        )
+        .filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close_price
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(hour_ts), max(hour_ts),
+                                    INTERVAL 1 HOUR)) AS hour_ts
+      FROM bars GROUP BY event_type
+    ),
+    j AS (
+      SELECT s.event_type, s.hour_ts, b.close_price,
+             row_number() OVER (PARTITION BY s.event_type
+                                ORDER BY s.hour_ts) AS rn
+      FROM spine s LEFT JOIN bars b USING (event_type, hour_ts)
+    ),
+    ctx AS (
+      SELECT event_type, hour_ts, close_price, rn,
+             last_value(close_price IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN close_price IS NOT NULL THEN rn END
+                        IGNORE NULLS) OVER wp AS pr,
+             first_value(close_price IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN close_price IS NOT NULL THEN rn END
+                         IGNORE NULLS) OVER wf AS nr
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY rn
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_ts,
+           round(CASE
+             WHEN close_price IS NOT NULL THEN close_price
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (rn - pr) / CAST(nr - pr AS DOUBLE)
+           END, 8) AS close_interp,
+           close_price IS NULL AS was_gap
+    FROM ctx ORDER BY event_type, hour_ts
+    """,
+    tags=("finance", "window"),
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across empty hours — the smooth-fill sibling
+    of q_gap_fill's step-function forward fill (forward fill biases any
+    downstream return/vol computation; interpolation splits the move
+    across the gap). Missing bars get prev + (next-prev) * elapsed
+    fraction; leading/trailing gaps stay NULL (no extrapolation).
+
+    The elapsed fraction uses spine ROW offsets, not timestamp
+    arithmetic: the hour spine is regular by construction, and row
+    offsets sidestep NTZ-interval division entirely (same trick both
+    engines express identically). Four windows, all over the same
+    (event_type, rn) sort — one shuffle, one sort, streaming frames.
+    """
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close_price"))
+    spine = (
+        bars.groupBy("event_type")
+        .agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_ts"
+            ),
+        )
+    )
+    order_w = Window.partitionBy("event_type").orderBy("hour_ts")
+    j = spine.join(bars, ["event_type", "hour_ts"], "left").withColumn(
+        "rn", F.row_number().over(order_w)
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    at_bar = F.col("close_price").isNotNull()
+    ctx = j.select(
+        "event_type",
+        "hour_ts",
+        "close_price",
+        "rn",
+        F.last("close_price", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(at_bar, F.col("rn")), ignorenulls=True).over(wp).alias("pr"),
+        F.first("close_price", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.when(at_bar, F.col("rn")), ignorenulls=True).over(wf).alias("nr"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("rn") - F.col("pr")
+    ) / (F.col("nr") - F.col("pr")).cast("double")
+    return ctx.select(
+        "event_type",
+        "hour_ts",
+        F.round(
+            F.when(F.col("close_price").isNotNull(), F.col("close_price")).otherwise(
+                F.when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+                )
+            ),
+            8,
+        ).alias("close_interp"),
+        F.col("close_price").isNull().alias("was_gap"),
+    ).orderBy("event_type", "hour_ts")
