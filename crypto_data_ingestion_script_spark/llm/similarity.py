@@ -292,3 +292,116 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(F.avg("v").alias("centroid_val"))
     )
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+               FROM embeddings WHERE vec_id < 25),
+    scored AS (
+      SELECT q.q_id, q.true_label, e.vec_id AS cand_id, e.label AS cand_label,
+             round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+             / (sqrt({_DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 8)
+               AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id >= 25
+    ),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM scored)
+      WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT q_id, true_label, cand_label, count(*) AS n_votes
+      FROM top5 GROUP BY q_id, true_label, cand_label
+    )
+    SELECT q_id, cand_label AS predicted_label, n_votes, true_label,
+           cand_label = true_label AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY n_votes DESC, cand_label) AS vr
+          FROM votes)
+    WHERE vr = 1 ORDER BY q_id
+    """,
+    tags=("llm", "similarity", "classify"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label assignment (k=5, cosine): classify the first 25 vectors
+    by majority label of their nearest neighbors in the rest of the corpus
+    — the weak-labeling / label-propagation primitive of a curation
+    pipeline (assign topics to unlabeled docs from their embedded
+    neighbors). Same Arrow-batch matmul scan as q_cosine_topk — one pass
+    over the corpus, no shuffle of it; ranking happens on the
+    (queries x k) scored slice. Neighbor ranking and vote tie-breaks both
+    order on ROUNDED similarity then ids, so the top-5 boundary is
+    engine-independent; majority ties resolve to the smallest label.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    t = load(spark, sf_dir)
+    qrows = (
+        t.embeddings.filter(F.col("vec_id") < 25)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    q_labels = {int(r["vec_id"]): int(r["label"]) for r in qrows}
+    Q = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["vec_id"] >= 25]
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            sims = (E @ Q.T) / (
+                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
+            )
+            n, k = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cand_label": np.repeat(pdf["label"].to_numpy(), k),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+
+    scored = t.embeddings.mapInPandas(
+        score, schema="q_id bigint, cand_id bigint, cand_label int, cos_sim double"
+    ).withColumn("cos_sim", F.round("cos_sim", 8))
+    nn_w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    top5 = scored.withColumn("rn", F.row_number().over(nn_w)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("q_id", "cand_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vote_w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    truth = spark.createDataFrame(
+        [(int(q), int(l)) for q, l in sorted(q_labels.items())],
+        "q_id bigint, true_label int",
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vote_w))
+        .filter(F.col("vr") == 1)
+        .join(F.broadcast(truth), "q_id")
+        .select(
+            "q_id",
+            F.col("cand_label").alias("predicted_label"),
+            "n_votes",
+            "true_label",
+            (F.col("cand_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )

@@ -626,3 +626,114 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "gini", F.col("n").alias("n_customers"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d, count(*) AS n_obs,
+           round(count(*) / CAST(n AS DOUBLE), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_p,
+           round(count(*) / CAST(n AS DOUBLE) - log10(1.0 + 1.0 / d), 6)
+             AS deviation
+    FROM digits CROSS JOIN tot
+    GROUP BY d, n ORDER BY d
+    """,
+    tags=("agg", "stats", "quality"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic-data / fraud screen: organically-grown magnitudes
+    follow P(d) = log10(1 + 1/d); fabricated or clipped columns don't.
+    Useful here exactly as a DATA-QUALITY audit on ingested feeds.
+
+    The digit extraction is pure arithmetic (no string casts): divide by
+    the value's own power of ten. One groupBy over 9 groups — map-side
+    partials do everything; the scalar total broadcasts.
+    """
+    t = load(spark, sf_dir)
+    digits = t.orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(
+            F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    obs_p = F.col("n_obs") / F.col("n").cast("double")
+    ben_p = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n_obs",
+            F.round(obs_p, 6).alias("observed_p"),
+            F.round(ben_p, 6).alias("benford_p"),
+            F.round(obs_p - ben_p, 6).alias("deviation"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close_price
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, close_price,
+             lag(close_price, 1) OVER w AS prev1,
+             lag(close_price, 24) OVER w AS prev24
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    )
+    SELECT event_type,
+           round(corr(close_price, prev1), 6) AS acf_lag1,
+           round(corr(close_price, prev24), 6) AS acf_lag24,
+           CAST(count(prev1) AS BIGINT) AS n_lag1
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "stats", "finance"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of hourly closes at lag 1 and lag 24 (the
+    mean-reversion vs daily-seasonality screen): Pearson corr between the
+    series and its shifted self. corr() ignores the NULL-lag leading rows
+    on both engines, so no explicit trimming is needed.
+
+    Series construction is the shared hourly-bar rollup; the lag is a
+    sorted-partition window; the correlation collapses to per-key
+    sufficient statistics (one-pass co-moments) — nothing in the plan
+    retains the series in memory.
+    """
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close_price"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    lagged = bars.select(
+        "event_type",
+        "close_price",
+        F.lag("close_price", 1).over(w).alias("prev1"),
+        F.lag("close_price", 24).over(w).alias("prev24"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.round(F.corr("close_price", "prev1"), 6).alias("acf_lag1"),
+            F.round(F.corr("close_price", "prev24"), 6).alias("acf_lag24"),
+            F.count("prev1").alias("n_lag1"),
+        )
+        .orderBy("event_type")
+    )
