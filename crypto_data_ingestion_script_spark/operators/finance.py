@@ -645,3 +645,82 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("close_interp"),
         F.col("close_price").isNull().alias("was_gap"),
     ).orderBy("event_type", "hour_ts")
+
+
+@query(
+    "q_cusum",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close_price
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT event_type, hour_ts,
+             close_price - avg(close_price) OVER (PARTITION BY event_type)
+               - 0.5 AS adj
+      FROM bars
+    ),
+    prefix AS (
+      SELECT event_type, hour_ts,
+             sum(adj) OVER (PARTITION BY event_type ORDER BY hour_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS p
+      FROM centered
+    ),
+    floored AS (
+      SELECT event_type, hour_ts, p,
+             min(p) OVER (PARTITION BY event_type ORDER BY hour_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run_min
+      FROM prefix
+    )
+    SELECT event_type, hour_ts,
+           round(p - least(run_min, 0), 8) AS cusum_stat,
+           p - least(run_min, 0) > 25 AS alarm
+    FROM floored ORDER BY event_type, hour_ts
+    """,
+    tags=("finance", "window", "changepoint"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over hourly closes. The textbook
+    statistic is the recursion S_t = max(0, S_{t-1} + x_t - mu - k) —
+    not directly a window function. But the recursion has a closed form:
+    with P_t the prefix sum of (x - mu - k),
+
+        S_t = P_t - min(0, min_{i<=t} P_i)
+
+    (the running max-with-floor is the prefix sum re-based at its running
+    minimum). Both sides become plain streaming window aggregates — the
+    same recursion-to-closed-form move as the EMA operator, which is how
+    stateful control charts run as one-pass distributed plans instead of
+    sequential loops. Alarm threshold h=25, drift k=0.5, mu = per-key
+    mean (two-pass; a known reference mean makes it single-pass).
+    """
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close_price"))
+    mu_w = Window.partitionBy("event_type")
+    run_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    centered = bars.select(
+        "event_type",
+        "hour_ts",
+        (F.col("close_price") - F.avg("close_price").over(mu_w) - 0.5).alias("adj"),
+    )
+    prefix = centered.select(
+        "event_type",
+        "hour_ts",
+        F.sum("adj").over(run_w).alias("p"),
+    ).withColumn("run_min", F.min("p").over(run_w))
+    stat = F.col("p") - F.least(F.col("run_min"), F.lit(0.0))
+    return prefix.select(
+        "event_type",
+        "hour_ts",
+        F.round(stat, 8).alias("cusum_stat"),
+        (stat > 25).alias("alarm"),
+    ).orderBy("event_type", "hour_ts")

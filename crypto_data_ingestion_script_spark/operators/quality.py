@@ -18,7 +18,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -243,4 +243,61 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_id")
+    )
+
+
+@query(
+    "q_id_gaps",
+    oracle="""
+    WITH feed AS (
+      SELECT event_id FROM events
+      WHERE NOT (event_id BETWEEN 100 AND 199)
+        AND NOT (event_id BETWEEN 700 AND 729)
+    ),
+    ordered AS (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM feed
+    )
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+    FROM ordered
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY gap_start
+    """,
+    tags=("quality", "audit"),
+)
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: find every hole in the event_id
+    sequence as a (gap_start, gap_end, n_missing) range — the ingestion
+    monitor that catches dropped batches (the reference logs-and-skips
+    failed fetches, dataCollector.py:115-116, leaving exactly such holes;
+    this op makes them queryable instead of buried in logs). The audited
+    feed drops two known id ranges to simulate lost batches — the driver
+    data itself is hole-free, and a 0-row audit proves nothing.
+
+    lag over the id order turns hole-finding into a single sorted window
+    pass emitting one row per RANGE, never one per missing id — a 10^9-id
+    hole is one output row. The global sort is the honest cost; at scale
+    the same pass runs per partition-day with boundary stitching.
+    """
+    t = load(spark, sf_dir)
+    feed = t.events.filter(
+        ~F.col("event_id").between(100, 199) & ~F.col("event_id").between(700, 729)
+    )
+    w = Window.orderBy("event_id")
+    ordered = feed.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return (
+        ordered.filter(
+            F.col("prev_id").isNotNull()
+            & ((F.col("event_id") - F.col("prev_id")) > 1)
+        )
+        .select(
+            (F.col("prev_id") + 1).alias("gap_start"),
+            (F.col("event_id") - 1).alias("gap_end"),
+            (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
     )
