@@ -186,6 +186,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ea.p").alias("u"), F.col("eb.p").alias("v"))
         .distinct()
     )
+    n_nodes = li.select("p").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = undirected.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = triangle_count(undirected).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def triangle_count(undirected: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration core: takes distinct undirected
+    edges as columns (u, v) with u != v (one row per unordered pair, either
+    orientation), returns one row per triangle. Factored out of
+    q_triangles so toy graphs with known counts exercise it directly
+    (tests/test_properties.py)."""
     deg = (
         undirected.select(F.col("u").alias("node"))
         .unionAll(undirected.select(F.col("v").alias("node")))
@@ -213,8 +225,4 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("b1"), F.col("dst").alias("b2")
     )
-    tri = wedges.join(closing, ["b1", "b2"])
-    n_nodes = li.select("p").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = undirected.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    return wedges.join(closing, ["b1", "b2"]).select("w_src", "b1", "b2")

@@ -209,3 +209,88 @@ def test_ema_closed_form_equals_recurrence(series):
         a * r ** (n - 1 - i) * x for i, x in enumerate(series[1:], start=1)
     )
     assert math.isclose(ema, closed, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_cusum_closed_form_equals_recursion():
+    """q_cusum rests on the identity S_t = P_t - min(0, min_{i<=t} P_i)
+    for the recursion S_t = max(0, S_{t-1} + a_t), S_0 = 0. Check it
+    directly on random series — the identity is what lets a stateful
+    control chart run as a stateless window plan."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(200):
+        xs = [rng.uniform(-5, 5) for _ in range(rng.randint(1, 60))]
+        s, recursion = 0.0, []
+        for x in xs:
+            s = max(0.0, s + x)
+            recursion.append(s)
+        p, run_min, closed = 0.0, 0.0, []
+        for x in xs:
+            p += x
+            run_min = min(run_min, p)
+            closed.append(p - min(run_min, 0.0))
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(recursion, closed)
+        ), (xs, recursion, closed)
+
+
+def test_triangle_count_on_known_graphs(spark):
+    """The degree-ordered triangle core must produce exact counts on
+    graphs with known answers: K4 has 4 triangles, a path has 0, a star
+    has 0 (the celebrity shape the orientation exists to tame), K4 plus a
+    pendant edge still has 4."""
+    from crypto_data_ingestion_script_spark.operators.graph import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame(edges, "u bigint, v bigint")
+        return triangle_count(df).count()
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    star = [(1, i) for i in range(2, 12)]
+    assert count(k4) == 4
+    assert count(path) == 0
+    assert count(star) == 0
+    assert count(k4 + [(4, 5)]) == 4
+
+
+def test_jaccard_prefix_filter_no_false_negatives():
+    """q_jaccard_join's pruning rule: rank tokens by global rarity, keep
+    each set's first n - ceil(tau*n) + 1 tokens as join keys; pairs with
+    disjoint prefixes are discarded WITHOUT exact verification. If that
+    ever dropped a true pair the operator would silently under-report, so
+    prove the guarantee on random universes against brute force."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    tau = 0.9
+    for trial in range(300):
+        universe = list(range(rng.randint(5, 40)))
+        sets = []
+        base = rng.sample(universe, rng.randint(1, len(universe)))
+        for _ in range(rng.randint(2, 8)):
+            s = set(base)
+            for tok in universe:
+                if rng.random() < 0.15:
+                    (s.discard if tok in s else s.add)(tok)
+            if s:
+                sets.append(frozenset(s))
+        freq = {}
+        for s in sets:
+            for tok in s:
+                freq[tok] = freq.get(tok, 0) + 1
+        order = {t: i for i, t in enumerate(sorted(freq, key=lambda t: (freq[t], t)))}
+        def prefix(s):
+            ranked = sorted(s, key=order.__getitem__)
+            plen = len(s) - math.ceil(tau * len(s)) + 1
+            return set(ranked[:plen])
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                a, b = sets[i], sets[j]
+                jac = len(a & b) / len(a | b)
+                if jac >= tau:
+                    assert prefix(a) & prefix(b), (
+                        f"trial {trial}: true pair pruned (jaccard={jac})"
+                    )
