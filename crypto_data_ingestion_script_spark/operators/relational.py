@@ -503,3 +503,64 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "p_size", "p_retailprice")
         .orderBy("p_size", "p_partkey")
     )
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops: INTERSECT ALL keeps min(multiplicity) per
+    side — the q_intersect twin that does NOT collapse duplicates, which
+    is the semantics reconciliation jobs actually need ('how many rows
+    agree', not 'which keys agree'). Spark's intersectAll compiles to a
+    count-compare aggregation, not a distinct + semi-join; the follow-up
+    groupBy makes the multiplicities visible and the output compact.
+    """
+    t = load(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(t.supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q_group_by_all",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           count(*) AS n, round(sum(value), 6) AS total
+    FROM events
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sqlsurface", "agg"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (SQL surface both Spark 4 and DuckDB
+    share): every non-aggregate select item becomes a grouping key — the
+    ergonomic form analysts actually write; the engine must resolve it to
+    the same plan as the explicit key list. Registered via spark.sql to
+    exercise the parser path, not the DataFrame builder.
+    """
+    t = load(spark, sf_dir)
+    t.events.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n, round(sum(value), 6) AS total
+        FROM events
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
