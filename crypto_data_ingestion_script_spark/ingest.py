@@ -85,10 +85,20 @@ def _tick_stream_from_events(t) -> DataFrame:
     )
 
 
-@query("q_sink_bronze", tags=("sink", "ingest"))
+@query(
+    "q_sink_bronze",
+    oracle="""
+    SELECT ts, event_type AS symbol, value AS price,
+           CAST(ts AS DATE) AS ingest_date
+    FROM events
+    """,
+    tags=("sink", "ingest"),
+)
 def q_sink_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tick stream → partitioned bronze append → read back. Rows-only: the
-    checked property is lossless partitioned persistence (count/schema)."""
+    """Tick stream → partitioned bronze append → read back. The oracle is
+    the source projection itself: partitioned persistence must be
+    content-lossless INCLUDING the derived partition column (read back as
+    DATE from directory values), same contract as q_zorder's rewrite."""
     t = load(spark, sf_dir)
     bronze = os.path.join(tempfile.mkdtemp(prefix="bronze_"), "raw_ticks")
     write_bronze(_tick_stream_from_events(t), bronze)

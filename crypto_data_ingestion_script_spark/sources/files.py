@@ -60,16 +60,28 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_scan_json_roundtrip", tags=("source", "json"))
+@query(
+    "q_scan_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, value, props
+    FROM events WHERE event_id < 200
+    """,
+    tags=("source", "json"),
+)
 def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet → JSON-lines → read back with explicit schema (rows-only:
-    the interesting property is schema-stable ingestion, checked by the
-    row-count + schema gate)."""
+    """Parquet → JSON-lines → read back with explicit schema. The oracle
+    checks text-serialization fidelity on the typed columns: bigints,
+    strings, and DOUBLES must survive the decimal round-trip exactly
+    (Spark writes shortest-exact representations). Timestamps are
+    excluded from the hash — JSON timestamp formatting is a lossy
+    format-option choice, exercised rows-only by the schema gate."""
     t = load(spark, sf_dir)
     subset = t.events.filter(F.col("event_id") < 200)
     out = os.path.join(tempfile.mkdtemp(prefix="json_roundtrip_"), "events_json")
     subset.coalesce(1).write.mode("overwrite").json(out)
-    return read_json(spark, out, schema=EVENTS_DDL)
+    return read_json(spark, out, schema=EVENTS_DDL).select(
+        "event_id", "event_type", "value", "props"
+    )
 
 
 @query(
