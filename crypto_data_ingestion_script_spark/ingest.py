@@ -222,11 +222,24 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_retention", tags=("ingest", "retention"))
+@query(
+    "q_retention",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS ingest_date FROM events),
+         mx AS (SELECT max(ingest_date) AS m FROM d)
+    SELECT ingest_date, count(*) AS n_ticks
+    FROM d CROSS JOIN mx
+    WHERE ingest_date >= m - 7
+    GROUP BY ingest_date
+    """,
+    tags=("ingest", "retention"),
+)
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention: write multi-day bronze, drop partitions older than the
     cutoff (keep 7 days from the corpus max date), return the survivors.
-    Rows-only; the survivors' min(ingest_date) proves the drop happened."""
+    The oracle recomputes the survivor set relationally: partition-drop
+    must equal a date filter — nothing more, nothing less (dropping the
+    wrong partition, or rewriting surviving rows, both hash-mismatch)."""
     import datetime as dt
 
     t = load(spark, sf_dir)

@@ -100,12 +100,32 @@ def simulated_fetch_from_events(sf_dir: str) -> Callable[[str], float]:
     return fetch
 
 
-@query("q_source_ingest", tags=("source", "ingest"))
+@query(
+    "q_source_ingest",
+    oracle="""
+    WITH px AS (
+      SELECT round(avg(value), 6) AS p,
+             row_number() OVER (ORDER BY event_type) - 1 AS idx,
+             count(*) OVER () AS n_keys
+      FROM events GROUP BY event_type
+    ),
+    syms AS (SELECT unnest(['BTCUSDT', 'ETHUSDT', 'LTCBTC']) AS symbol)
+    SELECT TIMESTAMP '2024-01-15 12:00:00' AS ts, s.symbol,
+           px.p + length(s.symbol) AS price
+    FROM syms s JOIN px
+      ON px.idx = list_sum(list_transform(str_split(s.symbol, ''),
+                                          c -> unicode(c))) % px.n_keys
+    """,
+    tags=("source", "ingest"),
+)
 def q_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simulated REST poll cycle: symbol table → executor-side fetch →
-    tick rows (rows-only check: ingest timestamps are injected as a fixed
-    literal for determinism, but the fetch path is the real mapInPandas
-    plumbing, including a failing symbol that must be skipped)."""
+    tick rows through the real mapInPandas plumbing, including a failing
+    symbol that must be skipped (row-level tolerance). The simulated
+    endpoint is deterministic (bucketed per-type average + symbol
+    length), so the oracle reproduces the exact fetched values in SQL —
+    the ingest path is value-checked, not just row-counted; only the
+    injected XXXFAIL symbol is absent from both sides."""
     import datetime as dt
 
     load(spark, sf_dir)
@@ -166,13 +186,32 @@ def flaky_fetch(
     return fetch
 
 
-@query("q_source_ingest_retry", tags=("source", "ingest"))
+@query(
+    "q_source_ingest_retry",
+    oracle="""
+    WITH px AS (
+      SELECT round(avg(value), 6) AS p,
+             row_number() OVER (ORDER BY event_type) - 1 AS idx,
+             count(*) OVER () AS n_keys
+      FROM events GROUP BY event_type
+    ),
+    syms AS (SELECT unnest(['BTCUSDT', 'ETHUSDT', 'LTCBTC']) AS symbol)
+    SELECT TIMESTAMP '2024-01-15 12:00:00' AS ts, s.symbol,
+           px.p + length(s.symbol) AS price
+    FROM syms s JOIN px
+      ON px.idx = list_sum(list_transform(str_split(s.symbol, ''),
+                                          c -> unicode(c))) % px.n_keys
+    """,
+    tags=("source", "ingest"),
+)
 def q_source_ingest_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poll cycle against a transiently-failing endpoint (every symbol 429s
     twice, then succeeds) with exponential-backoff retry: every symbol must
     survive — where the reference (and q_source_ingest's bare path) would
-    have dropped the row. Rows-only; tests/test_rest_retry.py asserts the
-    with/without-retry row counts differ."""
+    have dropped the row. The oracle is the SAME full fetched-value set as
+    q_source_ingest: under retry, transient failure must be invisible in
+    the output. tests/test_rest_retry.py asserts the without-retry path
+    actually loses rows, so this equality is not vacuous."""
     import datetime as dt
 
     load(spark, sf_dir)
