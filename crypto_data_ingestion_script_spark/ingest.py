@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
@@ -478,4 +478,35 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_custkey", "c_name")
         .agg(F.sum("rev").alias("revenue"))
+    )
+
+
+@query(
+    "q_surrogate_key",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY ts, event_id) AS sk,
+           event_id, event_type
+    FROM events
+    """,
+    tags=("ingest", "keys"),
+)
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense surrogate keys: row_number over the canonical
+    (ts, event_id) order. The tempting alternative,
+    ``monotonically_increasing_id()``, is partition-layout-dependent —
+    ids change when the scan parallelism does, which silently breaks any
+    downstream join keyed on them; this formulation is reproducible
+    run-to-run by construction (and therefore oracle-checkable at all).
+
+    The single global sort is the honest cost of DENSE ids. At 100 TB the
+    same contract runs as two passes: repartitionByRange on the sort key,
+    count per range, then per-partition row_number + broadcast prefix
+    offsets — same output, no single-partition window. When density is
+    not required, a content hash (q_hash) or (partition, offset) pair is
+    the shuffle-free answer.
+    """
+    t = load(spark, sf_dir)
+    w = Window.orderBy("ts", "event_id")
+    return t.events.select(
+        F.row_number().over(w).alias("sk"), "event_id", "event_type"
     )

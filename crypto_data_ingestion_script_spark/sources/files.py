@@ -190,3 +190,40 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .select("doc_id", "n_chars", "lang")
     )
+
+
+@query(
+    "q_file_metadata",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           count(*) AS n_rows,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    """,
+    tags=("source", "lineage"),
+)
+def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance projection via the hidden ``_metadata`` struct:
+    every row knows which physical file it came from — the lineage
+    primitive behind per-file quarantine (bad file → drop exactly its
+    rows), incremental reprocessing, and audit queries, with zero cost
+    when unreferenced (the column is populated from split metadata, not
+    read from disk). Grouped to per-file stats here; basenames only, so
+    the check is location-independent.
+    """
+    t = load(spark, sf_dir)
+    return (
+        t.events.select(
+            F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
+                "file_name"
+            ),
+            "event_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("file_name")
+    )
