@@ -39,20 +39,50 @@ EVENTS_DDL = (
 )
 
 
+#: Raw dtype of events.ts per sf_dir — parquet generations differ (older
+#: testdata: TIMESTAMP(NANOS) surfaced as nano-longs via nanosAsLong; newer:
+#: TIMESTAMP(MICROS) surfaced natively). Probed once from the batch footer.
+_RAW_TS_DTYPE: dict[str, str] = {}
+
+
+def _events_raw_ts_dtype(spark: SparkSession, events_path: str) -> str:
+    dtype = _RAW_TS_DTYPE.get(events_path)
+    if dtype is None:
+        dtype = dict(spark.read.parquet(events_path).dtypes)["ts"]
+        _RAW_TS_DTYPE[events_path] = dtype
+    return dtype
+
+
+def _stream_events_from(
+    spark: SparkSession, directory: str, probe_path: str, **options: str
+) -> DataFrame:
+    """File-source stream over events-shaped parquet, normalizing ts to a
+    TIMESTAMP (LTZ) column whatever the file's physical encoding. Watermarks
+    require LTZ; the session TZ is pinned UTC, so wall clock matches the NTZ
+    batch path exactly (catalog._NANO_TS_COLS handles the batch side)."""
+    dtype = _events_raw_ts_dtype(spark, probe_path)
+    if dtype == "bigint":
+        # TIMESTAMP(NANOS) read as nano-longs: truncate ns → us like DuckDB.
+        ddl = EVENTS_DDL.replace("ts timestamp_ntz", "ts bigint")
+        reader = spark.readStream.schema(ddl)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(directory)
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Native TIMESTAMP(MICROS): read as NTZ (matching the file), cast to LTZ.
+    reader = spark.readStream.schema(EVENTS_DDL)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(directory)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet. The testdata stores ts
-    as TIMESTAMP(NANOS) (read as nano-longs, see session.RUNTIME_CONFS), so
-    the stream converts to timestamp_ntz exactly like the batch catalog."""
-    raw_ddl = EVENTS_DDL.replace("ts timestamp_ntz", "ts bigint")
-    # File-stream sources take a directory; select the one table via glob.
-    stream = (
-        spark.readStream.schema(raw_ddl)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    """File-source stream over the sf_dir events parquet (one-table glob)."""
+    probe = os.path.join(sf_dir, "events.parquet")
+    return _stream_events_from(
+        spark, sf_dir, probe, pathGlobFilter="events.parquet"
     )
-    # Watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC, so the
-    # wall clock matches the NTZ batch path exactly.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -455,12 +485,8 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     shutil.copy(src, os.path.join(indir, "gen0.parquet"))
     shutil.copy(src, os.path.join(indir, "gen1.parquet"))
-    raw_ddl = EVENTS_DDL.replace("ts timestamp_ntz", "ts bigint")
-    stream = (
-        spark.readStream.schema(raw_ddl)
-        .option("maxFilesPerTrigger", "1")  # two generations, two batches
-        .parquet(indir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _stream_events_from(
+        spark, indir, src, maxFilesPerTrigger="1"  # two generations, two batches
     )
     deduped = (
         stream.withWatermark("ts", "1 hour")
