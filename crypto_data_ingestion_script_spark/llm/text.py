@@ -648,3 +648,144 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cleaned).alias("clean_len"),
         (F.col("n_chars") - F.length(cleaned)).alias("removed"),
     )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    SELECT token,
+           count(DISTINCT doc_id)                  AS df,
+           (list_sort(list(DISTINCT doc_id)))[1:1000] AS postings
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+    tags=("text", "search"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — token → (document frequency, sorted posting
+    list) — the core retrieval structure a corpus-scale search layer needs.
+    One explode + one groupBy(token) shuffle; map-side partial aggregation
+    collapses repeated (token, doc) pairs before the exchange.
+
+    Postings are sorted (delta-encodable at rest) and capped at 1000 per
+    token: at 100 TB a stopword's full posting list is itself a big-data
+    object, so production shards hot tokens across segment files — the
+    cap documents that boundary instead of pretending one array holds it.
+    """
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 1000).alias("postings"),
+    )
+
+
+#: BM25 constants (Robertson/Sparck Jones defaults).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("hash", "merge")
+
+
+def _bm25_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    per_term = " + ".join(
+        f"""
+        (ln(1 + (stats.n_docs - df_{t}.df + 0.5) / (df_{t}.df + 0.5))
+         * (tf.tf_{t} * ({k1} + 1.0))
+         / (tf.tf_{t} + {k1} * (1 - {b} + {b} * tf.doclen / stats.avglen)))
+        """
+        for t in _BM25_TERMS
+    )
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_ctes = ", ".join(
+        f"""df_{t} AS (
+          SELECT count(*) AS df FROM documents
+          WHERE list_contains(string_split(text, ' '), '{t}')
+        )"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS doclen, {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avglen
+      FROM documents
+    ),
+    {df_ctes},
+    scored AS (
+      SELECT tf.doc_id, round({per_term}, 6) AS score
+      FROM tf, stats, {", ".join(f"df_{t}" for t in _BM25_TERMS)}
+    )
+    SELECT doc_id, score
+    FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("q_bm25", oracle=_bm25_oracle(), tags=("text", "search"))
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking for a fixed two-term query — the classic
+    retrieval scorer over the inverted-index statistics (tf, df, doc
+    length, corpus average length). For a bounded term set everything is
+    pure column expressions: per-term tf via size(filter(tokens)), corpus
+    stats via one aggregate crossJoined back as broadcast scalars — no
+    explode, no per-token shuffle, one pass over the corpus.
+
+    Scores are rounded to 6 decimals BEFORE the top-k cut with doc_id as
+    the tie-break, so the k-boundary is stable across engines whose ln()
+    differs in the last ulp. At 100 TB the same plan serves as the
+    scoring stage after candidate pruning via q_inverted_index postings.
+    """
+    t = load(spark, sf_dir)
+    k1, b = _BM25_K1, _BM25_B
+    toks = _tokens()
+    def term_count(term: str):
+        # NB: keep the lambda unary — F.filter treats a 2-arg lambda as
+        # (element, index) and would compare tokens against positions.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf = t.documents.select(
+        "doc_id",
+        F.size(toks).alias("doclen"),
+        *[term_count(term).alias(f"tf_{term}") for term in _BM25_TERMS],
+    )
+    stats = t.documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avglen"),
+        *[
+            F.sum(
+                F.array_contains(toks, term).cast("long")
+            ).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    score = None
+    for term in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{term}") + F.lit(0.5))
+            / (F.col(f"df_{term}") + F.lit(0.5))
+        )
+        part = idf * (
+            F.col(f"tf_{term}") * F.lit(k1 + 1.0)
+        ) / (
+            F.col(f"tf_{term}")
+            + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("doclen") / F.col("avglen"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

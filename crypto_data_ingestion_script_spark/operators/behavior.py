@@ -252,3 +252,113 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH changelog AS (
+      SELECT user_id AS pk,
+             event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    )
+    SELECT pk,
+           last_value AS current_value
+    FROM (
+      SELECT pk,
+             arg_max(op, seq)    AS last_op,
+             arg_max(value, seq) AS last_value
+      FROM changelog GROUP BY pk
+    )
+    WHERE last_op <> 'D'
+    """,
+    tags=("cdc", "agg"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: reconstruct current table state from an
+    ordered upsert/delete log — the consumer side of every Debezium/CDC
+    feed. The events table stands in as the log (pk=user_id, seq=event_id,
+    'error' rows are tombstones); the winner per key is the highest-seq
+    operation, and a winning tombstone removes the key.
+
+    Plan shape matters at 100 TB/day of changes: the winner is computed
+    with max_by (one hash aggregation with MAP-SIDE PARTIAL combine), not
+    row_number() over (partition by pk order by seq desc) — a window would
+    sort every key group; the aggregate folds each partition down to one
+    candidate per key before the exchange. Same contract as q_merge_upsert
+    but from a log, not a snapshot diff.
+    """
+    t = load(spark, sf_dir)
+    log = t.events.select(
+        F.col("user_id").alias("pk"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    return cdc_apply(log)
+
+
+def cdc_apply(log: DataFrame) -> DataFrame:
+    """Changelog-apply core: columns (pk, seq, op in {'U','D'}, value) →
+    current state (pk, current_value). Factored out of q_cdc_apply so toy
+    logs with known outcomes exercise it directly (tests)."""
+    winners = log.groupBy("pk").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("value", "seq").alias("last_value"),
+    )
+    return winners.filter(F.col("last_op") != "D").select(
+        "pk", F.col("last_value").alias("current_value")
+    )
+
+
+@query(
+    "q_active_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM pairs)
+    SELECT CAST(days.d AS TIMESTAMP) AS day,
+           count(DISTINCT p.user_id) AS wau
+    FROM days JOIN pairs p
+      ON p.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY 1
+    """,
+    tags=("behavior", "window", "distinct"),
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the windowed DISTINCT
+    aggregate SQL cannot express directly (COUNT(DISTINCT) OVER is
+    unsupported in both engines; the oracle spells it as a range self-join).
+
+    The Spark plan inverts the window into a CONTRIBUTION EXPANSION: each
+    distinct (day, user) pair announces itself to the ≤7 target days it can
+    count toward (sequence + explode), then one exact countDistinct per
+    target day. Expansion is bounded ×7 — data-independent — and both
+    shuffles hash on small keys; no range join, no per-day re-scan. The
+    unbounded-cardinality variant swaps countDistinct for HLL partials
+    (q_hll_sketch) when exactness can yield to memory at 100 TB.
+    """
+    t = load(spark, sf_dir)
+    pairs = t.events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = pairs.select("d").distinct()
+    expanded = pairs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    # Only days that exist in the data are reportable (trailing ghosts cut
+    # by a broadcast semi-join against the day dimension).
+    observed = expanded.join(
+        F.broadcast(days.withColumnRenamed("d", "day")), "day", "left_semi"
+    )
+    return observed.groupBy("day").agg(
+        F.count_distinct("user_id").alias("wau")
+    ).select(F.col("day").cast("timestamp_ntz").alias("day"), "wau")

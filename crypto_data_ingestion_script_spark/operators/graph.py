@@ -226,3 +226,90 @@ def triangle_count(undirected: DataFrame) -> DataFrame:
         F.col("src").alias("b1"), F.col("dst").alias("b2")
     )
     return wedges.join(closing, ["b1", "b2"]).select("w_src", "b1", "b2")
+
+
+BFS_SOURCE = 0
+BFS_ROUNDS = 4
+
+
+@query(
+    "q_bfs",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+    ),
+    walk(node, dist) AS (
+      SELECT {BFS_SOURCE}, 0
+      UNION ALL
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {BFS_ROUNDS}
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance over the nation trade graph —
+    reachability / shortest-unweighted-path, the second fixed-point
+    template next to q_pagerank (which propagates mass; this propagates
+    a min). {BFS_ROUNDS} rounds bound the search to the graph's diameter.
+
+    Frontier iteration, not path enumeration: the state is one row per
+    REACHED NODE (node, best_dist), folded with groupBy().min() each
+    round — state stays node-sized while the naive recursive-CTE oracle
+    materializes every walk (fine at 25 nodes, fatal at a billion).
+    Edges distill once from the fact table (three joins, dims broadcast),
+    then localCheckpoint keeps each round's plan iteration-free. The
+    min-fold makes revisits idempotent, so the fixed round count returns
+    exactly min-hop distances — matching the oracle's min over walks.
+    """
+    t = load(spark, sf_dir)
+    edges = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return bfs_distances(spark, edges, BFS_SOURCE, BFS_ROUNDS)
+
+
+def bfs_distances(
+    spark: SparkSession, edges: DataFrame, source: int, rounds: int
+) -> DataFrame:
+    """BFS frontier-iteration core over directed edges (src, dst): returns
+    (node, dist) for every node within ``rounds`` hops of ``source``.
+    Factored out of q_bfs so toy graphs with known distances exercise it
+    directly (tests)."""
+    dist = spark.createDataFrame([(source, 0)], "node int, dist int")
+    for i in range(rounds):
+        frontier = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % 2 == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

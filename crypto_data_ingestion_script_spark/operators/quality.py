@@ -301,3 +301,138 @@ def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+@query(
+    "q_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT
+        count(*)        FILTER (WHERE event_type = 'click')    AS n1,
+        avg(value)      FILTER (WHERE event_type = 'click')    AS m1,
+        var_samp(value) FILTER (WHERE event_type = 'click')    AS v1,
+        count(*)        FILTER (WHERE event_type = 'purchase') AS n2,
+        avg(value)      FILTER (WHERE event_type = 'purchase') AS m2,
+        var_samp(value) FILTER (WHERE event_type = 'purchase') AS v2
+      FROM events
+    )
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+                 6) AS dof
+    FROM g
+    """,
+    tags=("stats", "agg"),
+)
+def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the click and purchase value
+    distributions — the A/B-experiment readout every event log ends up
+    serving. Unequal variances, Welch–Satterthwaite degrees of freedom.
+
+    ONE conditional-aggregation pass over the fact table computes both
+    samples' (n, mean, s²) simultaneously — no split into two scans, no
+    join; the test statistic is then scalar arithmetic on a 1-row frame.
+    At 100 TB this is a single map-side-combinable scan regardless of how
+    many experiment arms the CASE fans out to. Rounded to 6 decimals: the
+    two engines' one-pass variance accumulations differ in summation
+    order, not semantics.
+    """
+    t = load(spark, sf_dir)
+    click = F.col("event_type") == "click"
+    buy = F.col("event_type") == "purchase"
+    g = t.events.agg(
+        F.count(F.when(click, 1)).alias("n1"),
+        F.avg(F.when(click, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(click, F.col("value"))).alias("v1"),
+        F.count(F.when(buy, 1)).alias("n2"),
+        F.avg(F.when(buy, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(buy, F.col("value"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return g.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+@query(
+    "q_seasonal_baseline",
+    oracle="""
+    WITH cohort AS (
+      SELECT event_type,
+             date_part('dow', ts)  AS dow,
+             date_part('hour', ts) AS hod,
+             avg(value)            AS mu,
+             stddev_samp(value)    AS sigma
+      FROM events
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             round(c.mu, 6) AS seasonal_avg,
+             round(abs(e.value - c.mu) / c.sigma, 6) AS abs_z
+      FROM events e
+      JOIN cohort c
+        ON c.event_type = e.event_type
+       AND c.dow = date_part('dow', e.ts)
+       AND c.hod = date_part('hour', e.ts)
+      WHERE c.sigma > 0
+    )
+    SELECT event_id, event_type, value, seasonal_avg, abs_z
+    FROM scored
+    ORDER BY abs_z DESC, event_id
+    LIMIT 20
+    """,
+    tags=("stats", "anomaly"),
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: each event is z-scored against its
+    (event_type, day-of-week, hour-of-day) cohort — the baseline that
+    separates 'weekend night is always quiet' from 'this weekend night is
+    wrong', which a global z-score (q_zscore) conflates.
+
+    The cohort table is bounded by type×7×24 regardless of fact size, so
+    the join back is a BROADCAST — the fact table is scanned twice (once
+    to build baselines, once to score) but never shuffled. Ranking uses
+    the 6-decimal-rounded |z| with event_id tie-break, keeping the top-k
+    boundary identical across engines. Day-of-week encodings differ
+    between engines (Spark Sun=1, DuckDB Sun=0) but only partition
+    identity matters, so each side uses its native extraction.
+    """
+    t = load(spark, sf_dir)
+    keys = [
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ]
+    cohort = t.events.groupBy(*keys).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    scored = (
+        t.events.select(
+            "event_id", "event_type", "value",
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod"),
+        )
+        .join(F.broadcast(cohort), ["event_type", "dow", "hod"])
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("mu", 6).alias("seasonal_avg"),
+            F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "abs_z"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("abs_z").desc(), "event_id").limit(20)

@@ -1,0 +1,100 @@
+"""Known-answer unit tests for the composite operators added late in the
+round: CDC changelog apply, BFS distances, Welch t-test, BM25 ranking —
+tiny in-memory fixtures with hand-computable expected values, mirroring
+the reference's test style (reference tests.py:85-117)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_data_ingestion_script_spark.operators.behavior import cdc_apply
+from crypto_data_ingestion_script_spark.operators.graph import bfs_distances
+from crypto_data_ingestion_script_spark.registry import load_all
+
+
+def test_cdc_apply_semantics(spark):
+    # key 1: update then tombstone -> gone; key 2: tombstone then update
+    # -> resurrected with the later value; key 3: updates only -> latest.
+    log = spark.createDataFrame(
+        [
+            (1, 10, "U", 1.0),
+            (1, 20, "D", None),
+            (2, 10, "D", None),
+            (2, 30, "U", 7.5),
+            (3, 10, "U", 2.0),
+            (3, 15, "U", 3.0),
+        ],
+        "pk int, seq int, op string, value double",
+    )
+    got = {r.pk: r.current_value for r in cdc_apply(log).collect()}
+    assert got == {2: 7.5, 3: 3.0}
+
+
+def test_cdc_apply_out_of_order_delivery(spark):
+    # The log arrives shuffled; seq, not arrival order, must decide.
+    log = spark.createDataFrame(
+        [(1, 30, "U", 9.0), (1, 10, "U", 1.0), (1, 20, "D", None)],
+        "pk int, seq int, op string, value double",
+    )
+    got = cdc_apply(log).collect()
+    assert len(got) == 1 and got[0].current_value == 9.0
+
+
+def test_bfs_path_graph(spark):
+    # 0 -> 1 -> 2 -> 3 (directed path): dist == hop index; 4 rounds cover.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src int, dst int"
+    )
+    got = {r.node: r.dist for r in bfs_distances(spark, edges, 0, 4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_min_over_multiple_paths(spark):
+    # Diamond with a shortcut: 0->1->3 and 0->3 — min-hop wins (1, not 2);
+    # node 4 unreachable from 0 stays absent.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 3), (0, 3), (4, 0)], "src int, dst int"
+    )
+    got = {r.node: r.dist for r in bfs_distances(spark, edges, 0, 4).collect()}
+    assert got == {0: 0, 1: 1, 3: 1}
+
+
+def test_welch_ttest_known_answer(spark, sf_dir):
+    """q_ttest must equal the closed-form Welch computation done in plain
+    Python over the same rows."""
+    specs = load_all()
+    row = specs["q_ttest"].fn(spark, sf_dir).collect()[0]
+    import duckdb
+
+    vals = duckdb.connect().execute(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet' "
+        "WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    a = [v for t, v in vals if t == "click"]
+    b = [v for t, v in vals if t == "purchase"]
+
+    def meanvar(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = meanvar(a)
+    n2, m2, v2 = meanvar(b)
+    se2 = v1 / n1 + v2 / n2
+    t_stat = (m1 - m2) / math.sqrt(se2)
+    dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.t_stat - t_stat) < 1e-5
+    assert abs(row.dof - dof) < 1e-3
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    specs = load_all()
+    rows = specs["q_bm25"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
