@@ -305,12 +305,20 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_apply(log: DataFrame) -> DataFrame:
     """Changelog-apply core: columns (pk, seq, op in {'U','D'}, value) →
     current state (pk, current_value). Factored out of q_cdc_apply so toy
-    logs with known outcomes exercise it directly (tests)."""
+    logs with known outcomes exercise it directly (tests).
+
+    The op is re-encoded as an int flag BEFORE aggregating: max_by over a
+    string value forces SortAggregate (string agg buffers aren't mutable
+    fixed-width), which sorts every partition of the fact table; with
+    primitive buffers both max_bys run as one partial/final HashAggregate
+    — no sort anywhere in the plan."""
     winners = log.groupBy("pk").agg(
-        F.max_by("op", "seq").alias("last_op"),
+        F.max_by(
+            F.when(F.col("op") == "D", F.lit(1)).otherwise(F.lit(0)), F.col("seq")
+        ).alias("last_is_delete"),
         F.max_by("value", "seq").alias("last_value"),
     )
-    return winners.filter(F.col("last_op") != "D").select(
+    return winners.filter(F.col("last_is_delete") == 0).select(
         "pk", F.col("last_value").alias("current_value")
     )
 

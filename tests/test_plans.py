@@ -460,3 +460,32 @@ def test_bucketed_query_is_shuffle_free(spark, sf_dir):
 
     df = q_join_bucketed(spark, sf_dir)
     assert _node_count(df, "Exchange") == 0, "bucketed pipeline shuffled"
+
+
+def test_cdc_apply_is_hash_aggregated(spark, sf_dir):
+    """The changelog winner must come from a partial/final HashAggregate,
+    never a SortAggregate (string-valued max_by would force one and sort
+    every fact partition) and never a row_number window."""
+    df = SPECS["q_cdc_apply"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1
+
+
+def test_seasonal_baseline_broadcasts_cohort(spark, sf_dir):
+    """The (type, dow, hod) cohort table is bounded, so the score join-back
+    must be a broadcast — the fact table is never shuffled for it."""
+    df = SPECS["q_seasonal_baseline"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_active_users_expansion_not_range_join(spark, sf_dir):
+    """The rolling-distinct plan must use the x7 contribution expansion
+    (Generate/explode) rather than a range join (BroadcastNestedLoop /
+    cartesian against the day spine)."""
+    df = SPECS["q_active_users"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
