@@ -135,3 +135,87 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         big, t.customer, key="c_custkey", salt_on=F.col("o_orderkey"), n_salts=8
     )
     return out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+#: Heavy-hitter threshold: keys with frequency > PHI * total are reported.
+HH_PHI = 0.034
+#: Misra-Gries counter budget; the sketch guarantee needs K + 1 >= 1/PHI.
+HH_K = 30
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM tok)
+    SELECT token, count(*) AS freq
+    FROM tok GROUP BY token
+    HAVING count(*) > {HH_PHI} * (SELECT n FROM n)
+    """,
+    tags=("skew", "sketch", "text"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items via a Misra-Gries candidate sketch + recount —
+    corpus stopword discovery: every token whose frequency exceeds
+    PHI = HH_PHI of all tokens.
+
+    The naive plan shuffles the FULL key universe to count it. This plan
+    never does: a per-partition Misra-Gries sketch (K = HH_K counters,
+    constant memory) runs inside ``mapInPandas`` and emits only candidate
+    keys. The sketch guarantee — any key with global freq > PHI·n has
+    local freq > n_p/(K+1) in at least one partition (pigeonhole), and a
+    K-counter MG never evicts such a key — makes candidates a SUPERSET of
+    the true heavy hitters, so the exact recount (fact semi-joined to the
+    broadcast candidate set, then one small groupBy) returns EXACTLY the
+    oracle's GROUP BY/HAVING answer. Shuffle volume falls from |keys| to
+    |candidates| ≈ K·partitions — the difference between shuffling a
+    100 TB token universe and a few thousand rows. The decrement step uses
+    batch-min subtraction (a valid MG generalization with the same
+    survival bound).
+    """
+    t = load(spark, sf_dir)
+    tokens = t.documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    candidates = mg_candidates(tokens, HH_K)
+    total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") > F.lit(HH_PHI) * F.col("n"))
+        .select("token", "freq")
+    )
+
+
+def mg_candidates(tokens: DataFrame, k: int) -> DataFrame:
+    """Misra-Gries candidate extraction core: one pass over a single
+    ``token`` string column with ≤ k counters per partition, yielding the
+    distinct union of surviving keys. Superset guarantee (tested on
+    planted-hitter fixtures in tests/test_properties.py): any key whose
+    local frequency exceeds n_p/(k+1) in some partition survives there, so
+    with k+1 ≥ 1/φ every global φ-heavy key is emitted."""
+    import pandas as pd
+
+    def mg_sketch(batches):
+        from collections import Counter
+
+        counters: Counter = Counter()
+        for pdf in batches:
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] += int(cnt)
+            while len(counters) > k:
+                m = min(counters.values())
+                for key in list(counters):
+                    counters[key] -= m
+                    if counters[key] <= 0:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    return tokens.mapInPandas(mg_sketch, "token string").distinct()

@@ -294,3 +294,30 @@ def test_jaccard_prefix_filter_no_false_negatives():
                     assert prefix(a) & prefix(b), (
                         f"trial {trial}: true pair pruned (jaccard={jac})"
                     )
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.sampled_from(["hot", "warm", "a", "b", "c", "d", "e", "f", "g"]),
+        min_size=30,
+        max_size=300,
+    ),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_misra_gries_candidates_superset(spark, data, nparts):
+    """MG sketch law: with k+1 >= 1/phi counters, the candidate set is a
+    superset of the exact phi-heavy-hitters — no false negatives, ever
+    (false positives are fine; the recount removes them)."""
+    from collections import Counter
+
+    from crypto_data_ingestion_script_spark.operators.skew import mg_candidates
+
+    phi, k = 0.25, 4  # k + 1 = 5 > 1/phi = 4
+    tokens = spark.createDataFrame(
+        [(t,) for t in data], "token string"
+    ).repartition(nparts)
+    got = {r.token for r in mg_candidates(tokens, k).collect()}
+    counts = Counter(data)
+    heavy = {t for t, c in counts.items() if c > phi * len(data)}
+    assert heavy <= got, f"missing heavy hitters: {heavy - got}"
