@@ -370,3 +370,94 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.groupBy("day").agg(
         F.count_distinct("user_id").alias("wau")
     ).select(F.col("day").cast("timestamp_ntz").alias("day"), "wau")
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+    WITH scanned AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+               OVER w AS last_view_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'click'
+                       AND last_view_ts >= ts - INTERVAL 1 HOUR
+                      THEN ts END)
+               OVER w AS last_qc_ts
+      FROM scanned
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           count(*)  AS n_completions,
+           min(ts)   AS first_completion
+    FROM clicks
+    WHERE event_type = 'purchase'
+      AND last_qc_ts >= ts - INTERVAL 1 HOUR
+    GROUP BY user_id
+    """,
+    tags=("behavior", "window"),
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel: purchases completing a
+    view → click → purchase chain where each consecutive gap is ≤ 1 hour —
+    the sequential-pattern query behind attribution and conversion-window
+    analytics (q_funnel is its unconstrained global-order cousin).
+
+    ONE stateful scan per user expresses the whole pattern: a running
+    max-of-view-ts marks the latest view at every row; clicks within an
+    hour of that view become qualified, and a second running max carries
+    the latest qualified click into each purchase row. Two window
+    functions over the SAME (user_id, ts) sort — Catalyst evaluates both
+    in a single Window operator after one exchange+sort, so the fact
+    table shuffles exactly once, with no self-joins and no explosion of
+    (view, click, purchase) triples, which is what a join formulation
+    costs at 100 TB.
+    """
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    scanned = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "last_view_ts"
+        ),
+    )
+    clicks = scanned.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("last_view_ts") >= F.col("ts") - hour),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("last_qc_ts"),
+    )
+    return (
+        clicks.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("last_qc_ts") >= F.col("ts") - hour)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_completions"),
+            F.min("ts").alias("first_completion"),
+        )
+    )
