@@ -63,8 +63,8 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1)                  AS price_r1,
            abs(l_discount - 0.05)                     AS disc_dev,
-           ceil(l_quantity)                           AS qty_ceil,
-           floor(l_quantity / 7)                      AS qty_div7,
+           CAST(ceil(l_quantity) AS BIGINT)           AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT)      AS qty_div7,
            sqrt(l_extendedprice)                      AS price_sqrt,
            round(pow(1.0 + l_discount, 2), 8)         AS disc_sq,
            round(ln(l_extendedprice), 8)              AS price_ln,

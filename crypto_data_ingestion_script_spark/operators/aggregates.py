@@ -396,7 +396,7 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            bit_xor(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_xor,
            bool_and(value > 0)   AS all_positive,
            bool_or(value > 400)  AS any_extreme,
-           count_if(value > 100) AS n_over_100
+           CAST(count_if(value > 100) AS BIGINT) AS n_over_100
     FROM events GROUP BY event_type
     """,
     tags=("agg",),

@@ -42,7 +42,7 @@ _EMA_ALPHA = 0.03
            event_type,
            sum(value * CAST(json_extract_string(props, '$.k') AS BIGINT))
              / sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS vwap,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))     AS volume
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS volume
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
     GROUP BY 1, 2

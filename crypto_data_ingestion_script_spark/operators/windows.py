@@ -137,9 +137,9 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_BARS_SQL}
     SELECT event_type, hour_ts, sample_count,
-           sum(sample_count) OVER (PARTITION BY event_type ORDER BY hour_ts
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_samples
+           CAST(sum(sample_count) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_samples
     FROM bars
     """,
     tags=("window",),

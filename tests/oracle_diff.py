@@ -65,6 +65,22 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
     a, b = _normalize(sp), _normalize(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Type-drift guard: the driver hashes raw values, so an integer column
+        # on one side meeting a float column on the other (e.g. DuckDB HUGEINT
+        # -> float64 vs Spark BIGINT -> int64) hash-fails even when every value
+        # matches.  Coercing here would mask that, so fail loudly instead.
+        # (Symmetric null-driven int->float drift leaves BOTH sides float and
+        # is not flagged.)
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        float_a = pd.api.types.is_float_dtype(av)
+        float_b = pd.api.types.is_float_dtype(bv)
+        if (int_a and float_b) or (float_a and int_b):
+            errs.append(
+                f"{name}: dtype drift on col {c}: spark={av.dtype} oracle={bv.dtype} "
+                "(int-vs-float will hash-fail at the driver; align the oracle CAST)"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = pd.to_numeric(av, errors="coerce").astype(float)
             bf = pd.to_numeric(bv, errors="coerce").astype(float)
