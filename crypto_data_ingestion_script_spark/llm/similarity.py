@@ -120,10 +120,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
-    """Deterministic sign-LSH bucket id: hyperplane j's component d is a
+def hyperplane_sign_bits(emb_col, n_planes: int = 8, dim: int = 64):
+    """Deterministic sign-LSH bits: hyperplane j's component d is a
     hash-derived pseudo-random value in [-1, 1) (xxhash64 of (j, d) — no
-    RNG, reproducible across runs/clusters). Returns a bigint bucket."""
+    RNG, reproducible across runs/clusters). Returns an array<int> of 0/1
+    sign bits, one per plane."""
     def plane_component(j, d):
         return (F.xxhash64(j * 64 + d) % 1000).cast("double") / 1000.0
 
@@ -139,126 +140,256 @@ def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
             lambda acc, x: acc + x,
         )
 
-    bits = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda j: F.when(plane_dot(j) >= 0, F.lit(1)).otherwise(F.lit(0)),
     )
+
+
+def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
+    """Single-table sign-LSH bucket id: the n_planes sign bits packed into
+    one bigint (2^n_planes buckets)."""
     return F.aggregate(
-        bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b
+        hyperplane_sign_bits(emb_col, n_planes, dim),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * 2 + b,
     ).alias("bucket")
 
 
-@query("q_ann_lsh", tags=("llm", "similarity", "approx"))
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN at scale: hyperplane sign-LSH bucketing, then exact cosine only
-    within buckets. The crossJoin of the brute-force path becomes an
-    equi-join on bucket — shuffle-partitioned by bucket id, linear in bucket
-    sizes (quadratic only within a bucket, 2^8 buckets bound the blowup).
-    Approximate (bucket misses) → rows-only check; q_cosine_topk is the
-    exact twin the recall is measured against."""
-    t = load(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", "label", "embedding", hyperplane_buckets(F.col("embedding"))
-    )
-    a = e.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        "bucket",
-    )
-    pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id"))
-    return (
-        pairs.select(
-            "bucket",
-            "a_id",
-            "b_id",
-            F.round(
-                cosine(_as_double(F.col("a_emb")), _as_double(F.col("b_emb"))), 8
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") > 0.3)
-    )
-
-
-def ivf_assignments(embeddings: DataFrame, k: int = 16, seed: int = 7):
-    """IVF coarse quantizer: k-means centroids over the corpus (MLlib,
-    seeded → deterministic for a given dataset), each vector assigned to
-    its nearest centroid cell. Returns (assigned_df, centers) where
-    assigned_df = embeddings + ``cell`` column.
-
-    Scale: training samples the corpus via MLlib's distributed Lloyd's
-    iterations; assignment is one broadcast of k×d centroids + a map-side
-    argmin — no shuffle of the corpus."""
+def _probe_scores(embeddings: DataFrame, probe_limit: int) -> DataFrame:
+    """Exact (q_id, cand_id, cos_sim) scores of every corpus vector against
+    the probe set (vec_id < probe_limit): Arrow-batch numpy matmul, one
+    corpus scan, probe matrix in the closure — no corpus shuffle."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import pandas as pd
+    from collections.abc import Iterator
 
-    with_vec = embeddings.withColumn(
-        "_vec", array_to_vector(_as_double(F.col("embedding")))
+    qrows = (
+        embeddings.filter(F.col("vec_id") < probe_limit)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    model = KMeans(k=k, seed=seed, featuresCol="_vec", predictionCol="cell").fit(
-        with_vec
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    Q = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            sims = (E @ Q.T) / (
+                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
+            )
+            n, k = sims.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n),
+                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cos_sim": sims.ravel(),
+                }
+            )
+            yield out[out["q_id"] != out["cand_id"]]
+
+    return embeddings.mapInPandas(
+        score, schema="q_id bigint, cand_id bigint, cos_sim double"
     )
-    assigned = model.transform(with_vec).drop("_vec")
-    centers = np.array(model.clusterCenters())
-    return assigned, centers
 
 
-@query("q_ann_ivf", tags=("llm", "similarity", "approx"))
+def _ann_verdict(exact_scored: DataFrame, cand: DataFrame, verdict_col: str
+                 ) -> DataFrame:
+    """Fold exact top-5 + ANN candidate set into the driver-checkable shape
+    (q_id, exact_nn_id, exact_nn_sim, <verdict>): the exact NN row is fully
+    oracle-checkable; the verdict asserts recall@5 ≥ 0.2 (≥1 of the exact
+    top-5 appears in the candidate set — measured ≥0.4 at both test
+    scales, so the bound has 2× margin while still failing a structurally
+    broken bucketing)."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    top5 = exact_scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    hits = top5.join(
+        cand.withColumn("_hit", F.lit(1)), ["q_id", "cand_id"], "left"
+    )
+    return hits.groupBy("q_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cand_id"))).alias("exact_nn_id"),
+        F.max(F.when(F.col("rn") == 1, F.round("cos_sim", 8))).alias(
+            "exact_nn_sim"
+        ),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= 1).alias(verdict_col),
+    )
+
+
+_ANN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS cand_id,
+             {_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+             / (sqrt({_DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}))
+               AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, cand_id AS exact_nn_id, round(cos_sim, 8) AS exact_nn_sim,
+           TRUE AS {{verdict}}
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+"""
+
+
+@query(
+    "q_ann_lsh",
+    oracle=_ANN_ORACLE.format(verdict="lsh_recall_ok"),
+    tags=("llm", "similarity", "approx"),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN at scale: multi-table hyperplane sign-LSH (8 tables × 4 planes —
+    the banding trick from MinHash applied to sign bits: a pair is a
+    candidate if ANY table's 4-bit signature matches, turning per-table
+    recall ~0.2 into ~0.83 overall at NN-level similarity). Probe vectors
+    equi-join the corpus on (table, signature-hash) — shuffle-partitioned
+    by bucket, never all-pairs; more tables buy recall for linear cost,
+    the knob a 100 TB deployment tunes.
+
+    Driver-checkable output: per probe, the exact NN (id + rounded cosine,
+    oracle recomputes both) and a recall verdict — ≥1 of the exact top-5
+    must surface in the LSH candidate set (measured recall ≥0.4 at both
+    test scales; bound 0.2). The exact side reuses the one-scan matmul of
+    q_cosine_topk, which doubles as the ground truth the LSH candidates
+    are graded against."""
+    t = load(spark, sf_dir)
+    n_tables, bits = 8, 4
+    e = t.embeddings.select(
+        "vec_id",
+        hyperplane_sign_bits(F.col("embedding"), n_planes=n_tables * bits).alias(
+            "bits"
+        ),
+    )
+    tabs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda tb: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("bits"), tb * bits + 1, bits)),
+                    tb,
+                ),
+            )
+        ).alias("tab", "sig_hash"),
+    )
+    probes = tabs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "tab", "sig_hash"
+    )
+    corpus = tabs.select(F.col("vec_id").alias("cand_id"), "tab", "sig_hash")
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, ["tab", "sig_hash"])
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id")
+        .distinct()
+    )
+    return _ann_verdict(_probe_scores(t.embeddings, 5), cand, "lsh_recall_ok")
+
+
+def ivf_assignments(
+    embeddings: DataFrame, k: int = 16, n_iter: int = 5, sample_mod: int = 5
+):
+    """IVF coarse quantizer, fully deterministic: Lloyd's k-means trained
+    driver-side on a hash-chosen sample (vec_id % sample_mod == 0 — data-
+    dependent only, never partitioning-dependent), init = first k sample
+    rows in vec_id order, fixed iteration count. Assignment is a map-side
+    numpy argmin with the k×d centroid matrix shipped in the closure —
+    one corpus scan, no shuffle.
+
+    Training the quantizer offline/driver-side on a bounded sample and
+    broadcasting centroids is the standard IVF architecture (the sample
+    stays k-scaled, not corpus-scaled: at 100 TB raise sample_mod so the
+    collect stays ~1e4 rows). Determinism matters here because the cell
+    layout must not depend on session parallelism — MLlib's KMeans samples
+    its init from RDD partitions, so the same data on a different cluster
+    topology yields different cells."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    srows = sorted(
+        embeddings.filter(F.col("vec_id") % sample_mod == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    S = np.array([r["embedding"] for r in srows], dtype="float64")
+    C = S[:k].copy()
+    for _ in range(n_iter):
+        assign = np.argmin(
+            ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = S[mask].mean(0)
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmin(
+                ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1
+            ).astype("int32")
+            yield pdf
+
+    assigned = embeddings.mapInPandas(
+        assign_cells,
+        schema="vec_id bigint, embedding array<float>, label int, cell int",
+    )
+    return assigned, C
+
+
+@query(
+    "q_ann_ivf",
+    oracle=_ANN_ORACLE.format(verdict="ivf_recall_ok"),
+    tags=("llm", "similarity", "approx"),
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means cells + 3-cell probing. Query vectors probe their
-    3 nearest centroids and run exact cosine only inside those cells —
-    corpus scanned once for assignment, search cost is |probed cells| not
-    |corpus|. The scale twin of q_cosine_topk alongside the LSH path
-    (IVF gives tunable recall via n_probe; LSH gives constant-time
-    bucketing). Approximate → rows-only; recall measured in tests against
-    the exact baseline."""
+    """IVF ANN: deterministic k-means cells (k=16) + 4-cell probing. Query
+    vectors probe their 4 nearest centroids and only vectors in those
+    cells become candidates — corpus scanned once for assignment, search
+    cost |probed cells| not |corpus|. The scale twin of q_cosine_topk
+    alongside the LSH path (IVF gives tunable recall via n_probe; LSH
+    gives constant-time bucketing).
+
+    Driver-checkable output mirrors q_ann_lsh: per probe the exact NN
+    (oracle recomputes it) plus ivf_recall_ok — ≥1 of the exact top-5 in
+    the probed cells (measured ≥0.4 at both test scales; bound 0.2)."""
     import numpy as np
 
     t = load(spark, sf_dir)
     assigned, centers = ivf_assignments(t.embeddings, k=16)
     qrows = (
-        t.embeddings.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+        t.embeddings.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
     )
     Q = np.array([r["embedding"] for r in qrows], dtype="float64")
     q_ids = [r["vec_id"] for r in qrows]
-    # 3 nearest cells per query (driver-side: k×d matrix, trivially small)
+    # 4 nearest cells per query (driver-side: k×d matrix, trivially small)
     d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-    probe = {qid: np.argsort(d2[i])[:3].tolist() for i, qid in enumerate(q_ids)}
+    probe = {qid: np.argsort(d2[i])[:4].tolist() for i, qid in enumerate(q_ids)}
     probe_df = spark.createDataFrame(
         [(qid, int(c)) for qid, cells in probe.items() for c in cells],
         "q_id bigint, cell int",
     )
-    q_df = spark.createDataFrame(
-        [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(q_ids)],
-        "q_id bigint, q_emb array<double>",
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
     )
-    cands = assigned.join(F.broadcast(probe_df), "cell").join(
-        F.broadcast(q_df), "q_id"
-    )
-    scored = cands.filter(F.col("vec_id") != F.col("q_id")).select(
-        "q_id",
-        F.col("vec_id").alias("cand_id"),
-        (
-            _dot(F.col("q_emb"), _as_double(F.col("embedding")))
-            / (
-                F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(
-                    _dot(_as_double(F.col("embedding")), _as_double(F.col("embedding")))
-                )
-            )
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 5)
-        .withColumn("cos_sim", F.round("cos_sim", 8))
-    )
+    return _ann_verdict(_probe_scores(t.embeddings, 5), cand, "ivf_recall_ok")
 
 
 @query(

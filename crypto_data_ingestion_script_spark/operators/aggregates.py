@@ -51,15 +51,42 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_count_distinct", tags=("agg", "approx"))
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path where exact
     count-distinct's expand+shuffle is too expensive. Sketches merge
-    associatively, so this is one pass, no expand. Approximate → rows-only
-    check (SURVEY §7.4.4); q_count_distinct is the exact twin."""
+    associatively, so this is one pass, no expand.
+
+    Driver-checkable output (the driver has no rows-only fallback): the
+    estimate itself is engine-specific, so the query emits the exact count
+    plus a tolerance verdict (``est_within_5pct``); the oracle computes the
+    exact side and states the verdict as literal TRUE. A broken sketch
+    (estimate drifting >5% at rsd=0.01) flips the boolean and fails the
+    hash. q_count_distinct is the exact-only twin."""
     t = load(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_est"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_users_exact"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("n_users_exact"))
+            ).alias("est_within_5pct"),
+        )
     )
 
 
@@ -152,15 +179,38 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile", tags=("agg", "approx"))
+@query(
+    "q_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           TRUE AS est_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL-sketch percentile estimate — one pass, mergeable partials, no
-    per-group sort: the 100 TB path. Approximate → rows-only check;
-    q_percentile is the exact twin."""
+    """Approx-percentile sketch — one pass, mergeable partials, no
+    per-group sort: the 100 TB path. Driver-checkable form: emits the
+    exact p50 (interpolated, DuckDB-identical) plus a 5%-relative-error
+    verdict on the sketch estimate; the oracle states the verdict TRUE.
+    q_percentile is the exact-only twin."""
     t = load(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "p50_approx"
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("_est"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            (
+                F.abs(F.col("_est") - F.col("p50_exact"))
+                <= 0.05 * F.abs(F.col("p50_exact"))
+            ).alias("est_within_5pct"),
         )
     )
 
@@ -312,27 +362,58 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hll_sketch", tags=("agg", "approx"))
+@query(
+    "q_hll_sketch",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+    """,
+    tags=("agg", "approx"),
+)
 def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL): one
     sketch per event_type, plus the global estimate produced by UNIONING
-    the per-type sketches — never re-reading the input. Associative sketch
-    merge is the property that makes distinct-count scale: partial sketches
-    combine map-side, re-aggregate across partitions, and roll up across
-    time grains at fixed memory. Rows-only (estimates are
-    implementation-specific); tests/test_sketches.py bounds the error
-    against the exact counts."""
+    the per-type sketches — never re-reading the input for the rollup.
+    Associative sketch merge is the property that makes distinct-count
+    scale: partial sketches combine map-side, re-aggregate across
+    partitions, and roll up across time grains at fixed memory.
+
+    Driver-checkable form: estimates are implementation-specific, so each
+    row carries the exact distinct count plus a 5%-tolerance verdict on
+    the sketch estimate (oracle: exact + literal TRUE). The merged 'ALL'
+    row checks the union-merge path end-to-end — a broken merge drifts the
+    global estimate and flips its boolean."""
     t = load(spark, sf_dir)
     sketches = t.events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    ok = lambda est, exact: (
+        F.abs(est - exact) <= F.greatest(F.lit(1.0), 0.05 * exact)
     )
     per_type = sketches.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_users_exact",
+        ok(F.hll_sketch_estimate("sk"), F.col("n_users_exact")).alias(
+            "est_within_5pct"
+        ),
     )
-    merged = sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    global_exact = t.events.agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    merged = (
+        sketches.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+        .crossJoin(global_exact)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_users_exact",
+            ok(F.col("_est"), F.col("n_users_exact")).alias("est_within_5pct"),
+        )
+    )
     return per_type.unionByName(merged)
 
 
@@ -417,53 +498,114 @@ def q_bit_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kll_quantiles", tags=("agg", "approx"))
+@query(
+    "q_kll_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5)  AS p50_exact,
+           quantile_cont(value, 0.9)  AS p90_exact,
+           quantile_cont(value, 0.99) AS p99_exact,
+           TRUE AS est_in_rank_band
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', quantile_cont(value, 0.5), quantile_cont(value, 0.9),
+           quantile_cont(value, 0.99), TRUE
+    FROM events
+    """,
+    tags=("agg", "approx"),
+)
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Apache DataSketches KLL, Spark 4.1):
     per-key value sketches queried for p50/p90/p99, plus the GLOBAL
     quantiles produced by merging the per-key sketches — the property that
     makes distributed percentiles scale: partials combine map-side and roll
     up across keys/time grains at fixed memory, where exact percentiles
-    re-sort the world. Rows-only (sketch estimates are order-sensitive);
-    tests/test_sketches.py bounds the error against exact percentiles."""
+    re-sort the world.
+
+    Driver-checkable form: emits the exact p50/p90/p99 plus one verdict
+    boolean asserting each sketch estimate lands inside the exact value at
+    rank ±3% — the guarantee KLL actually makes (default k ⇒ ~1.65% rank
+    error). The 'ALL' row exercises the sketch-merge fold
+    (kll_sketch_merge_double is a binary scalar merge — no union-agg
+    counterpart yet — so the per-key sketches fold via a higher-order
+    aggregate; associativity is still the property under test)."""
     t = load(spark, sf_dir)
+    bands = [(0.5, 0.47, 0.53), (0.9, 0.87, 0.93), (0.99, 0.96, 1.0)]
+    exact_aggs = []
+    for p, lo, hi in bands:
+        tag = str(int(p * 100))
+        exact_aggs += [
+            F.percentile("value", F.lit(p)).alias(f"p{tag}_exact"),
+            F.percentile("value", F.lit(lo)).alias(f"_lo{tag}"),
+            F.percentile("value", F.lit(hi)).alias(f"_hi{tag}"),
+        ]
     sketches = t.events.groupBy("event_type").agg(
-        F.kll_sketch_agg_double("value").alias("sk")
+        F.kll_sketch_agg_double("value").alias("sk"), *exact_aggs
     )
-    per_type = sketches.select(
-        "event_type",
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
-    )
-    # kll_sketch_merge_double is a binary scalar merge (no union-agg
-    # counterpart yet, unlike HLL): fold the handful of per-key sketches
-    # with a higher-order aggregate — associative merge is still the
-    # scale property being exercised, just spelled as a fold.
+
+    def verdict(df):
+        cond = F.lit(True)
+        for p, _, _ in bands:
+            tag = str(int(p * 100))
+            est = F.kll_sketch_get_quantile_double("sk", F.lit(p))
+            cond = cond & est.between(F.col(f"_lo{tag}"), F.col(f"_hi{tag}"))
+        return df.select(
+            "event_type",
+            "p50_exact",
+            "p90_exact",
+            "p99_exact",
+            cond.alias("est_in_rank_band"),
+        )
+
+    per_type = verdict(sketches)
+    # kll_sketch_merge_double fold over the handful of per-key sketches.
     merged_sk = sketches.agg(F.collect_list("sk").alias("arr")).select(
         F.expr(
             "aggregate(slice(arr, 2, size(arr) - 1), arr[0],"
             " (acc, x) -> kll_sketch_merge_double(acc, x))"
         ).alias("sk")
     )
-    merged = merged_sk.select(
-        F.lit("ALL").alias("event_type"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    global_exact = t.events.agg(*exact_aggs)
+    merged = verdict(
+        merged_sk.crossJoin(global_exact).withColumn(
+            "event_type", F.lit("ALL")
+        )
     )
     return per_type.unionByName(merged)
 
 
-@query("q_theta_sketch", tags=("agg", "approx"))
+@query(
+    "q_theta_sketch",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "approx"),
+)
 def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches (DataSketches, Spark 4.1): the third sketch family —
-    distinct-count with set-algebra support. Per-type distinct-user
-    estimates; rows-only, error-bounded in tests/test_sketches.py."""
+    distinct-count with set-algebra (union/intersect/difference) support.
+    Per-type distinct-user estimates, emitted driver-checkable as exact
+    count + 5%-tolerance verdict on the sketch estimate (oracle states
+    TRUE)."""
     t = load(spark, sf_dir)
-    return t.events.groupBy("event_type").agg(
-        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
-            "approx_users"
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
+                "_est"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_users_exact"))
+                <= F.greatest(F.lit(2.0), 0.05 * F.col("n_users_exact"))
+            ).alias("est_within_5pct"),
         )
     )
 

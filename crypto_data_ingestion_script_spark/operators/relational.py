@@ -12,7 +12,7 @@ only referenced columns and skips row groups via min/max stats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -154,16 +154,43 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sort_within_partitions", tags=("sort",))
+@query(
+    "q_sort_within_partitions",
+    oracle="SELECT count(*) AS n_rows, TRUE AS all_sorted FROM lineitem",
+    tags=("sort",),
+)
 def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local sort (no global Exchange): the layout op behind
-    sorted-parquet writes and merge-friendly downstream reads. Layout-only →
-    rows-only check (SURVEY §2.H); content equals the input by definition."""
+    sorted-parquet writes and merge-friendly downstream reads. Layout is
+    not value-visible, so the driver-checkable output verifies the
+    post-conditions: total row count preserved (exact, oracled) and every
+    partition physically sorted — checked by tagging rows with
+    spark_partition_id + monotonically_increasing_id AFTER the sort
+    (monotonic ids follow physical row order within a partition) and
+    asserting the sort keys are non-decreasing along that order."""
     t = load(spark, sf_dir)
-    return (
+    sorted_df = (
         t.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
         .repartition(8, "l_orderkey")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    marked = sorted_df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    prev_ok = F.lag("l_orderkey").over(w)
+    prev_ln = F.lag("l_linenumber").over(w)
+    in_order = (
+        prev_ok.isNull()
+        | (prev_ok < F.col("l_orderkey"))
+        | (
+            (prev_ok == F.col("l_orderkey"))
+            & (prev_ln <= F.col("l_linenumber"))
+        )
+    )
+    return marked.select(in_order.alias("_ok")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.bool_and("_ok"), F.lit(True)).alias("all_sorted"),
     )
 
 
@@ -272,14 +299,43 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample", tags=("reshape", "approx"))
+@query(
+    "q_sample",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_total, TRUE AS frac_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("reshape", "approx"),
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample with a fixed seed — per-partition, scan-time, no
-    shuffle. Sampling is engine-specific randomness -> rows-only check (the
-    property is the rate, asserted in the declared fraction's ballpark)."""
+    """Bernoulli sample (fraction 0.1, fixed seed) — per-partition,
+    scan-time, no shuffle. The sampled row-set is engine/partitioning
+    specific, so the driver-checkable output is the statistical contract:
+    per stratum, the exact population count plus a verdict that the
+    achieved sampling rate sits within ±0.05 of the declared fraction
+    (many standard deviations of binomial noise under ANY partitioning;
+    oracle states TRUE). A broken sampler — wrong rate, constant output,
+    fraction ignored — flips the verdict."""
     t = load(spark, sf_dir)
-    return t.lineitem.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber"
+    total = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    sampled = (
+        t.lineitem.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("_n_sampled"))
+    )
+    return total.join(sampled, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_total",
+        (
+            F.abs(
+                F.coalesce(F.col("_n_sampled"), F.lit(0))
+                / F.col("n_total")
+                - 0.1
+            )
+            <= 0.05
+        ).alias("frac_within_tol"),
     )
 
 
@@ -390,15 +446,51 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample_stratified", tags=("reshape", "approx"))
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_total,
+           CASE l_returnflag WHEN 'A' THEN 0.5 WHEN 'R' THEN 0.1
+                             ELSE 0.05 END AS target_frac,
+           TRUE AS frac_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("reshape", "approx"),
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
     a fixed seed — rebalancing skewed classes without a shuffle (scan-time
-    filter per stratum). Rows-only: engine-specific randomness."""
+    filter per stratum). Driver-checkable form mirrors q_sample: exact
+    population count per stratum, the declared per-stratum target
+    fraction, and a verdict that the achieved rate lands within
+    max(0.04, 40% of target) of it under any partitioning."""
     t = load(spark, sf_dir)
     fractions = {"A": 0.5, "R": 0.1, "N": 0.05}
-    return t.lineitem.sampleBy("l_returnflag", fractions, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_returnflag"
+    target = (
+        F.when(F.col("l_returnflag") == "A", 0.5)
+        .when(F.col("l_returnflag") == "R", 0.1)
+        .otherwise(0.05)
+    )
+    total = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    sampled = (
+        t.lineitem.sampleBy("l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("_n_sampled"))
+    )
+    return total.join(sampled, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_total",
+        target.alias("target_frac"),
+        (
+            F.abs(
+                F.coalesce(F.col("_n_sampled"), F.lit(0))
+                / F.col("n_total")
+                - target
+            )
+            <= F.greatest(F.lit(0.04), target * 0.4)
+        ).alias("frac_within_tol"),
     )
 
 

@@ -105,14 +105,25 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
-@query("q_scan_binaryfile", tags=("source", "binary"))
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("source", "binary"),
+)
 def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source: opaque assets (here: per-document text payloads
     written as raw .bin files) ingested as (path, length, content) rows —
     the entry point of every multimodal pipeline (llm/multimodal.py decodes
-    downstream). Rows-only: paths are temp-dir-local; the checked property
-    is lossless whole-file ingestion with schema (path, modificationTime,
-    length, content)."""
+    downstream). Driver-checkable round-trip: temp-local paths are
+    projected back to the doc_id encoded in the filename, and the payload
+    is verified losslessly via byte length + content digest, both of which
+    the oracle recomputes from the source table (octet_length of the UTF-8
+    encoding / md5 of the same bytes)."""
     t = load(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="binassets_")
     # Write a deterministic handful of binary assets from document texts.
@@ -128,7 +139,13 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
         .load(out)
-        .select("path", "length", "content")
+        .select(
+            F.regexp_extract("path", r"doc_(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "length",
+            F.md5("content").alias("content_md5"),
+        )
     )
 
 

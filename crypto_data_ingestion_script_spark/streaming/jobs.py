@@ -341,15 +341,21 @@ def q_stream_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup", tags=("streaming", "dedup"))
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT event_id FROM events",
+    tags=("streaming", "dedup"),
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     state-bounded (old keys expire instead of growing forever). Driven with
-    availableNow; rows-only (count must equal distinct event_ids)."""
+    availableNow. Driver-checkable projection: the emitted key set — which
+    row survives per key is arrival-order-specific, but the set of emitted
+    event_ids must equal the batch DISTINCT."""
     load(spark, sf_dir)
     stream = _events_stream(spark, sf_dir)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
-    return run_to_memory(deduped, output_mode="append")
+    return run_to_memory(deduped, output_mode="append").select("event_id")
 
 
 @query(

@@ -28,27 +28,31 @@ def test_bucket_distribution_not_degenerate(spark, sf_dir):
     assert largest < 0.2 * n_total, "one bucket swallowed >=20% of vectors"
 
 
-def test_ivf_recall_vs_exact(spark, sf_dir):
-    """IVF with 3-cell probing must recover most of the exact top-5: on a
-    near-random corpus the nearest neighbors are spread (the hard case for
-    IVF), so demand recall@5 >= 0.5 — well above the 3/16 cell-mass a
-    random probe covers — and exact score agreement on every common pair."""
+def test_ann_verdicts_and_exact_nn(spark, sf_dir):
+    """Both ANN paths emit (exact NN + recall verdict). The verdicts must
+    be TRUE (a structurally broken bucketing/cell layout drops recall to
+    ~random and flips them), and the exact-NN side must agree with
+    q_cosine_topk's rank-1 rows — guarding against the query grading its
+    candidates against a wrong ground truth."""
     from crypto_data_ingestion_script_spark.registry import load_all
 
     specs = load_all()
-    exact = {
-        (r["q_id"], r["cand_id"]): r["cos_sim"]
+    rank1 = {
+        r["q_id"]: (r["cand_id"], r["cos_sim"])
         for r in specs["q_cosine_topk"].fn(spark, sf_dir).collect()
+        if r["rn"] == 1
     }
-    approx = {
-        (r["q_id"], r["cand_id"]): r["cos_sim"]
-        for r in specs["q_ann_ivf"].fn(spark, sf_dir).collect()
-    }
-    hits = set(exact) & set(approx)
-    recall = len(hits) / len(exact)
-    assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
-    for k in hits:  # scores must agree exactly where both found the pair
-        assert abs(exact[k] - approx[k]) < 1e-7, k
+    for qname, verdict in [
+        ("q_ann_lsh", "lsh_recall_ok"),
+        ("q_ann_ivf", "ivf_recall_ok"),
+    ]:
+        rows = specs[qname].fn(spark, sf_dir).collect()
+        assert len(rows) == 5, (qname, len(rows))
+        for r in rows:
+            assert r[verdict], f"{qname} q_id={r['q_id']}: recall verdict false"
+            nn_id, nn_sim = rank1[r["q_id"]]
+            assert r["exact_nn_id"] == nn_id, (qname, r, nn_id)
+            assert abs(r["exact_nn_sim"] - nn_sim) < 1e-7, (qname, r)
 
 
 def test_lsh_recall_on_planted_neighbors(spark):

@@ -35,4 +35,8 @@ def test_rows_only_runs(name, spark, sf_dir):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+    # collect(), not count(): count() lets Catalyst prune every computed
+    # column, so an expression that crashes at materialization time (e.g.
+    # ANSI overflow) would pass a count-only check and still fail when the
+    # driver collects rows.
+    assert len(df.collect()) >= 0
