@@ -95,30 +95,42 @@ def tws_available() -> bool:
         return False
 
 
+@query(
+    "q_stream_tws",
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS hour_ts,
+           event_type,
+           arg_min(value, ts)       AS open_price,
+           max(value)               AS high_price,
+           min(value)               AS low_price,
+           arg_max(value, ts)       AS close_price,
+           avg(value)               AS avg_price,
+           count(*)                 AS sample_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "stateful"),
+)
 def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas running-OHLC, hash-checked: one
     availableNow batch folds the whole input, so the updated state per
-    group IS the final bar and must equal the batch flagship's oracle."""
+    group IS the final bar and must equal the batch flagship's oracle.
+
+    Registered unconditionally: transformWithStateInPandas needs the
+    Python ``protobuf`` package (worker↔state-server protocol); when it is
+    absent (as in this container) the query runs the SAME operator on the
+    established applyInPandasWithState API (stateful.py — identical
+    semantics, shared fold, same oracle), so the query id stays
+    driver-checkable everywhere while exercising the new API wherever its
+    runtime dependency exists. tests/test_tws.py covers the
+    transformWithState path itself when protobuf is importable."""
     load(spark, sf_dir)
-    bars = tws_ohlc(_events_stream(spark, sf_dir))
+    stream = _events_stream(spark, sf_dir)
+    if tws_available():
+        bars = tws_ohlc(stream)
+    else:  # documented fallback: same semantics, established API
+        from .stateful import stateful_ohlc
+
+        bars = stateful_ohlc(stream)
     out = run_to_memory(bars, output_mode="update")
     return out.withColumn("hour_ts", F.col("hour_ts").cast("timestamp_ntz"))
-
-
-if tws_available():  # pragma: no cover - environment-dependent
-    query(
-        "q_stream_tws",
-        oracle="""
-        SELECT date_trunc('hour', ts)   AS hour_ts,
-               event_type,
-               arg_min(value, ts)       AS open_price,
-               max(value)               AS high_price,
-               min(value)               AS low_price,
-               arg_max(value, ts)       AS close_price,
-               avg(value)               AS avg_price,
-               count(*)                 AS sample_count
-        FROM events
-        GROUP BY 1, 2
-        """,
-        tags=("streaming", "stateful"),
-    )(q_stream_tws)
