@@ -491,22 +491,27 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ingest", "keys"),
 )
 def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic dense surrogate keys: row_number over the canonical
-    (ts, event_id) order. The tempting alternative,
-    ``monotonically_increasing_id()``, is partition-layout-dependent —
-    ids change when the scan parallelism does, which silently breaks any
-    downstream join keyed on them; this formulation is reproducible
-    run-to-run by construction (and therefore oracle-checkable at all).
+    """Deterministic dense surrogate keys: global rank in the canonical
+    (ts, event_id) order, computed WITHOUT a single-partition window. The
+    tempting alternative, ``monotonically_increasing_id()``, is
+    partition-layout-dependent — ids change when the scan parallelism
+    does, which silently breaks any downstream join keyed on them.
 
-    The single global sort is the honest cost of DENSE ids. At 100 TB the
-    same contract runs as two passes: repartitionByRange on the sort key,
-    count per range, then per-partition row_number + broadcast prefix
-    offsets — same output, no single-partition window. When density is
-    not required, a content hash (q_hash) or (partition, offset) pair is
-    the shuffle-free answer.
-    """
+    Two-pass dense-rank plan (the 100 TB shape): repartitionByRange on the
+    sort key (parallel range shuffle), per-partition row_number (each
+    range sorts independently — no partition sees more than its range),
+    then a broadcast join of per-range prefix offsets (one tiny N-row
+    aggregate; the only global window runs over N partition counts, not
+    the fact table). The result is boundary-invariant: sk = range offset +
+    local rank equals the global rank wherever the sampled range bounds
+    fall, so the output stays reproducible and oracle-checkable while
+    every fact-sized step is parallel."""
+    from .ranking import global_row_number
+
     t = load(spark, sf_dir)
-    w = Window.orderBy("ts", "event_id")
-    return t.events.select(
-        F.row_number().over(w).alias("sk"), "event_id", "event_type"
-    )
+    return global_row_number(
+        t.events.select("ts", "event_id", "event_type"),
+        "ts",
+        "event_id",
+        out_col="sk",
+    ).select("sk", "event_id", "event_type")

@@ -559,8 +559,6 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is vocabulary-sized (broadcast); the only fact-scale shuffles are the
     doc-token groupBys and the candidate equi-join.
     """
-    from pyspark.sql import Window
-
     tau = 0.9
     t = load(spark, sf_dir)
     tok = (
@@ -571,13 +569,18 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # global rarity rank: ascending df, token as tiebreak — vocabulary-sized
-    rank = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
-        .select("tok", "r")
-    )
+    # Global rarity rank: ascending df, token as tiebreak. Prefix-filter
+    # correctness only needs a CONSISTENT total order (rarity order is the
+    # performance choice), and the vocabulary grows with the corpus — so
+    # the rank uses the two-pass range plan, not a single-partition window.
+    from ..ranking import global_row_number
+
+    rank = global_row_number(
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
+        "df",
+        "tok",
+        out_col="r",
+    ).select("tok", "r")
     ranked_sets = (
         tok.join(F.broadcast(rank), "tok")
         .groupBy("doc_id")

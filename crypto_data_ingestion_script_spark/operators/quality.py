@@ -276,31 +276,60 @@ def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed drops two known id ranges to simulate lost batches — the driver
     data itself is hole-free, and a 0-row audit proves nothing.
 
-    lag over the id order turns hole-finding into a single sorted window
-    pass emitting one row per RANGE, never one per missing id — a 10^9-id
-    hole is one output row. The global sort is the honest cost; at scale
-    the same pass runs per partition-day with boundary stitching.
-    """
+    lag over the id order turns hole-finding into a sorted window pass
+    emitting one row per RANGE, never one per missing id — a 10^9-id hole
+    is one output row. The pass is partition-parallel (the 100 TB shape):
+    repartitionByRange on the id, within-range lag (each range sorts
+    independently), then boundary stitching — a per-range (min, max)
+    aggregate (N tiny rows) lag-joined across adjacent ranges catches the
+    holes that span a range boundary. No fact-sized single-partition
+    window anywhere; the only global window runs over the N range
+    summaries."""
     t = load(spark, sf_dir)
     feed = t.events.filter(
         ~F.col("event_id").between(100, 199) & ~F.col("event_id").between(700, 729)
+    ).select("event_id")
+    # localCheckpoint freezes the range layout: spark_partition_id() is
+    # nondeterministic, and the lag branch and bounds branch would
+    # otherwise re-evaluate the exchange with no layout guarantee
+    # (see ranking.global_row_number).
+    ranged = (
+        feed.repartitionByRange(32, "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    w = Window.orderBy("event_id")
-    ordered = feed.select(
-        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    w_local = Window.partitionBy("_pid").orderBy("event_id")
+    local = ranged.select(
+        "event_id", F.lag("event_id").over(w_local).alias("prev_id")
     )
-    return (
-        ordered.filter(
-            F.col("prev_id").isNotNull()
-            & ((F.col("event_id") - F.col("prev_id")) > 1)
+    local_gaps = local.filter(
+        F.col("prev_id").isNotNull()
+        & ((F.col("event_id") - F.col("prev_id")) > 1)
+    ).select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )
+    # Boundary stitch: adjacent ranges' (max, min) — driver-scale rows.
+    bounds = ranged.groupBy("_pid").agg(
+        F.min("event_id").alias("_mn"), F.max("event_id").alias("_mx")
+    )
+    w_b = Window.orderBy("_pid")
+    boundary_gaps = (
+        bounds.select(
+            F.lag("_mx").over(w_b).alias("prev_mx"), F.col("_mn")
+        )
+        .filter(
+            F.col("prev_mx").isNotNull()
+            & ((F.col("_mn") - F.col("prev_mx")) > 1)
         )
         .select(
-            (F.col("prev_id") + 1).alias("gap_start"),
-            (F.col("event_id") - 1).alias("gap_end"),
-            (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+            (F.col("prev_mx") + 1).alias("gap_start"),
+            (F.col("_mn") - 1).alias("gap_end"),
+            (F.col("_mn") - F.col("prev_mx") - 1).alias("n_missing"),
         )
-        .orderBy("gap_start")
     )
+    return local_gaps.unionByName(boundary_gaps).orderBy("gap_start")
 
 
 @query(

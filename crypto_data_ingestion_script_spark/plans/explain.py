@@ -73,3 +73,31 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
 
 def shuffle_count(df: DataFrame) -> int:
     return _node_count(df, "Exchange")
+
+
+def unaggregated_single_partition_exchanges(df: DataFrame) -> int:
+    """Count ``Exchange SinglePartition`` nodes whose subtree contains NO
+    aggregation — i.e. raw input funneled through one task (the global-
+    window scale killer). A single-partition exchange fed by an aggregate
+    is summary-scale (e.g. prefix offsets over range counts in the
+    two-pass rank plan) and is not counted. Finalizes the plan first so
+    AQE's executed tree is inspected."""
+    df.collect()
+    lines = simple_plan(df).splitlines()
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    bad = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        base = indent(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and indent(nxt) <= base:
+                break
+            subtree.append(nxt)
+        if not any("Aggregate" in s for s in subtree):
+            bad += 1
+    return bad

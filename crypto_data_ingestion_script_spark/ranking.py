@@ -1,0 +1,56 @@
+"""Scale-safe global ranking: dense row numbers over a total order WITHOUT
+a single-partition window.
+
+``Window.orderBy(...)`` with no partitionBy funnels the entire input
+through one task — correct, but the canonical 100 TB plan-killer. The
+two-pass shape here keeps every input-sized step parallel:
+
+1. ``repartitionByRange`` on the order columns (parallel range shuffle);
+2. per-range ``row_number`` (each range sorts independently);
+3. per-range counts → prefix offsets (one window over N range summaries —
+   driver-scale, not input-scale) broadcast-joined back.
+
+The result is boundary-invariant: offset + local rank equals the global
+rank wherever the sampled range bounds fall, so outputs stay deterministic
+and oracle-checkable while no task ever sees more than one range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame, *order_cols: str, out_col: str = "rn", n_ranges: int = 32
+) -> DataFrame:
+    """Append ``out_col`` = 1-based global row_number of ``df`` in
+    ``order_cols`` order (must be a total order for a deterministic
+    result), computed with the two-pass range plan above.
+
+    The range layout is frozen with ``localCheckpoint`` before branching:
+    ``spark_partition_id()`` is nondeterministic, and the local-rank and
+    range-count branches of the plan would otherwise re-evaluate the range
+    exchange independently — two evaluations are not guaranteed the same
+    partition layout, which silently mismatches offsets against local
+    ranks. One bounded materialization (the projected input, once) buys
+    branch consistency; the OUTPUT is still boundary-invariant, so ranks
+    are reproducible across sessions and cluster topologies regardless of
+    where the sampled range bounds fall."""
+    ranged = (
+        df.repartitionByRange(n_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -489,3 +489,29 @@ def test_active_users_expansion_not_range_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_two_pass_rank_no_fact_scale_global_window(spark, sf_dir):
+    """q_surrogate_key / q_id_gaps / q_jaccard_join use the two-pass range
+    plan (ranking.py): no raw-input single-partition window anywhere. The
+    only SinglePartition exchanges allowed are summary-scale (fed by an
+    aggregate — e.g. prefix offsets over the N range counts)."""
+    from crypto_data_ingestion_script_spark.plans.explain import (
+        unaggregated_single_partition_exchanges,
+    )
+
+    # Detector sanity: a deliberate global window over the fact table must
+    # be flagged...
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir).events
+    bad = events.select(
+        "event_id", F.row_number().over(Window.orderBy("event_id")).alias("rn")
+    )
+    assert unaggregated_single_partition_exchanges(bad) >= 1
+
+    # ...and the two-pass plans must be clean.
+    for name in ("q_surrogate_key", "q_id_gaps", "q_jaccard_join"):
+        df = SPECS[name].fn(spark, sf_dir)
+        n = unaggregated_single_partition_exchanges(df)
+        assert n == 0, f"{name}: {n} fact-scale single-partition exchange(s)"
