@@ -418,15 +418,27 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table shuffles exactly once, with no self-joins and no explosion of
     (view, click, purchase) triples, which is what a join formulation
     costs at 100 TB.
+
+    The sf0.01 correctness tier happens to contain no within-the-hour
+    completions (0 rows on both sides — a vacuous match), so the pattern
+    semantics are additionally pinned by a hand-built fixture test
+    (tests/test_composite_ops.py::test_windowed_funnel_fixture).
     """
     t = load(spark, sf_dir)
+    return windowed_funnel(t.events)
+
+
+def windowed_funnel(events: DataFrame) -> DataFrame:
+    """Core of q_funnel_windowed over any (user_id, ts, event_id,
+    event_type) log — split out so fixture tests can drive it with
+    hand-built sequences."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     hour = F.expr("INTERVAL 1 HOUR")
-    scanned = t.events.select(
+    scanned = events.select(
         "user_id",
         "ts",
         "event_id",

@@ -195,11 +195,15 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mg_candidates(tokens: DataFrame, k: int) -> DataFrame:
     """Misra-Gries candidate extraction core: one pass over a single
-    ``token`` string column with ≤ k counters per partition, yielding the
-    distinct union of surviving keys. Superset guarantee (tested on
-    planted-hitter fixtures in tests/test_properties.py): any key whose
-    local frequency exceeds n_p/(k+1) in some partition survives there, so
-    with k+1 ≥ 1/φ every global φ-heavy key is emitted."""
+    ``token`` string column, trimming to ≤ k counters after each Arrow
+    batch merges — so k counters persist BETWEEN batches, and the peak is
+    bounded by k + the batch's distinct-token count (the Arrow batch size
+    caps it; a strictly-k variant would trim per row at ~100× the Python
+    overhead for the same output). Superset guarantee (tested on
+    planted-hitter fixtures in tests/test_properties.py): the batch-min
+    decrement preserves the survival bound — any key whose local frequency
+    exceeds n_p/(k+1) in some partition survives there, so with k+1 ≥ 1/φ
+    every global φ-heavy key is emitted."""
     import pandas as pd
 
     def mg_sketch(batches):

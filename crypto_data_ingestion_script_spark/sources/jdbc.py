@@ -9,11 +9,11 @@ default) and partitioned parallel reads via (partitionColumn, lowerBound,
 upperBound, numPartitions) — the knobs that matter when the remote table is
 large.
 
-No JDBC driver jar nor database is present in this container, so these
-helpers build the configured reader/writer and are exercised in CI only up
-to the point of connection (see tests — construction is validated, the
-connect itself is gated). At a deployment they are one `.load()` /
-`.save()` from live.
+No external database runs in this container, but Derby (on Spark's
+classpath as the Hive-metastore dependency) provides an embedded JDBC
+target: tests/test_jdbc.py executes a full writer → reader round-trip
+against ``jdbc:derby:`` alongside the construction-level option tests for
+the PostgreSQL-shaped deployment path.
 """
 
 from __future__ import annotations

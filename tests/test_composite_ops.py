@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import functions as F
-
 from crypto_data_ingestion_script_spark.operators.behavior import cdc_apply
 from crypto_data_ingestion_script_spark.operators.graph import bfs_distances
 from crypto_data_ingestion_script_spark.registry import load_all
@@ -98,3 +96,49 @@ def test_bm25_scores_positive_and_ranked(spark, sf_dir):
     scores = [r.score for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_windowed_funnel_fixture(spark):
+    """q_funnel_windowed's sf0.01 correctness check is vacuous (no funnel
+    completes within 1 hour at that scale), so pin the semantics on a
+    hand-built log: completions within the hour count, chains with any
+    gap over an hour or missing/misordered steps do not."""
+    from datetime import datetime
+
+    from crypto_data_ingestion_script_spark.operators.behavior import (
+        windowed_funnel,
+    )
+
+    T = datetime
+    rows = [
+        # u1: clean view -> click -> purchase, gaps < 1h => completes
+        (1, T(2024, 1, 1, 10, 0), 1, "view"),
+        (1, T(2024, 1, 1, 10, 30), 2, "click"),
+        (1, T(2024, 1, 1, 11, 15), 3, "purchase"),
+        # u1 second purchase 2h after the click => does NOT complete
+        (1, T(2024, 1, 1, 13, 0), 4, "purchase"),
+        # u2: view -> click gap is 2h => click unqualified, no completion
+        (2, T(2024, 1, 1, 9, 0), 5, "view"),
+        (2, T(2024, 1, 1, 11, 30), 6, "click"),
+        (2, T(2024, 1, 1, 11, 45), 7, "purchase"),
+        # u3: purchase before any click => no completion
+        (3, T(2024, 1, 1, 9, 0), 8, "purchase"),
+        (3, T(2024, 1, 1, 9, 10), 9, "view"),
+        (3, T(2024, 1, 1, 9, 20), 10, "click"),
+        # u4: two completions off one view (click re-qualifies) => 2 rows
+        (4, T(2024, 1, 1, 8, 0), 11, "view"),
+        (4, T(2024, 1, 1, 8, 10), 12, "click"),
+        (4, T(2024, 1, 1, 8, 20), 13, "purchase"),
+        (4, T(2024, 1, 1, 8, 50), 14, "click"),
+        (4, T(2024, 1, 1, 9, 30), 15, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp_ntz, event_id bigint, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["n_completions"], r["first_completion"])
+        for r in windowed_funnel(events).collect()
+    }
+    assert set(got) == {1, 4}, got
+    assert got[1] == (1, T(2024, 1, 1, 11, 15)), got[1]
+    assert got[4] == (2, T(2024, 1, 1, 8, 20)), got[4]
