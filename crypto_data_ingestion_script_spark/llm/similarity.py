@@ -263,12 +263,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are graded against."""
     t = load(spark, sf_dir)
     n_tables, bits = 8, 4
+    # Materialize the 32 sign bits before the per-table explode — otherwise
+    # CollapseProject inlines the full 32-plane projection (a 64-dim fold
+    # per plane) into every table lambda, multiplying the work 8×.
     e = t.embeddings.select(
         "vec_id",
         hyperplane_sign_bits(F.col("embedding"), n_planes=n_tables * bits).alias(
             "bits"
         ),
-    )
+    ).localCheckpoint()
     tabs = e.select(
         "vec_id",
         F.posexplode(

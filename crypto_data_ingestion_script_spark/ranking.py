@@ -54,3 +54,39 @@ def global_row_number(
         .withColumn(out_col, F.col("_off") + F.col("_lrn"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: str,
+    out_col: str = "running_sum",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running sum of ``value_col`` over the
+    global ``order_cols`` order — same two-pass shape as
+    ``global_row_number``: per-range running sums in parallel, plus a
+    broadcast prefix of per-range totals. Boundary-invariant like the rank:
+    prefix-total + local running sum equals the global running sum wherever
+    the range bounds fall."""
+    ranged = (
+        df.repartitionByRange(n_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lsum", F.sum(value_col).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lsum"))
+        .drop("_pid", "_lsum", "_off")
+    )

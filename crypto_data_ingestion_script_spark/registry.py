@@ -53,7 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
     from .operators import aggregates, behavior, finance, graph, joins, layout, quality, relational, rollup, skew, sqlsurface, tpch, windows  # noqa: F401
     from .functions import datetime as datetime_fns  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
-    from .llm import dedup, similarity, text  # noqa: F401
+    from .llm import curation, dedup, similarity, text  # noqa: F401
     from .llm import multimodal  # noqa: F401
     from .sources import custom, files, rest  # noqa: F401
     from . import ingest  # noqa: F401
