@@ -165,3 +165,97 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hkey", "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "q_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                            i -> concat_ws(' ', tk[i], tk[i+1])) AS g2
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT)                AS n_bigrams,
+           round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                       / len(g2), 6)              AS dup_bigram_frac,
+           (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2))
+             <= 0.2                               AS passes_gate
+    FROM grams
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality gate (the Gopher/FineWeb-style rule):
+    fraction of duplicated word bigrams per document — generated/looping
+    text repeats n-grams far above natural prose, so a duplicate-bigram
+    fraction over ~0.2 flags boilerplate, keyword stuffing, and decoding
+    loops. Pure column expressions (split → transform → array_distinct
+    size arithmetic): one scan, no shuffle, no UDF — a 100 TB gate is a
+    map-only pass."""
+    t = load(spark, sf_dir)
+    from .dedup import shingles
+
+    g2 = shingles(F.split(F.col("text"), " "), n=2)
+    n = F.size(g2)
+    n_dist = F.size(F.array_distinct(g2))
+    frac = 1.0 - n_dist.cast("double") / n
+    return t.documents.select(
+        "doc_id",
+        n.cast("bigint").alias("n_bigrams"),
+        F.round(frac, 6).alias("dup_bigram_frac"),
+        (frac <= 0.2).alias("passes_gate"),
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT w, count(*) AS n FROM tok GROUP BY w
+    ),
+    total AS (SELECT sum(n) AS t FROM freq)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(freq.n / total.t)), 6) AS mean_logprob
+    FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN total
+    GROUP BY tok.doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality proxy: each document's mean
+    ln p(token) under the corpus's own unigram distribution — the cheap
+    stand-in for model perplexity that curation pipelines use to rank
+    text quality and to weight importance sampling (very low scores =
+    gibberish/rare-token soup; very high = trivially repetitive).
+
+    Scale shape: the unigram table is vocabulary-sized → broadcast back
+    onto the exploded tokens (map-side join); the corpus shuffles only
+    for the per-doc mean. The corpus-total scalar rides along as a
+    broadcast literal join."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("t"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("t"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )

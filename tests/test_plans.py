@@ -511,7 +511,12 @@ def test_two_pass_rank_no_fact_scale_global_window(spark, sf_dir):
     assert unaggregated_single_partition_exchanges(bad) >= 1
 
     # ...and the two-pass plans must be clean.
-    for name in ("q_surrogate_key", "q_id_gaps", "q_jaccard_join"):
+    for name in (
+        "q_surrogate_key",
+        "q_id_gaps",
+        "q_jaccard_join",
+        "q_pack_sequences",
+    ):
         df = SPECS[name].fn(spark, sf_dir)
         n = unaggregated_single_partition_exchanges(df)
         assert n == 0, f"{name}: {n} fact-scale single-partition exchange(s)"
