@@ -37,3 +37,20 @@ def test_fold_empty_batch_is_identity():
 
     pdf = pd.DataFrame({"ts": pd.to_datetime([]), "value": []})
     assert fold_pdf(EMPTY_STATE, pdf) == EMPTY_STATE
+
+
+def test_two_pass_ranking_on_empty_input(spark, sf_dir):
+    """ranking.py helpers over zero rows: empty result, stable schema —
+    repartitionByRange + checkpoint + broadcast offsets must all tolerate
+    an empty day."""
+    from crypto_data_ingestion_script_spark.ranking import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    t = load(spark, sf_dir)
+    empty = t.events.select("event_id", "value").filter(F.lit(False))
+    rn = global_row_number(empty, "event_id", out_col="rn")
+    assert rn.count() == 0 and set(rn.columns) == {"event_id", "value", "rn"}
+    rs = global_running_sum(empty, "value", "event_id", out_col="rs")
+    assert rs.count() == 0 and set(rs.columns) == {"event_id", "value", "rs"}

@@ -321,3 +321,62 @@ def test_misra_gries_candidates_superset(spark, data, nparts):
     counts = Counter(data)
     heavy = {t for t, c in counts.items() if c > phi * len(data)}
     assert heavy <= got, f"missing heavy hitters: {heavy - got}"
+
+
+# --- Two-pass ranking equivalence (ranking.py) ------------------------------
+# global_row_number / global_running_sum back four declared queries; their
+# correctness claim is boundary-invariance: identical output to the naive
+# single-partition window REGARDLESS of where range bounds fall. Drive both
+# with random multisets (duplicates + negatives + skew) and compare exactly.
+
+rank_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # order key (duplicates!)
+        st.integers(min_value=0, max_value=9),     # tiebreak
+        st.integers(min_value=-5, max_value=100),  # value for running sum
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rank_rows_strategy)
+def test_two_pass_rank_and_running_sum_match_global_window(spark, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crypto_data_ingestion_script_spark.ranking import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    # Unique (k, tb, idx) triples make the order total → deterministic.
+    data = [(k, tb, i, v) for i, (k, tb, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, tb int, idx int, v long")
+    order = ("k", "tb", "idx")
+
+    got_rank = {
+        r["idx"]: r["rn"]
+        for r in global_row_number(df, *order, out_col="rn", n_ranges=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want_rank = {
+        r["idx"]: r["rn"]
+        for r in df.select("idx", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got_rank == want_rank
+
+    got_sum = {
+        r["idx"]: r["rs"]
+        for r in global_running_sum(
+            df, "v", *order, out_col="rs", n_ranges=7
+        ).collect()
+    }
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_sum = {
+        r["idx"]: r["rs"]
+        for r in df.select("idx", F.sum("v").over(w_sum).alias("rs")).collect()
+    }
+    assert got_sum == want_sum
