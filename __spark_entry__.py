@@ -31,8 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; omitted keys
-    (non-deterministic / non-SQL-expressible ops) get rows-only checks."""
+    """DuckDB-equivalent SQL for every registered query — all of them:
+    approximate/engine-specific ops emit exact-twin values plus in-engine
+    tolerance verdicts, so their oracles are exact too."""
     return {
         name: spec.oracle
         for name, spec in load_all().items()

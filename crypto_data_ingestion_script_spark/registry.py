@@ -3,9 +3,10 @@
 
 Every operator from SURVEY.md §2 registers here with:
   - a Spark callable ``(spark, sf_dir) -> DataFrame``
-  - optionally, the equivalent DuckDB ANSI SQL (the correctness oracle).
-    Queries without SQL get the driver's weaker rows-only check
-    (non-deterministic / non-SQL-expressible ops only, SURVEY.md §7.4.4).
+  - the equivalent DuckDB ANSI SQL (the correctness oracle). Every
+    registered query carries one: approximate/engine-specific ops emit
+    exact-twin values plus in-engine tolerance verdicts so the oracle can
+    state the exact side (the driver has no rows-only fallback).
 """
 
 from __future__ import annotations

@@ -1,0 +1,84 @@
+"""Full driver simulation: every registered query vs its DuckDB oracle in a
+PLAIN SparkSession (the grading driver owns its own session — build_session
+confs must not be assumed), with the driver's strict comparison semantics:
+column names, row counts, int-vs-float dtype drift, and order-insensitive
+values. Writes per-query wall times so slow queries surface before the
+driver samples them.
+
+Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+import json, time, traceback
+from pyspark.sql import SparkSession
+import sys as _s
+SF_DIR = _s.argv[1] if len(_s.argv) > 1 else "/root/testdata/sf0.01"
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as e
+qs, osql = e.queries(), e.oracle_sql()
+import duckdb, pandas as pd, numpy as np
+import pandas.api.types as pt
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+results = {}
+for name in sorted(qs):
+    rec = {"status": "ok", "spark_s": None, "oracle_s": None, "rows": None, "err": None}
+    try:
+        t0 = time.perf_counter()
+        s = qs[name](spark, SF_DIR).toPandas()
+        rec["spark_s"] = round(time.perf_counter() - t0, 2)
+        rec["rows"] = len(s)
+        t0 = time.perf_counter()
+        o = con.execute(osql[name]).fetchdf()
+        rec["oracle_s"] = round(time.perf_counter() - t0, 2)
+        s = s.reindex(sorted(s.columns), axis=1); o = o.reindex(sorted(o.columns), axis=1)
+        if list(s.columns) != list(o.columns):
+            rec["status"] = "cols"; rec["err"] = f"{list(s.columns)} vs {list(o.columns)}"
+        elif len(s) != len(o):
+            rec["status"] = "rows"; rec["err"] = f"{len(s)} vs {len(o)}"
+        else:
+            for c in s.columns:
+                if pt.is_datetime64_any_dtype(s[c]): s[c] = s[c].astype("datetime64[us]")
+                if pt.is_datetime64_any_dtype(o[c]): o[c] = o[c].astype("datetime64[us]")
+                si, oi = pt.is_integer_dtype(s[c]), pt.is_integer_dtype(o[c])
+                sf_, of = pt.is_float_dtype(s[c]), pt.is_float_dtype(o[c])
+                if (si and of) or (sf_ and oi):
+                    rec["status"] = "dtype"; rec["err"] = f"{c}: {s[c].dtype} vs {o[c].dtype}"; break
+            if rec["status"] == "ok":
+                for c in s.columns:
+                    if s[c].dtype == object:
+                        s[c] = s[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v, na_action="ignore")
+                    if o[c].dtype == object:
+                        o[c] = o[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v, na_action="ignore")
+                try:
+                    s2 = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
+                    o2 = o.sort_values(by=list(o.columns), kind="mergesort").reset_index(drop=True)
+                except Exception:
+                    key = [c for c in s.columns if not pt.is_float_dtype(s[c])]
+                    s2 = s.sort_values(by=key, kind="mergesort").reset_index(drop=True)
+                    o2 = o.sort_values(by=key, kind="mergesort").reset_index(drop=True)
+                for c in s2.columns:
+                    if pt.is_float_dtype(s2[c]) or pt.is_float_dtype(o2[c]):
+                        a = pd.to_numeric(s2[c], errors="coerce").astype(float).fillna(1.2345e300)
+                        b = pd.to_numeric(o2[c], errors="coerce").astype(float).fillna(1.2345e300)
+                        if not np.allclose(a, b, rtol=1e-7, atol=1e-9):
+                            rec["status"] = "values"; rec["err"] = c; break
+                    else:
+                        if not (s2[c].fillna("\0N").astype(str) == o2[c].fillna("\0N").astype(str)).all():
+                            rec["status"] = "values"; rec["err"] = c; break
+    except Exception as ex:
+        rec["status"] = "crash"; rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+    results[name] = rec
+    flag = "" if rec["status"] == "ok" else "  <<< " + rec["status"]
+    print(f"{name}: spark={rec['spark_s']}s oracle={rec['oracle_s']}s rows={rec['rows']}{flag}", flush=True)
+with open("/tmp/driver_sim_results.json", "w") as f:
+    json.dump(results, f, indent=1)
+bad = {k: v for k, v in results.items() if v["status"] != "ok"}
+print(f"\nSWEEP DONE: {len(results)} queries, {len(bad)} problems")
+for k, v in bad.items():
+    print(f"  {k}: {v['status']} {v['err']}")
+slow = sorted(results.items(), key=lambda kv: -(kv[1]["spark_s"] or 0))[:10]
+print("slowest spark:", [(k, v["spark_s"]) for k, v in slow])
+slow_o = sorted(results.items(), key=lambda kv: -(kv[1]["oracle_s"] or 0))[:5]
+print("slowest oracle:", [(k, v["oracle_s"]) for k, v in slow_o])

@@ -520,3 +520,22 @@ def test_two_pass_rank_no_fact_scale_global_window(spark, sf_dir):
         df = SPECS[name].fn(spark, sf_dir)
         n = unaggregated_single_partition_exchanges(df)
         assert n == 0, f"{name}: {n} fact-scale single-partition exchange(s)"
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """Scale-shape claims of the curation ops: contamination and the
+    unigram LM broadcast their small sides (no corpus self-shuffle for
+    them), the repetition gate is map-only (zero exchanges), and the
+    deterministic hash sample plans as TakeOrdered (per-partition top-k,
+    not a global sort)."""
+    assert uses_broadcast_join(SPECS["q_contamination"].fn(spark, sf_dir))
+    assert uses_broadcast_join(SPECS["q_unigram_logprob"].fn(spark, sf_dir))
+    assert shuffle_count(SPECS["q_repetition_filter"].fn(spark, sf_dir)) == 0
+    plan = (
+        SPECS["q_sample_hash"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan and "Exchange rangepartitioning" not in plan
