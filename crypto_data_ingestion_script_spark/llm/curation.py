@@ -259,3 +259,54 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT *, pow(n_docs, 0.7) AS w FROM counts
+    )
+    SELECT source, n_docs, n_chars_total,
+           round(w / sum(w) OVER (), 8)                   AS mix_weight,
+           round((w / sum(w) OVER ())
+                 / (n_docs / CAST(sum(n_docs) OVER () AS DOUBLE)), 8)
+             AS upsample_factor
+    FROM scaled
+    """,
+    tags=("llm", "curation", "mixing"),
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing weights (T = 0.7): per source,
+    sampling weight ∝ count^T normalized — the mixture schedule that
+    up-samples small high-quality sources relative to their natural
+    proportion (T = 1 is natural sampling, T = 0 is uniform). Emits the
+    weight and the implied up/down-sampling factor per source — the
+    numbers a training-data loader consumes.
+
+    Scale shape: one count aggregation over the corpus; the temperature
+    math runs over the #sources-row summary (the window here is
+    summary-scale by construction — sources are a dimension)."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    counts = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    w_all = Window.partitionBy()
+    w = F.pow(F.col("n_docs"), 0.7)
+    mix = w / F.sum(w).over(w_all)
+    natural = F.col("n_docs") / F.sum("n_docs").over(w_all).cast("double")
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(mix, 8).alias("mix_weight"),
+        F.round(mix / natural, 8).alias("upsample_factor"),
+    )

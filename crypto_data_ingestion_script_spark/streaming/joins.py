@@ -180,3 +180,82 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_attributed",
         "attributed_value",
     )
+
+
+@query(
+    "q_stream_left_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 2 HOUR AS c
+    )
+    SELECT a.event_id AS click_id,
+           a.user_id  AS click_user,
+           b.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND a.ts BETWEEN b.ts - INTERVAL 10 MINUTE AND b.ts
+    CROSS JOIN cutoff
+    WHERE a.ts <= cutoff.c
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream⋈stream LEFT OUTER join: every click, attributed
+    to a same-user purchase in the following 10 minutes or emitted with a
+    NULL match — the attribution query that must also report the
+    UNconverted clicks. Outer rows can only emit once the watermark passes
+    the click's join window (the engine must prove no match can still
+    arrive), so rows at the very tail of a bounded run stay buffered
+    forever. The GLOBAL watermark is the min over both inputs' watermarks
+    — it trails the EARLIER-ending side — so both engines restrict output
+    to clicks at least 2 h (watermark + join window, with margin) before
+    min(max click ts, max purchase ts): the honest statement of
+    outer-join emission semantics rather than a flakily-timed tail.
+    """
+    t = load(spark, sf_dir)
+    cutoff = (
+        t.events.groupBy()
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 2 HOURS")
+            ).alias("c")
+        )
+        .first()["c"]
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("click_id", "click_user", "purchase_id", "click_ts")
+    out = run_to_memory(joined, output_mode="append")
+    return out.filter(F.col("click_ts") <= F.lit(cutoff)).drop("click_ts")
