@@ -67,7 +67,7 @@ _DOT_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 query vectors, Arrow-vectorized: the
     tiny query matrix ships to every executor inside a ``mapInPandas``
-    closure (driver collect of 5 rows — the broadcast-dim pattern); each
+    closure (the broadcast-dim pattern); each
     Arrow batch of the corpus scores against ALL queries in one numpy
     matmul. One scan of the big side, no shuffle of it; only the
     (n_queries x n_candidates) scored rows hit the ranking shuffle.
@@ -76,19 +76,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same semantics at ~100x the throughput on dense vectors; the
     round-to-8 output absorbs summation-order float drift vs the oracle's
     sequential fold. This is the exact baseline; q_ann_lsh is the
-    sublinear path."""
+    sublinear path.
+
+    The 5-row probe matrix is fetched with a driver-side pyarrow read
+    (metadata-scale work — spinning up a Spark job to move 5 rows costs
+    more than the read); float32→float64 widening is exact, so the values
+    are bit-identical to a collect(). The corpus scan stays distributed."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
     t = load(spark, sf_dir)
-    qrows = (
-        t.embeddings.filter(F.col("vec_id") < 5)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
-    Q = np.array([r["embedding"] for r in qrows], dtype="float64")  # (k, d)
+    q_ids, Q = _probe_matrix(sf_dir, probe_limit=5)
     q_norms = np.sqrt((Q * Q).sum(axis=1))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,7 +155,27 @@ def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
     ).alias("bucket")
 
 
-def _probe_scores(embeddings: DataFrame, probe_limit: int) -> DataFrame:
+def _probe_matrix(sf_dir: str, probe_limit: int):
+    """Driver-side pyarrow fetch of the probe vectors (vec_id <
+    probe_limit) as (ids, float64 matrix) — metadata-scale work that does
+    not warrant a Spark job; float32→float64 widening is exact, so values
+    match a collect() bit-for-bit."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = tbl.to_pandas()
+    pdf = pdf[pdf["vec_id"] < probe_limit].sort_values("vec_id")
+    q_ids = pdf["vec_id"].to_numpy(dtype="int64")
+    Q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    return q_ids, Q
+
+
+def _probe_scores(embeddings: DataFrame, sf_dir: str, probe_limit: int) -> DataFrame:
     """Exact (q_id, cand_id, cos_sim) scores of every corpus vector against
     the probe set (vec_id < probe_limit): Arrow-batch numpy matmul, one
     corpus scan, probe matrix in the closure — no corpus shuffle."""
@@ -164,13 +183,7 @@ def _probe_scores(embeddings: DataFrame, probe_limit: int) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
-    qrows = (
-        embeddings.filter(F.col("vec_id") < probe_limit)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype="int64")
-    Q = np.array([r["embedding"] for r in qrows], dtype="float64")
+    q_ids, Q = _probe_matrix(sf_dir, probe_limit)
     q_norms = np.sqrt((Q * Q).sum(axis=1))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -295,7 +308,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id")
         .distinct()
     )
-    return _ann_verdict(_probe_scores(t.embeddings, 5), cand, "lsh_recall_ok")
+    return _ann_verdict(_probe_scores(t.embeddings, sf_dir, 5), cand, "lsh_recall_ok")
 
 
 def ivf_assignments(
@@ -392,7 +405,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("cand_id"))
         .distinct()
     )
-    return _ann_verdict(_probe_scores(t.embeddings, 5), cand, "ivf_recall_ok")
+    return _ann_verdict(_probe_scores(t.embeddings, sf_dir, 5), cand, "ivf_recall_ok")
 
 
 @query(
