@@ -30,6 +30,14 @@ def test_oracle_match(name, spark, sf_dir, duck):
     assert not errs, "\n".join(errs)
 
 
+def test_every_query_has_an_oracle():
+    """Contract invariant: the driver has NO rows-only fallback (every
+    oracle-less query errs in its correctness pass), so the registry must
+    never regrow one — approximate/engine-specific ops emit exact-twin
+    values plus in-engine verdicts instead."""
+    assert ROWS_ONLY == [], f"oracle-less queries registered: {ROWS_ONLY}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(name, spark, sf_dir):
     spec = SPECS[name]
