@@ -539,3 +539,18 @@ def test_curation_plan_shapes(spark, sf_dir):
         .toString()
     )
     assert "TakeOrdered" in plan and "Exchange rangepartitioning" not in plan
+
+
+def test_dedup_near_is_bucketed_not_all_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup must generate candidates through the band-hash
+    equi-join — never a cartesian/nested-loop pair enumeration."""
+    df = SPECS["q_dedup_near"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_is_map_only(spark, sf_dir):
+    """The per-doc fingerprint-property projection is pure column work:
+    zero exchanges."""
+    assert shuffle_count(SPECS["q_simhash"].fn(spark, sf_dir)) == 0
