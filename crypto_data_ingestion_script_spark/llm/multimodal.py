@@ -2,12 +2,14 @@
 payloads with typed StructType metadata; decode / feature-extract / resize /
 frame-sample as Arrow-batched pandas transforms over ``mapInPandas``.
 
-The image/audio codecs are NOT in this container, so the decode step is
-stubbed (``decode_image`` raises NotImplementedError; the pipeline runs a
-clearly-marked deterministic fake instead). Everything Spark-side is real
-and tested: schema, binary round-trip, partitioning, UDF signature, batch
-shape — swapping the fake for Pillow/librosa is a one-function change on
-the executors, nothing in the plan moves.
+Decode status: uncompressed binary PPM (P6) decodes FOR REAL
+(``decode_image`` — header parse + numpy reshape, verified value-for-value
+by ``q_decode_image``'s round-trip oracle). Compressed codecs (JPEG/PNG,
+audio) are not in this container, so those paths run a clearly-marked
+deterministic fake (``fake_decode``); swapping it for Pillow/librosa is a
+one-function change on the executors, nothing in the plan moves.
+Everything Spark-side is real and tested: schema, binary round-trip,
+partitioning, UDF signature, batch shape.
 
 Scale: payloads stay in executor-side Arrow batches end to end; feature
 rows (small, fixed-width) are what shuffles — never the binary blobs.
@@ -35,12 +37,45 @@ FEATURE_DDL = (
 )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Real decoder entry point. Image libs are not in this container."""
+def decode_image(content: bytes):
+    """Image decoder. Uncompressed binary PPM (P6) decodes for real —
+    header parse + numpy reshape, no codec library needed — so the
+    decode → feature path runs end-to-end in this container. Compressed
+    formats (JPEG/PNG/...) genuinely require Pillow/opencv on the
+    executors and raise until one is deployed; swapping this function's
+    fallback for a library call changes nothing in the Spark plan.
+
+    Returns (width, height, uint8 ndarray of shape (h, w, 3))."""
+    import numpy as np
+
+    if content[:2] == b"P6":
+        # P6 header: magic, width, height, maxval — whitespace-separated
+        # tokens (comments not emitted by our encoder), then the raster.
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+        w, h, maxval = tokens
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255")
+        raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return w, h, raster.reshape(h, w, 3)
     raise NotImplementedError(
-        "image decode requires Pillow/opencv on executors; "
-        "CI uses fake_decode (deterministic) instead"
+        "compressed image decode requires Pillow/opencv on executors; "
+        "only binary PPM (P6) decodes natively"
     )
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6) encoder for a (h, w, 3) uint8 array — the matching
+    writer for decode_image's native format."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
 def fake_decode(content: bytes) -> list[float]:
@@ -186,4 +221,86 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(assets_from_documents(t.documents))
     return feats.select(
         "asset_id", "modality", "byte_len", "thumb_w", "thumb_h", "feature_dim"
+    )
+
+
+@query(
+    "q_decode_image",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 4 + 2 AS h
+      FROM documents WHERE doc_id < 50
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+    pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           round(avg(CAST((x * 7 + y * 13 + doc_id) % 256 AS DOUBLE)), 6) AS mean_r,
+           round(avg(CAST((x * 3 + y * 5 + doc_id * 2) % 256 AS DOUBLE)), 6) AS mean_g,
+           round(avg(CAST((x + y + doc_id * 3) % 256 AS DOUBLE)), 6) AS mean_b
+    FROM pxy
+    GROUP BY doc_id, w, h
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip: per asset, synthesize a deterministic
+    pixel pattern, encode it as binary PPM (P6), decode the BYTES back
+    with ``decode_image`` (header parse + numpy reshape — an actual
+    decoder, not a stub), and emit per-channel means computed FROM THE
+    DECODED ARRAY. The oracle recomputes the same means arithmetically
+    from the pixel formula, so any decoder defect (wrong offset, wrong
+    stride, channel swap) breaks the hash.
+
+    Everything runs inside ``mapInPandas`` — encode, decode, and feature
+    reduction stay executor-side per Arrow batch; only the small feature
+    rows leave the executor. This is the contract a production pipeline
+    swaps compressed codecs into (decode_image's NotImplementedError
+    branch) without touching the plan."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 8 + 2, d % 4 + 2
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                px = np.concatenate(
+                    [
+                        (x * 7 + y * 13 + d) % 256,
+                        (x * 3 + y * 5 + d * 2) % 256,
+                        (x + y + d * 3) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                dw, dh, decoded = decode_image(encode_ppm(px))
+                out["asset_id"].append(d)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["n_pixels"].append(dw * dh)
+                means = decoded.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    t = load(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") < 50).select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "asset_id bigint, width int, height int, n_pixels bigint, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
     )
