@@ -2,12 +2,14 @@
 payloads with typed StructType metadata; decode / feature-extract / resize /
 frame-sample as Arrow-batched pandas transforms over ``mapInPandas``.
 
-Decode status: uncompressed binary PPM (P6) decodes FOR REAL
-(``decode_image`` — header parse + numpy reshape, verified value-for-value
-by ``q_decode_image``'s round-trip oracle). Compressed codecs (JPEG/PNG,
-audio) are not in this container, so those paths run a clearly-marked
-deterministic fake (``fake_decode``); swapping it for Pillow/librosa is a
-one-function change on the executors, nothing in the plan moves.
+Decode status: uncompressed formats decode FOR REAL — binary PPM (P6)
+images (``decode_image``: header parse + numpy reshape) and PCM WAV audio
+(``decode_audio``: RIFF chunk walk + frombuffer), each verified
+value-for-value by a round-trip oracle query (``q_decode_image`` /
+``q_decode_audio``). Compressed codecs (JPEG/PNG, MP3/FLAC) are not in
+this container, so those paths run a clearly-marked deterministic fake
+(``fake_decode``); swapping it for Pillow/librosa is a one-function
+change on the executors, nothing in the plan moves.
 Everything Spark-side is real and tested: schema, binary round-trip,
 partitioning, UDF signature, batch shape.
 
@@ -302,5 +304,122 @@ def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "asset_id bigint, width int, height int, n_pixels bigint, "
             "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def decode_audio(content: bytes):
+    """Audio decoder. Canonical PCM WAV (RIFF, 16-bit) decodes for real —
+    chunk walk + numpy frombuffer, no codec library. Compressed audio
+    (MP3/FLAC/...) raises until a library is deployed on the executors.
+
+    Returns (sample_rate, int16 ndarray of shape (n_samples,))."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio decode requires librosa/soundfile on "
+            "executors; only PCM WAV decodes natively"
+        )
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels = struct.unpack("<H", body[2:4])[0]
+            rate = struct.unpack("<I", body[4:8])[0]
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            if bits != 16 or channels != 1:
+                raise NotImplementedError("only 16-bit mono PCM")
+            return rate, np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size % 2)
+    raise ValueError("no data chunk")
+
+
+def encode_wav(samples, rate: int = 16000) -> bytes:
+    """Canonical 44-byte-header PCM WAV encoder for int16 mono samples."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+@query(
+    "q_decode_audio",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 5 + 1) * 160 AS n
+      FROM documents WHERE doc_id < 50
+    ),
+    smp AS (
+      SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims
+    ),
+    vals AS (
+      SELECT doc_id, n, ((i * 37 + doc_id * 11) % 65536) - 32768 AS x
+      FROM smp
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           round(CAST(n AS DOUBLE) / 16000 * 1000, 6) AS duration_ms,
+           round(avg(CAST(x AS DOUBLE)), 6)      AS mean_sample,
+           round(avg(abs(CAST(x AS DOUBLE))), 6) AS mean_abs
+    FROM vals
+    GROUP BY doc_id, n
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip (the audio twin of q_decode_image):
+    synthesize a deterministic int16 sample pattern per asset, encode it
+    as canonical PCM WAV, decode the BYTES back with ``decode_audio``
+    (RIFF chunk walk + frombuffer), and emit duration and amplitude stats
+    computed FROM THE DECODED samples; the oracle recomputes them
+    arithmetically from the synthesis formula. Executor-side end to end
+    via ``mapInPandas`` — blobs never shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "n_samples": [],
+                "duration_ms": [],
+                "mean_sample": [],
+                "mean_abs": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = (d % 5 + 1) * 160
+                i = np.arange(n, dtype=np.int64)
+                x = ((i * 37 + d * 11) % 65536) - 32768
+                rate, decoded = decode_audio(
+                    encode_wav(x.astype(np.int16), rate=16000)
+                )
+                xs = decoded.astype(np.float64)
+                out["asset_id"].append(d)
+                out["n_samples"].append(len(decoded))
+                out["duration_ms"].append(round(len(decoded) / rate * 1000, 6))
+                out["mean_sample"].append(round(float(xs.mean()), 6))
+                out["mean_abs"].append(round(float(np.abs(xs).mean()), 6))
+            yield pd.DataFrame(out)
+
+    t = load(spark, sf_dir)
+    return t.documents.filter(F.col("doc_id") < 50).select("doc_id").mapInPandas(
+        run,
+        schema=(
+            "asset_id bigint, n_samples bigint, duration_ms double, "
+            "mean_sample double, mean_abs double"
         ),
     )
