@@ -244,3 +244,56 @@ def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "q_scan_json_corrupt",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 10 != 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE doc_id % 10 = 0)  AS BIGINT) AS n_corrupt,
+           CAST(sum(n_chars) FILTER (WHERE doc_id % 10 != 0) AS BIGINT)
+             AS good_chars_total
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("source", "json", "quality"),
+)
+def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on JSON ingest: a feed where every 10th
+    line is malformed, read in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` — bad lines land in the quarantine
+    column instead of failing the job or silently disappearing (the
+    operational contract for ingesting third-party feeds at scale; the
+    strict alternative, FAILFAST, is the right choice only when the
+    producer is trusted). Emits good/corrupt counts plus a checksum over
+    the parsed payloads; the oracle recomputes all three from the source
+    table arithmetically."""
+    t = load(spark, sf_dir)
+    rows = (
+        t.documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    out_dir = tempfile.mkdtemp(prefix="json_corrupt_")
+    path = os.path.join(out_dir, "feed.jsonl")
+    with open(path, "w") as f:
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            if r["doc_id"] % 10 == 0:
+                f.write('{"doc_id": %d, "n_chars": OOPS\n' % r["doc_id"])
+            else:
+                f.write(
+                    '{"doc_id": %d, "n_chars": %d}\n'
+                    % (r["doc_id"], r["n_chars"])
+                )
+    parsed = (
+        spark.read.schema("doc_id bigint, n_chars bigint, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out_dir)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars"))).alias(
+            "good_chars_total"
+        ),
+    )
