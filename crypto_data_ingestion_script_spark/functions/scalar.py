@@ -234,7 +234,7 @@ def q_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*)             AS n_docs,
            count(DISTINCT text) AS n_distinct_texts,
            TRUE AS xxh64_injective_here,
-           TRUE AS murmur3_injective_here
+           TRUE AS murmur3_collisions_bounded
     FROM documents
     """,
     tags=("scalar", "hash"),
@@ -243,22 +243,31 @@ def q_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native hashes (xxhash64 / Murmur3) — the fast partitioning and
     fingerprint primitives behind the dedup/LSH operators. Hash values are
     engine-specific, so the driver-checkable output is the property that
-    matters: on this corpus the hash is collision-free, i.e. the number of
-    distinct hashes equals the number of distinct inputs (oracle computes
-    the exact distinct count and states the verdicts TRUE). A broken hash
-    (constant, truncated, or instable) collapses distinct counts and flips
-    the booleans."""
+    matters. xxhash64 (64-bit) is asserted injective on the corpus: the
+    birthday expectation n²/2⁶⁵ stays ≪1 up to billions of distinct texts.
+    Murmur3 is 32-bit, where birthday collisions on a *correct* hash become
+    likely past ~10⁴ distinct inputs, so the verdict is a bounded collision
+    count instead: distinct-inputs − distinct-hashes ≤ 4 + 8·n²/2³³ (eight
+    times the birthday expectation — a constant-false-positive-rate bound at
+    any corpus size). A broken hash (constant, truncated, or instable)
+    collapses distinct counts and flips the verdict; a correct one passes at
+    any scale factor."""
     t = load(spark, sf_dir)
+    n_distinct = F.countDistinct("text")
+    murmur_collisions = n_distinct - F.countDistinct(F.hash("text"))
+    collision_budget = F.lit(4.0) + (
+        n_distinct.cast("double") * n_distinct.cast("double") / F.lit(float(2**33)) * F.lit(8.0)
+    )
     return t.documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct_texts"),
+        n_distinct.alias("n_distinct_texts"),
         (
             F.countDistinct(F.xxhash64("text"))
             == F.countDistinct("text")
         ).alias("xxh64_injective_here"),
-        (
-            F.countDistinct(F.hash("text")) == F.countDistinct("text")
-        ).alias("murmur3_injective_here"),
+        (murmur_collisions.cast("double") <= collision_budget).alias(
+            "murmur3_collisions_bounded"
+        ),
     )
 
 

@@ -71,7 +71,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
+        # integer `div`, not floor(double /): bigint/int promotes to double,
+        # which silently loses exactness once cum_tokens exceeds 2^53 —
+        # `div` matches the oracle's integer // at any corpus size.
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_BUDGET}")
         .cast("bigint")
         .alias("bin"),
     )

@@ -227,7 +227,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       whose vote margin was ≤ 1, so the Hamming distance to the edited
       fingerprint stays small (≤ 20; measured max 14 across scales, vs ~32
       expected for unrelated docs) — a fingerprint without locality (e.g.
-      hashing the whole text) fails this.
+      hashing the whole text) fails this. The check is skipped (vacuously
+      TRUE) for docs under 24 tokens: with n tokens the per-bit flip
+      probability is ~0.5·√(2/πn) (the vote-margin random walk), so short
+      docs put the Binomial(64, p) flip count near or above 20 on a
+      *correct* implementation (n=1: mean 16, sd 3.5) — at n≥24 the mean
+      is ≤5.3 and 20 sits beyond 6σ, making the bound scale-safe for any
+      testdata regeneration.
 
     ``n_tokens`` anchors the check to real per-row data (oracle recomputes
     it exactly)."""
@@ -239,7 +245,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(_tokens()).cast("bigint").alias("n_tokens"),
         (h0 == h_sorted).alias("order_invariant"),
-        (F.bit_count(h0.bitwiseXOR(h_edit)) <= 20).alias("edit_locality_ok"),
+        F.when(F.size(_tokens()) < 24, F.lit(True))
+        .otherwise(F.bit_count(h0.bitwiseXOR(h_edit)) <= 20)
+        .alias("edit_locality_ok"),
     )
 
 

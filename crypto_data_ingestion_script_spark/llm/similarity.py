@@ -87,7 +87,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     t = load(spark, sf_dir)
-    q_ids, Q = _probe_matrix(sf_dir, probe_limit=5)
+    q_ids, Q = _probe_matrix(sf_dir, probe_limit=5, embeddings=t.embeddings)
     q_norms = np.sqrt((Q * Q).sum(axis=1))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,20 +155,42 @@ def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
     ).alias("bucket")
 
 
-def _probe_matrix(sf_dir: str, probe_limit: int):
-    """Driver-side pyarrow fetch of the probe vectors (vec_id <
-    probe_limit) as (ids, float64 matrix) — metadata-scale work that does
-    not warrant a Spark job; float32→float64 widening is exact, so values
-    match a collect() bit-for-bit."""
+def _probe_matrix(sf_dir: str, probe_limit: int, embeddings: DataFrame | None = None):
+    """Driver-side fetch of the probe vectors (vec_id < probe_limit) as
+    (ids, float64 matrix) — metadata-scale work that does not warrant a
+    Spark job when the table is a plain local file. Fast path: direct
+    pyarrow read (float32→float64 widening is exact, so values match a
+    collect() bit-for-bit). When ``sf_dir`` is a non-local URI (s3://,
+    hdfs://) or a multi-file layout pyarrow can't resolve the same way,
+    falls back to collecting the probe rows through Spark's own filesystem
+    layer — identical values either way."""
     import os
 
     import numpy as np
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    pdf = tbl.to_pandas()
+    pdf = None
+    if os.path.isdir(sf_dir):
+        try:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            )
+            pdf = tbl.to_pandas()
+        except Exception:
+            pdf = None  # fall through to the Spark path
+    if pdf is None:
+        if embeddings is None:
+            raise ValueError(
+                f"probe fetch: {sf_dir!r} is not a local directory and no "
+                "embeddings DataFrame was provided for the Spark fallback"
+            )
+        pdf = (
+            embeddings.select("vec_id", "embedding")
+            .filter(F.col("vec_id") < probe_limit)
+            .toPandas()
+        )
     pdf = pdf[pdf["vec_id"] < probe_limit].sort_values("vec_id")
     q_ids = pdf["vec_id"].to_numpy(dtype="int64")
     Q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
@@ -183,7 +205,7 @@ def _probe_scores(embeddings: DataFrame, sf_dir: str, probe_limit: int) -> DataF
     import pandas as pd
     from collections.abc import Iterator
 
-    q_ids, Q = _probe_matrix(sf_dir, probe_limit)
+    q_ids, Q = _probe_matrix(sf_dir, probe_limit, embeddings=embeddings)
     q_norms = np.sqrt((Q * Q).sum(axis=1))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,19 +334,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_assignments(
-    embeddings: DataFrame, k: int = 16, n_iter: int = 5, sample_mod: int = 5
+    embeddings: DataFrame, k: int = 16, n_iter: int = 5, sample_cap: int = 4096
 ):
     """IVF coarse quantizer, fully deterministic: Lloyd's k-means trained
-    driver-side on a hash-chosen sample (vec_id % sample_mod == 0 — data-
-    dependent only, never partitioning-dependent), init = first k sample
-    rows in vec_id order, fixed iteration count. Assignment is a map-side
-    numpy argmin with the k×d centroid matrix shipped in the closure —
-    one corpus scan, no shuffle.
+    driver-side on a hash-chosen FIXED-SIZE sample — the ``sample_cap``
+    rows with the smallest ``xxhash64(vec_id)`` (a deterministic uniform
+    reservoir; data-dependent only, never partitioning-dependent) — with
+    init = first k sample rows in vec_id order and a fixed iteration
+    count. Assignment is a map-side numpy argmin with the k×d centroid
+    matrix shipped in the closure — one corpus scan, no shuffle.
 
     Training the quantizer offline/driver-side on a bounded sample and
-    broadcasting centroids is the standard IVF architecture (the sample
-    stays k-scaled, not corpus-scaled: at 100 TB raise sample_mod so the
-    collect stays ~1e4 rows). Determinism matters here because the cell
+    broadcasting centroids is the standard IVF architecture. The hash-rank
+    LIMIT executes as distributed top-k (TakeOrderedAndProject: each
+    partition keeps ≤ sample_cap rows, the driver merges), so the collect
+    is O(sample_cap) — constant in corpus size, unlike a modulus filter
+    whose sample grows linearly. Determinism matters here because the cell
     layout must not depend on session parallelism — MLlib's KMeans samples
     its init from RDD partitions, so the same data on a different cluster
     topology yields different cells."""
@@ -333,8 +358,9 @@ def ivf_assignments(
     from collections.abc import Iterator
 
     srows = sorted(
-        embeddings.filter(F.col("vec_id") % sample_mod == 0)
-        .select("vec_id", "embedding")
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_cap)
         .collect(),
         key=lambda r: r["vec_id"],
     )

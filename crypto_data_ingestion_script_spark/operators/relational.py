@@ -312,10 +312,12 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-time, no shuffle. The sampled row-set is engine/partitioning
     specific, so the driver-checkable output is the statistical contract:
     per stratum, the exact population count plus a verdict that the
-    achieved sampling rate sits within ±0.05 of the declared fraction
-    (many standard deviations of binomial noise under ANY partitioning;
-    oracle states TRUE). A broken sampler — wrong rate, constant output,
-    fraction ignored — flips the verdict."""
+    achieved sampling rate sits within max(0.05, 2/√n) of the declared
+    fraction — the count-aware widening keeps the bound ≥6 binomial
+    standard deviations (sd of the rate estimate is ~0.3/√n) even for
+    tiny strata, so a correct sampler passes under ANY partitioning or
+    testdata regeneration (oracle states TRUE). A broken sampler — wrong
+    rate, constant output, fraction ignored — still flips the verdict."""
     t = load(spark, sf_dir)
     total = t.lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_total")
@@ -334,7 +336,7 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_total")
                 - 0.1
             )
-            <= 0.05
+            <= F.greatest(F.lit(0.05), F.lit(2.0) / F.sqrt("n_total"))
         ).alias("frac_within_tol"),
     )
 

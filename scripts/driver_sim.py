@@ -5,12 +5,16 @@ column names, row counts, int-vs-float dtype drift, and order-insensitive
 values. Writes per-query wall times so slow queries surface before the
 driver samples them.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [only]
+  sf_dir: default /root/testdata/sf0.01
+  only:   optional comma-separated query names (subset sweep for fast
+          verification of just-touched operators)
 """
 import json, time, traceback
 from pyspark.sql import SparkSession
 import sys as _s
 SF_DIR = _s.argv[1] if len(_s.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(_s.argv[2].split(",")) if len(_s.argv) > 2 else None
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -23,6 +27,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 results = {}
 for name in sorted(qs):
+    if ONLY is not None and name not in ONLY:
+        continue
     rec = {"status": "ok", "spark_s": None, "oracle_s": None, "rows": None, "err": None}
     try:
         t0 = time.perf_counter()
