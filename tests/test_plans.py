@@ -144,18 +144,24 @@ def test_salted_join_joins_on_salt(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_tpch_q3_stays_broadcast(spark, sf_dir):
-    """Q3 must resolve both joins as broadcast-hash (size-estimate-driven,
-    no forced fact-side hint) — a SortMergeJoin here means the planner
-    stopped seeing a small build side and the bench profile regressed."""
+def test_tpch_q3_hash_joins_no_sorts(spark, sf_dir):
+    """Q3's dim join must stay broadcast-hash and the fact join must be a
+    hash join (the SHUFFLE_HASH hint on the (orders⋈customer) side) — a
+    SortMergeJoin here means the hint was lost and two fact-scale sort
+    runs came back (measured +40% at sf0.1, BASELINE.md round 3)."""
     from crypto_data_ingestion_script_spark.plans.explain import (
         _node_count,
         formatted_plan,
     )
 
     df = SPECS["q_tpch_q3"].fn(spark, sf_dir)
-    assert _node_count(df, "BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert _node_count(df, "BroadcastHashJoin") >= 1, plan
+    assert (
+        _node_count(df, "BroadcastHashJoin")
+        + _node_count(df, "ShuffledHashJoin")
+    ) == 2, plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_tpch_q19_derives_disjunctive_envelopes(spark, sf_dir):
