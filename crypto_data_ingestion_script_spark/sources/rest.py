@@ -29,16 +29,23 @@ DEFAULT_SYMBOLS = ["BTCUSDT", "ETHUSDT", "LTCBTC"]
 TICK_DDL = "ts timestamp_ntz, symbol string, price double"
 
 
-def http_fetch(symbol: str) -> float:
+#: The reference's public endpoint (dataCollector.py:18) — overridable so
+#: the real urllib path is testable against a localhost stub (no external
+#: network in CI; tests/test_rest_retry.py spins up http.server and drives
+#: this exact function end-to-end: GET, non-2xx raise, JSON parse, cast).
+DEFAULT_BASE_URL = "https://api.binance.com/api/v3/ticker/price"
+
+
+def http_fetch(symbol: str, base_url: str = DEFAULT_BASE_URL) -> float:
     """Real fetch path (one symbol → latest price). Mirrors the reference's
-    GET + raise_for_status + float cast (dataCollector.py:102-105). Network
-    is unavailable in CI, so this stays unexercised there — tests inject
-    ``fetch_fn``."""
+    GET + raise_for_status + float cast (dataCollector.py:102-105):
+    ``urlopen`` raises ``HTTPError`` on any non-2xx status, which is
+    exactly requests' ``raise_for_status`` contract."""
     import json
     import urllib.request
 
-    url = f"https://api.binance.com/api/v3/ticker/price?symbol={symbol}"
-    with urllib.request.urlopen(url, timeout=10) as resp:  # pragma: no cover
+    url = f"{base_url}?symbol={symbol}"
+    with urllib.request.urlopen(url, timeout=10) as resp:
         return float(json.load(resp)["price"])
 
 

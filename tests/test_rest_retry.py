@@ -1,14 +1,101 @@
 """Retry/backoff semantics for the REST source: transient failures are
-absorbed by retry, permanent failures still fall to row-level tolerance."""
+absorbed by retry, permanent failures still fall to row-level tolerance.
+Also drives the REAL urllib fetch path (http_fetch) against a hermetic
+localhost HTTP stub — GET with query string, JSON parse, float cast, and
+the non-2xx raise — so the only untested piece of the ingest path is the
+external endpoint itself."""
 
 from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import pytest
 
 from crypto_data_ingestion_script_spark.sources.rest import (
     flaky_fetch,
+    http_fetch,
     with_retry,
 )
+
+
+@pytest.fixture(scope="module")
+def ticker_stub():
+    """Localhost stand-in for the ticker endpoint: /ok returns the
+    reference's wire shape {"price": "<str>"}; /missing returns JSON
+    without the field; /boom returns 500."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            sym = parse_qs(parsed.query).get("symbol", [""])[0]
+            if parsed.path == "/boom":
+                self.send_error(500, "simulated server error")
+                return
+            body = (
+                {"note": "no price field"}
+                if parsed.path == "/missing"
+                # price as a STRING — the reference's actual wire format
+                # (dataCollector.py casts float(resp["price"]))
+                else {"symbol": sym, "price": f"{100.5 + len(sym)}"}
+            )
+            payload = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    thread.join(timeout=5)
+
+
+def test_http_fetch_parses_and_casts(ticker_stub):
+    # BTCUSDT is 7 chars -> stub returns "107.5" as a JSON string
+    assert http_fetch("BTCUSDT", base_url=f"{ticker_stub}/ok") == 107.5
+
+
+def test_http_fetch_raises_on_http_error(ticker_stub):
+    from urllib.error import HTTPError
+
+    with pytest.raises(HTTPError):
+        http_fetch("BTCUSDT", base_url=f"{ticker_stub}/boom")
+
+
+def test_http_fetch_raises_on_malformed_body(ticker_stub):
+    with pytest.raises(KeyError):
+        http_fetch("BTCUSDT", base_url=f"{ticker_stub}/missing")
+
+
+def test_http_fetch_retry_composes_with_real_transport(ticker_stub):
+    """The backoff wrapper around the real urllib path: a 500 endpoint
+    retries then reraises; a good endpoint passes through untouched."""
+    from urllib.error import HTTPError
+
+    sleeps = []
+    bad = with_retry(
+        lambda s: http_fetch(s, base_url=f"{ticker_stub}/boom"),
+        attempts=3,
+        sleep=sleeps.append,
+    )
+    with pytest.raises(HTTPError):
+        bad("ETHUSDT")
+    assert sleeps == [0.5, 1.0]
+    good = with_retry(
+        lambda s: http_fetch(s, base_url=f"{ticker_stub}/ok"),
+        attempts=3,
+        sleep=lambda _s: None,
+    )
+    assert good("ETHUSDT") == 107.5
 
 
 def test_retry_absorbs_transient_failures():
