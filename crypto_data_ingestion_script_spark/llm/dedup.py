@@ -431,7 +431,13 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     are only formed inside (lang, length-bucket) blocks, so the quadratic
     levenshtein cost is bounded per block instead of corpus-wide (the
     standard entity-resolution shape; a full crossJoin at 100 TB is not a
-    plan). JVM-side levenshtein, equi-join on block keys — one shuffle."""
+    plan). JVM-side levenshtein, equi-join on block keys — one shuffle.
+
+    The probe side is round-robin repartitioned before the join: the
+    per-pair levenshtein dominates and executes with the PROBE SCAN's
+    parallelism — one task for a single-row-group file. Round-robin (not
+    block-key) spreads the compute evenly even when one language
+    dominates the corpus; the broadcast side is unaffected."""
     t = load(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
@@ -439,7 +445,8 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(50)).cast("int").alias("len_bucket"),
         F.substring("text", 1, 30).alias("head"),
     )
-    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    par = spark.sparkContext.defaultParallelism
+    a = d.repartition(par).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     pairs = a.join(
         b,
@@ -477,31 +484,28 @@ def connected_components(
         edges.selectExpr("b AS src", "a AS dst")
     )
     labels = nodes.selectExpr("id", "id AS label")
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            labels.join(sym, labels.id == sym.src)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+        # One round = neighbor messages (join on src) unioned with each
+        # node's own label, then a min per node: 2 shuffles, not 3 (the
+        # old shape did join -> agg -> second join back to labels).
+        msgs = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # Labels only ever decrease under min-propagation, so the label
+        # SUM is a strictly decreasing potential: unchanged sum ==
+        # fixpoint. A scalar aggregate over the just-checkpointed table
+        # replaces the old old-vs-new join for change detection.
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
@@ -533,7 +537,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: blocked fuzzy pairs → connected
     components → (doc_id, cluster_id = min doc id in component). The
     'keep one per cluster' dedup decision is then a groupBy(cluster_id).
-    Oracle: recursive CTE computing min reachable id — same fixpoint."""
+    Oracle: recursive CTE computing min reachable id — same fixpoint.
+
+    Components are computed BLOCK-LOCALLY: every edge requires equal
+    (lang, length-bucket) block keys, so no component can span two blocks
+    — the global fixpoint decomposes exactly into per-block fixpoints.
+    That turns the iterative min-label propagation (one join + one
+    aggregation SHUFFLE PER ROUND, rounds = diameter) into a single
+    shuffle: group nodes+edges by block key, union-find per block inside
+    ``applyInPandas`` (union-by-min, path halving — O(E α(N)) per block).
+    Per-block memory is the block's edge list, the same bound the
+    candidate join that PRODUCES those edges already imposes; the
+    blocking contract that makes q_dedup_fuzzy scale is exactly what
+    makes this exact single-pass clustering legal. For graphs WITHOUT a
+    blocking invariant, ``connected_components`` above remains the
+    general iterative path (equivalence on random blocked graphs is
+    property-tested in tests/test_properties.py)."""
+    import pandas as pd
+
     t = load(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
@@ -541,7 +562,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(50)).cast("int").alias("lb"),
         F.substring("text", 1, 30).alias("head"),
     )
-    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    # Round-robin repartition of the probe side: the levenshtein rides
+    # the join and would otherwise run with the 1-task single-row-group
+    # scan's parallelism (see q_dedup_fuzzy).
+    par = spark.sparkContext.defaultParallelism
+    a = d.repartition(par).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     edges = (
         a.join(
@@ -551,12 +576,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a_doc_id") < F.col("b_doc_id")),
         )
         .filter(F.levenshtein("a_head", "b_head") <= 5)
-        .select(F.col("a_doc_id").alias("a"), F.col("b_doc_id").alias("b"))
+        .select(
+            F.col("a_lang").alias("lang"),
+            F.col("a_lb").alias("lb"),
+            F.col("a_doc_id").alias("a"),
+            F.col("b_doc_id").alias("b"),
+        )
     )
-    nodes = t.documents.select(F.col("doc_id").alias("id"))
-    labels = connected_components(nodes, edges)
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    # Nodes ride along as edge rows with b = NULL so singletons still get
+    # a label; one unionByName keeps it a single grouped input.
+    graph = d.select(
+        "lang", "lb", F.col("doc_id").alias("a"), F.lit(None).cast("bigint").alias("b")
+    ).unionByName(edges)
+
+    def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x in pdf["a"]:
+            parent.setdefault(int(x), int(x))
+        for x, y in zip(pdf["a"], pdf["b"]):
+            if pd.isna(y):
+                continue
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                # union-by-min: the root IS the component's min id, so no
+                # second pass is needed to compute the cluster label.
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        nodes = sorted({int(x) for x in pdf["a"]})
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return graph.groupBy("lang", "lb").applyInPandas(
+        _union_find, schema="doc_id bigint, cluster_id bigint"
     )
 
 

@@ -255,6 +255,53 @@ def test_triangle_count_on_known_graphs(spark):
     assert count(k4 + [(4, 5)]) == 4
 
 
+def test_connected_components_matches_union_find(spark):
+    """The general iterative min-label CC (connected_components) and the
+    block-local union-find labeling used by q_dedup_clusters must agree:
+    on a random blocked graph (edges only within blocks, the
+    q_dedup_fuzzy invariant) both must label every node with the min id
+    reachable from it. Reference: plain Python union-find."""
+    import random
+
+    from crypto_data_ingestion_script_spark.llm.dedup import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n_blocks = rng.randint(2, 5)
+        nodes, edges = [], []
+        base = 0
+        for _ in range(n_blocks):
+            size = rng.randint(1, 12)
+            ids = list(range(base, base + size))
+            nodes.extend(ids)
+            for _ in range(rng.randint(0, 2 * size)):
+                a, b = rng.sample(ids, 2) if size >= 2 else (ids[0], ids[0])
+                if a != b:
+                    edges.append((min(a, b), max(a, b)))
+            base += size + rng.randint(1, 5)
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in nodes}
+
+        ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+        edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components(ndf, edf).collect()
+        }
+        assert got == expected, f"trial {trial}"
+
+
 def test_jaccard_prefix_filter_no_false_negatives():
     """q_jaccard_join's pruning rule: rank tokens by global rarity, keep
     each set's first n - ceil(tau*n) + 1 tokens as join keys; pairs with
