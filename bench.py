@@ -42,6 +42,15 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    # Round-3 additions (VERDICT r2 item 8): the LLM-pipeline ops that
+    # dominate at 100 TB, perf-tracked round-over-round from here on.
+    # Cross-round comparability: the original 17-query set is the list
+    # above this comment — subtotal per-query timings to compare with
+    # BENCH_r01/r02.
+    "q_dedup_near",
+    "q_ann_lsh",
+    "q_pipeline_training_data",
+    "q_jaccard_join",
 ]
 
 

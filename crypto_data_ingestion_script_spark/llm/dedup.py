@@ -121,16 +121,23 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scales. The integer cross-multiplied threshold avoids a float
     boundary between engines."""
     t = load(spark, sf_dir)
-    docs = t.documents.select(
+    # Round-robin repartition before the compute-heavy projections: the
+    # shingle + 32-hash MinHash work would otherwise run with the scan's
+    # parallelism — one task on a single-row-group file.
+    corpus = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # The shingle-set table is referenced twice by the verify join (a and
+    # b sides); localCheckpoint computes the shingling once and keeps the
+    # exact-verify arrays off the recompute path.
+    docs = corpus.select(
         "doc_id", F.array_distinct(shingles(_tokens())).alias("sh_set")
-    )
+    ).localCheckpoint()
     # localCheckpoint materializes the (doc_id, sig) table — 32 longs/doc —
     # before banding: otherwise CollapseProject inlines the whole 32-hash
     # signature expression into each of the 16 band lambdas (16× the
     # shingle+hash work, measured 24 s → ~2 s at sf0.01). Persisting the
     # signature is also the production shape: signatures are written once
     # and reused across dedup runs.
-    sig = t.documents.select(
+    sig = corpus.select(
         "doc_id",
         minhash_signature(shingles(_tokens()), num_hashes=32).alias("sig"),
     ).localCheckpoint()

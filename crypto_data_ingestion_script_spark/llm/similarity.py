@@ -300,8 +300,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tables, bits = 8, 4
     # Materialize the 32 sign bits before the per-table explode — otherwise
     # CollapseProject inlines the full 32-plane projection (a 64-dim fold
-    # per plane) into every table lambda, multiplying the work 8×.
-    e = t.embeddings.select(
+    # per plane) into every table lambda, multiplying the work 8×. The
+    # round-robin repartition first gives the plane folds the session's
+    # parallelism instead of the scan's (one task on a single-row-group
+    # file).
+    e = t.embeddings.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         hyperplane_sign_bits(F.col("embedding"), n_planes=n_tables * bits).alias(
             "bits"
