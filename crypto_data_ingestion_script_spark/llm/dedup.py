@@ -120,11 +120,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     output threshold is effectively exact — measured zero misses at both
     test scales. The integer cross-multiplied threshold avoids a float
     boundary between engines."""
+    from ..partitioning import ensure_parallelism
+
     t = load(spark, sf_dir)
-    # Round-robin repartition before the compute-heavy projections: the
+    # Parallelism guard before the compute-heavy projections: the
     # shingle + 32-hash MinHash work would otherwise run with the scan's
-    # parallelism — one task on a single-row-group file.
-    corpus = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # parallelism — one task on a single-row-group file. A well-split
+    # production corpus passes through with no added shuffle.
+    corpus = ensure_parallelism(t.documents)
     # The shingle-set table is referenced twice by the verify join (a and
     # b sides); localCheckpoint computes the shingling once and keeps the
     # exact-verify arrays off the recompute path.
@@ -440,11 +443,15 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard entity-resolution shape; a full crossJoin at 100 TB is not a
     plan). JVM-side levenshtein, equi-join on block keys — one shuffle.
 
-    The probe side is round-robin repartitioned before the join: the
-    per-pair levenshtein dominates and executes with the PROBE SCAN's
-    parallelism — one task for a single-row-group file. Round-robin (not
+    The probe side passes through ``ensure_parallelism`` before the
+    join: the per-pair levenshtein dominates and executes with the PROBE
+    SCAN's parallelism — one task for a single-row-group file, where the
+    guard repartitions round-robin; a well-split production scan passes
+    through untouched (no added shuffle at scale). Round-robin (not
     block-key) spreads the compute evenly even when one language
     dominates the corpus; the broadcast side is unaffected."""
+    from ..partitioning import ensure_parallelism
+
     t = load(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
@@ -452,8 +459,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(50)).cast("int").alias("len_bucket"),
         F.substring("text", 1, 30).alias("head"),
     )
-    par = spark.sparkContext.defaultParallelism
-    a = d.repartition(par).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    a = ensure_parallelism(d).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     pairs = a.join(
         b,
@@ -569,11 +575,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(50)).cast("int").alias("lb"),
         F.substring("text", 1, 30).alias("head"),
     )
-    # Round-robin repartition of the probe side: the levenshtein rides
-    # the join and would otherwise run with the 1-task single-row-group
-    # scan's parallelism (see q_dedup_fuzzy).
-    par = spark.sparkContext.defaultParallelism
-    a = d.repartition(par).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    # Parallelism guard on the probe side: the levenshtein rides the
+    # join and would otherwise run with the 1-task single-row-group
+    # scan's parallelism (see q_dedup_fuzzy); well-split inputs pass
+    # through with no added shuffle.
+    from ..partitioning import ensure_parallelism
+
+    a = ensure_parallelism(d).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     edges = (
         a.join(

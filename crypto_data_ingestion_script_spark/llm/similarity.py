@@ -301,10 +301,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the 32 sign bits before the per-table explode — otherwise
     # CollapseProject inlines the full 32-plane projection (a 64-dim fold
     # per plane) into every table lambda, multiplying the work 8×. The
-    # round-robin repartition first gives the plane folds the session's
+    # parallelism guard first gives the plane folds the session's
     # parallelism instead of the scan's (one task on a single-row-group
-    # file).
-    e = t.embeddings.repartition(spark.sparkContext.defaultParallelism).select(
+    # file); a well-split scan passes through with no added shuffle.
+    from ..partitioning import ensure_parallelism
+
+    e = ensure_parallelism(t.embeddings).select(
         "vec_id",
         hyperplane_sign_bits(F.col("embedding"), n_planes=n_tables * bits).alias(
             "bits"

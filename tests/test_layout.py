@@ -132,3 +132,19 @@ def test_interleave_matches_reference_morton(spark):
     ]
     assert got == expect
     assert len(set(zip(xs, ys))) == len(set(expect)), "interleave not injective"
+
+
+def test_ensure_parallelism_guard(spark):
+    """The scan-parallelism guard repartitions an under-split input to
+    the session parallelism, and passes a well-split input through with
+    an UNCHANGED plan (no added shuffle at scale)."""
+    from crypto_data_ingestion_script_spark.partitioning import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    widened = ensure_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+
+    wide = spark.range(1000).repartition(target)
+    assert ensure_parallelism(wide) is wide
