@@ -44,12 +44,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(tokens_col, n: int = 3):
     """Word n-gram shingles as strings (JVM-side lambda over the token
-    array)."""
+    array).
+
+    One ``slice`` per shingle, not n ``element_at`` calls: higher-order
+    lambdas evaluate interpreted (no codegen) and Catalyst inlines
+    ``tokens_col`` into EVERY reference, so the element_at form
+    re-evaluates the underlying split() n times per gram position
+    (measured 8.6 s → 0.7 s on the 8-gram contamination scan at sf0.1).
+    Same output: slice past the array end truncates, exactly as
+    element_at past the end yields NULLs that concat_ws drops."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens_col, i + k + 1) for k in range(n)]
-        ),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, n)),
     )
 
 
