@@ -153,12 +153,17 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join: equi key + range predicate. The equi component keeps it a
-    hash/sort-merge join (range applied as post-join filter) — never a
-    nested-loop."""
+    hash/sort-merge join (range rides the join condition) — never a
+    nested-loop. The orders side carries a SHUFFLE_HASH hint (the Q3
+    pattern, operators/tpch.py): small inputs still upgrade to broadcast
+    via AQE's runtime join-strategy switch, and past the broadcast
+    threshold the hint buys a shuffled hash join instead of sort-merge —
+    same exchanges, no fact-side sorts, hash-build per partition (no
+    driver collect, no OOM path)."""
     t = load(spark, sf_dir)
-    o, l = t.orders, t.lineitem
-    return o.join(
-        l,
+    o, l = t.orders.hint("shuffle_hash"), t.lineitem
+    return l.join(
+        o,
         (F.col("o_orderkey") == F.col("l_orderkey"))
         & (F.col("l_shipdate") >= F.col("o_orderdate"))
         & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
