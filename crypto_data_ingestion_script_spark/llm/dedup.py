@@ -125,7 +125,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P[miss | j=0.8] = (1-j²)^16 ≈ 3e-9), so candidate recall at the
     output threshold is effectively exact — measured zero misses at both
     test scales. The integer cross-multiplied threshold avoids a float
-    boundary between engines."""
+    boundary between engines.
+
+    Identical shingle sets COLLAPSE before banding (the same move as
+    q_jaccard_join): byte-identical documents — the dominant duplicate
+    class in crawl corpora — share the signature, hence every band, so a
+    k-document cluster would put k ids behind each of its 16 band hashes
+    and pay k² candidate rows per band. Grouped, it pays 1. The collapse
+    is output-EQUIVALENT, not an approximation: two docs share a band
+    iff their shingle sets' signatures do, so banding distinct sets
+    loses no candidate pair; within-group pairs are emitted directly at
+    jaccard 1.0 (identical sets), cross-group matches verify once per
+    set pair and expand members_a × members_b."""
     from ..partitioning import ensure_parallelism
 
     t = load(spark, sf_dir)
@@ -134,24 +145,39 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism — one task on a single-row-group file. A well-split
     # production corpus passes through with no added shuffle.
     corpus = ensure_parallelism(t.documents)
-    # The shingle-set table is referenced twice by the verify join (a and
-    # b sides); localCheckpoint computes the shingling once and keeps the
-    # exact-verify arrays off the recompute path.
-    docs = corpus.select(
-        "doc_id", F.array_distinct(shingles(_tokens())).alias("sh_set")
-    ).localCheckpoint()
-    # localCheckpoint materializes the (doc_id, sig) table — 32 longs/doc —
-    # before banding: otherwise CollapseProject inlines the whole 32-hash
-    # signature expression into each of the 16 band lambdas (16× the
-    # shingle+hash work, measured 24 s → ~2 s at sf0.01). Persisting the
-    # signature is also the production shape: signatures are written once
-    # and reused across dedup runs.
-    sig = corpus.select(
-        "doc_id",
-        minhash_signature(shingles(_tokens()), num_hashes=32).alias("sig"),
+    # One row per DISTINCT shingle set, with the sorted member list.
+    # localCheckpoint materializes the shingling + collapse once: the
+    # table feeds the signature projection, both verify sides, and both
+    # member expansions. (Materializing signatures before banding remains
+    # essential — CollapseProject would otherwise inline the whole
+    # 32-hash expression into each of the 16 band lambdas, measured
+    # 24 s → ~2 s at sf0.01 in round 1.)
+    sets = (
+        corpus.select("doc_id", F.array_distinct(shingles(_tokens())).alias("sh_set"))
+        .groupBy("sh_set")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint()
+    )
+    # Within-group pairs: identical shingle sets, jaccard exactly 1.0.
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "a_id"), "members")
+        .select(
+            "a_id",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b_id"),
+        )
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    # MinHash over the distinct set (min over a set equals min over the
+    # multiset, so values are unchanged), then 16×2 banding per gid.
+    sig = sets.select(
+        "gid", minhash_signature(F.col("sh_set"), num_hashes=32).alias("sig")
     ).localCheckpoint()
     bands = sig.select(
-        "doc_id",
+        "gid",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(15)),
@@ -161,28 +187,36 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
-    a = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
-    b = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+    a = bands.select(F.col("gid").alias("ga"), "band_id", "band_hash")
+    b = bands.select(F.col("gid").alias("gb"), "band_id", "band_hash")
     cand = (
         a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb")
         .distinct()
     )
-    sa = docs.select(F.col("doc_id").alias("a_id"), F.col("sh_set").alias("a_sh"))
-    sb = docs.select(F.col("doc_id").alias("b_id"), F.col("sh_set").alias("b_sh"))
+    sa = sets.select(F.col("gid").alias("ga"), F.col("sh_set").alias("a_sh"),
+                     F.col("members").alias("ma"))
+    sb = sets.select(F.col("gid").alias("gb"), F.col("sh_set").alias("b_sh"),
+                     F.col("members").alias("mb"))
     n_common = F.size(F.array_intersect("a_sh", "b_sh"))
-    n_union = F.size(F.array_union("a_sh", "b_sh"))
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
+    n_union = F.size("a_sh") + F.size("b_sh") - n_common
+    cross = (
+        cand.join(sa, "ga")
+        .join(sb, "gb")
         .filter(n_common * 10 >= n_union * 8)
         .select(
-            "a_id",
-            "b_id",
-            F.round(n_common.cast("double") / n_union, 6).alias("jaccard"),
+            F.round(n_common.cast("double") / n_union, 6).alias("jaccard"), "ma", "mb"
+        )
+        .select(F.explode("ma").alias("da"), "mb", "jaccard")
+        .select("da", F.explode("mb").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("a_id"),
+            F.greatest("da", "db").alias("b_id"),
+            "jaccard",
         )
     )
+    return within.unionByName(cross).select("a_id", "b_id", "jaccard")
 
 
 def simhash64(tokens_col):
