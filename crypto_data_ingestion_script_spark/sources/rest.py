@@ -82,6 +82,17 @@ def fetch_ticks(
     return sym_df.mapInPandas(poll, schema=TICK_DDL)
 
 
+def _duck_src(sf_dir: str) -> str:
+    """DuckDB source expression for the events table under either layout:
+    single file or a directory of part files (production multi-file)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return f"read_parquet('{path}/*.parquet')"
+    return f"'{path}'"
+
+
 def simulated_fetch_from_events(sf_dir: str) -> Callable[[str], float]:
     """Deterministic offline stand-in for the HTTP endpoint, derived from
     the events table (price = value of the symbol's hashed bucket)."""
@@ -91,7 +102,7 @@ def simulated_fetch_from_events(sf_dir: str) -> Callable[[str], float]:
     prices = dict(
         con.execute(
             f"SELECT event_type, round(avg(value), 6) FROM "
-            f"'{sf_dir}/events.parquet' GROUP BY event_type"
+            f"{_duck_src(sf_dir)} GROUP BY event_type"
         ).fetchall()
     )
     con.close()

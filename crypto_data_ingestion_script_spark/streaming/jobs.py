@@ -78,8 +78,17 @@ def _stream_events_from(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the sf_dir events parquet (one-table glob)."""
+    """File-source stream over the sf_dir events parquet (one-table glob).
+
+    Handles BOTH table layouts: a single ``events.parquet`` file (the
+    driver's testdata) is streamed from ``sf_dir`` with a glob filter,
+    and a ``events.parquet/`` DIRECTORY of part files (the production
+    multi-file layout, e.g. make_benchdata output) is streamed as the
+    directory itself — a glob filter of the directory name would match
+    no part files and the stream would silently read zero rows."""
     probe = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(probe):
+        return _stream_events_from(spark, probe, probe)
     return _stream_events_from(
         spark, sf_dir, probe, pathGlobFilter="events.parquet"
     )
@@ -489,10 +498,24 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     indir = tempfile.mkdtemp(prefix="dedup_wm_")
     src = os.path.join(sf_dir, "events.parquet")
-    shutil.copy(src, os.path.join(indir, "gen0.parquet"))
-    shutil.copy(src, os.path.join(indir, "gen1.parquet"))
+    if os.path.isdir(src):
+        # Multi-file table layout: each generation is the directory's part
+        # files copied under a generation prefix (flat, so the stream's
+        # lexicographic file order keeps generations contiguous).
+        import glob as _glob
+
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        for gen in (0, 1):
+            for i, f in enumerate(parts):
+                shutil.copy(f, os.path.join(indir, f"gen{gen}_{i:04d}.parquet"))
+        n_files_per_gen = str(len(parts))
+    else:
+        shutil.copy(src, os.path.join(indir, "gen0.parquet"))
+        shutil.copy(src, os.path.join(indir, "gen1.parquet"))
+        n_files_per_gen = "1"
     stream = _stream_events_from(
-        spark, indir, src, maxFilesPerTrigger="1"  # two generations, two batches
+        # one generation per micro-batch, whatever the file count
+        spark, indir, src, maxFilesPerTrigger=n_files_per_gen
     )
     deduped = (
         stream.withWatermark("ts", "1 hour")
