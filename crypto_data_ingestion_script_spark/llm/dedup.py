@@ -161,6 +161,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # AQE coalesces the small collapse aggregate to one partition before
+    # the checkpoint freezes it; widen before the compute-heavy consumers
+    # (signature fold, verify intersections).
+    sets = ensure_parallelism(sets)
     # Within-group pairs: identical shingle sets, jaccard exactly 1.0.
     within = (
         sets.filter(F.size("members") >= 2)
@@ -483,13 +487,16 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard entity-resolution shape; a full crossJoin at 100 TB is not a
     plan). JVM-side levenshtein, equi-join on block keys — one shuffle.
 
-    The probe side passes through ``ensure_parallelism`` before the
-    join: the per-pair levenshtein dominates and executes with the PROBE
-    SCAN's parallelism — one task for a single-row-group file, where the
-    guard repartitions round-robin; a well-split production scan passes
-    through untouched (no added shuffle at scale). Round-robin (not
-    block-key) spreads the compute evenly even when one language
-    dominates the corpus; the broadcast side is unaffected."""
+    The edit distance depends only on the 30-char head, so documents
+    with IDENTICAL (block key, head) COLLAPSE into one group before the
+    pairwise join (the q_jaccard_join move): a k-duplicate cluster —
+    dominant in crawl corpora — costs 1 levenshtein row instead of k²
+    per block. Within-group pairs emit directly at edit_dist 0;
+    cross-group pairs compute the distance once per distinct head pair
+    and expand members_a × members_b. AQE coalesces the small group
+    aggregate to ONE partition before the checkpoint freezes it, so the
+    probe side passes through ``ensure_parallelism`` — the per-pair
+    levenshtein gets the session's parallelism at any input layout."""
     from ..partitioning import ensure_parallelism
 
     t = load(spark, sf_dir)
@@ -499,22 +506,50 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(50)).cast("int").alias("len_bucket"),
         F.substring("text", 1, 30).alias("head"),
     )
-    a = ensure_parallelism(d).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
-    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
-    pairs = a.join(
-        b,
-        (F.col("a_lang") == F.col("b_lang"))
-        & (F.col("a_len_bucket") == F.col("b_len_bucket"))
-        & (F.col("a_doc_id") < F.col("b_doc_id")),
+    groups = (
+        d.groupBy("lang", "len_bucket", "head")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint()
     )
-    return (
-        pairs.select(
-            F.col("a_doc_id").alias("id_a"),
-            F.col("b_doc_id").alias("id_b"),
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "id_a"), "members")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("id_b"),
+        )
+        .withColumn("edit_dist", F.lit(0).cast("bigint"))
+    )
+    cols = ["lang", "len_bucket", "head", "gid", "members"]
+    a = ensure_parallelism(groups).select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = groups.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    gpairs = (
+        a.join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_len_bucket") == F.col("b_len_bucket"))
+            & (F.col("a_gid") < F.col("b_gid")),
+        )
+        .select(
+            "a_members",
+            "b_members",
             F.levenshtein("a_head", "b_head").cast("bigint").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 5)
     )
+    cross = (
+        gpairs.select(F.explode("a_members").alias("da"), "b_members", "edit_dist")
+        .select("da", F.explode("b_members").alias("db"), "edit_dist")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "edit_dist",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def connected_components(
@@ -608,6 +643,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_properties.py)."""
     import pandas as pd
 
+    from ..partitioning import ensure_parallelism
+
     t = load(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
@@ -615,33 +652,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / F.lit(50)).cast("int").alias("lb"),
         F.substring("text", 1, 30).alias("head"),
     )
-    # Parallelism guard on the probe side: the levenshtein rides the
-    # join and would otherwise run with the 1-task single-row-group
-    # scan's parallelism (see q_dedup_fuzzy); well-split inputs pass
-    # through with no added shuffle.
-    from ..partitioning import ensure_parallelism
-
-    a = ensure_parallelism(d).select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
-    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    # Identical-(block, head) documents collapse into one GROUP node (the
+    # q_dedup_fuzzy move): a group's members are mutually edit-distance 0,
+    # so they are one clique — union-find runs over group representatives
+    # and the k² per-duplicate-cluster levenshtein cost drops to 1. The
+    # group id is the min member doc_id, so the component's min-gid root
+    # IS the component's min doc_id and member labels expand directly.
+    groups = (
+        d.groupBy("lang", "lb", "head")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint()
+    )
+    cols = ["lang", "lb", "head", "gid"]
+    # AQE coalesces the small group aggregate to one partition before the
+    # checkpoint freezes it; widen the levenshtein probe side.
+    a = ensure_parallelism(groups).select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = groups.select(*[F.col(c).alias(f"b_{c}") for c in cols])
     edges = (
         a.join(
             b,
             (F.col("a_lang") == F.col("b_lang"))
             & (F.col("a_lb") == F.col("b_lb"))
-            & (F.col("a_doc_id") < F.col("b_doc_id")),
+            & (F.col("a_gid") < F.col("b_gid")),
         )
         .filter(F.levenshtein("a_head", "b_head") <= 5)
         .select(
             F.col("a_lang").alias("lang"),
             F.col("a_lb").alias("lb"),
-            F.col("a_doc_id").alias("a"),
-            F.col("b_doc_id").alias("b"),
+            F.col("a_gid").alias("a"),
+            F.col("b_gid").alias("b"),
         )
     )
-    # Nodes ride along as edge rows with b = NULL so singletons still get
-    # a label; one unionByName keeps it a single grouped input.
-    graph = d.select(
-        "lang", "lb", F.col("doc_id").alias("a"), F.lit(None).cast("bigint").alias("b")
+    # Group nodes ride along as edge rows with b = NULL so singleton
+    # groups still get a label; one unionByName keeps it a single grouped
+    # input.
+    graph = groups.select(
+        "lang", "lb", F.col("gid").alias("a"), F.lit(None).cast("bigint").alias("b")
     ).unionByName(edges)
 
     def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -668,11 +717,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     parent[rx] = ry
         nodes = sorted({int(x) for x in pdf["a"]})
         return pd.DataFrame(
-            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+            {"gid": nodes, "cluster_id": [find(n) for n in nodes]}
         )
 
-    return graph.groupBy("lang", "lb").applyInPandas(
-        _union_find, schema="doc_id bigint, cluster_id bigint"
+    glabels = graph.groupBy("lang", "lb").applyInPandas(
+        _union_find, schema="gid bigint, cluster_id bigint"
+    )
+    return (
+        glabels.join(groups.select("gid", "members"), "gid")
+        .select(F.explode("members").alias("doc_id"), "cluster_id")
     )
 
 
@@ -787,6 +840,12 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("plen", F.col("n") - F.ceil(F.lit(tau) * F.col("n")).cast("int") + 1)
         .localCheckpoint()
     )
+    # AQE coalesces the small collapse aggregate to one partition before
+    # the checkpoint freezes it; widen before the candidate join and the
+    # verify intersections.
+    from ..partitioning import ensure_parallelism
+
+    sets = ensure_parallelism(sets)
     # Within-group pairs: identical token sets, jaccard exactly 1.0.
     # members is sorted ascending, so pairing each element with its strict
     # suffix yields every (doc_a < doc_b) combination exactly once.
