@@ -506,26 +506,43 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume-centric 'typical price' (plain median treats a 1-unit and a
     50-unit line identically; TWAP/VWAP are the mean-family analogs).
 
-    One shuffle on the group key, one sorted streaming pass for the
-    cumulative weight (the total is a window agg over the same partition,
-    no extra exchange), then a filter + min. No percentile buffer, no
-    collect — the 100 TB path is identical to the small-data path.
+    The group key has THREE values, so a per-group window funnels the
+    whole fact table through 3 sort tasks — the low-cardinality cousin
+    of the single-partition window. Instead, the cumulative weight rides
+    the two-pass GLOBAL running sum (ranking.py) over the composite
+    order (flag, price, tiebreaks): range partitions keep every
+    input-sized step 32-way parallel, and the within-flag cumulative is
+    recovered as global_cum − flag_prefix_offset, where the per-flag
+    totals/offsets are a 3-row broadcast. Same filter + min afterwards;
+    parallelism no longer degrades with group cardinality.
     """
+    from ..ranking import global_running_sum
+
     t = load(spark, sf_dir)
-    cum_w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = t.lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_quantity",
     )
-    tot_w = Window.partitionBy("l_returnflag")
+    g = global_running_sum(
+        rows,
+        "l_quantity",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        out_col="gcw",
+    )
+    flag_w = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flags = (
+        rows.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("tw"))
+        .withColumn("off", F.coalesce(F.sum("tw").over(flag_w), F.lit(0)))
+    )
     return (
-        t.lineitem.select(
-            "l_returnflag",
-            "l_extendedprice",
-            F.sum("l_quantity").over(cum_w).alias("cw"),
-            F.sum("l_quantity").over(tot_w).alias("tw"),
-        )
-        .filter(F.col("cw") >= F.col("tw") / 2)
+        g.join(F.broadcast(flags), "l_returnflag")
+        .filter((F.col("gcw") - F.col("off")) >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 4).alias("weighted_median_price"))
         .orderBy("l_returnflag")

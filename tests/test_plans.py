@@ -537,6 +537,7 @@ def test_two_pass_rank_no_fact_scale_global_window(spark, sf_dir):
         "q_id_gaps",
         "q_jaccard_join",
         "q_pack_sequences",
+        "q_weighted_median",
     ):
         df = SPECS[name].fn(spark, sf_dir)
         n = unaggregated_single_partition_exchanges(df)
