@@ -98,11 +98,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # The distilled graph is tiny: keep it (and everything after) local to
-    # the driver-side plan via cache — the iteration must not re-aggregate
-    # the fact table every round.
+    # One fact-table aggregation total: edges_raw materializes once
+    # (node²-bounded), and edges + nodes both derive from the
+    # checkpointed table — the iteration must not re-aggregate the fact
+    # table every round, and the node set must not re-aggregate it a
+    # second time at startup.
     from pyspark.sql import Window
 
+    edges_raw = edges_raw.localCheckpoint(eager=True)
     edges = edges_raw.withColumn(
         "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
     ).select("src", "dst", "p")
@@ -116,21 +119,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()
 
+    # Per-iteration: contribution messages union'd with each node's
+    # teleport baseline, one grouped sum — 2 shuffles per round instead
+    # of the 3 of contribute → aggregate → left-join-back.
+    base = nodes.withColumn("mass", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(ITERATIONS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        msgs = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("mass")
         )
-        ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit((1 - DAMPING) / n)
-                + F.lit(DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("rank"),
+        ranks = (
+            base.unionByName(msgs)
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit((1 - DAMPING) / n) + F.lit(DAMPING) * F.sum("mass")
+                ).alias("rank")
+            )
         )
         if (i + 1) % 4 == 0:
             # Truncate lineage so the plan stays iteration-count-free.
