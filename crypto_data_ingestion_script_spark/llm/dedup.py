@@ -466,6 +466,94 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+_SEM_TAU = 0.45
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_SEM_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+      WHERE {_SEM_DOT.format(a='a.embedding', b='b.embedding')}
+            / (a.nrm * b.nrm) >= {_SEM_TAU}
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic clustering: vectors whose cosine meets the
+    threshold form a graph; connected components give cluster ids (min
+    vec_id per component); 'keep one per cluster' is then a
+    groupBy(cluster_id). The threshold graph is EXACT here — each Arrow
+    batch of the corpus matmuls against the unit-normalized corpus
+    matrix shipped in the closure (one corpus scan, no pair shuffle) —
+    which doubles as the ground truth for the sublinear swap-in at
+    100 TB: q_ann_lsh/q_ann_ivf candidate generation + exact rerank,
+    the same contract q_dedup_embedding documents. Unlike the fuzzy
+    family there is NO blocking invariant (an embedding edge can connect
+    any two vectors), so clustering uses the general iterative
+    ``connected_components`` — this is the operator the blocked
+    union-find path cannot serve. Cosines are computed in float64 on
+    both engines; the nearest pairwise sim sits ~6e-4 from tau at the
+    test scales — nine orders of magnitude above float64
+    summation-order noise (~1e-13), so the boundary cannot flip between
+    engines."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ..partitioning import ensure_parallelism
+
+    t = load(spark, sf_dir)
+    rows = t.embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    M = np.array([r["embedding"] for r in rows], dtype="float64")
+    M = M / np.sqrt((M * M).sum(axis=1))[:, None]
+
+    def edge_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            E = E / np.sqrt((E * E).sum(axis=1))[:, None]
+            sims = E @ M.T
+            row_ids = pdf["vec_id"].to_numpy()
+            ai, bj = np.nonzero(sims >= _SEM_TAU)
+            a, b = row_ids[ai], ids[bj]
+            mask = a < b
+            yield pd.DataFrame({"a": a[mask], "b": b[mask]})
+
+    edges = ensure_parallelism(
+        t.embeddings.select("vec_id", "embedding")
+    ).mapInPandas(edge_fn, schema="a bigint, b bigint")
+    nodes = t.embeddings.select(F.col("vec_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
+
+
 @query(
     "q_dedup_fuzzy",
     oracle="""
