@@ -114,3 +114,40 @@ def test_late_beyond_watermark_dropped(spark):
         r["w_start"] == T0 + dt.timedelta(hours=3) and r["n"] == 1 for r in rows
     )
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_reads_directory_table_layout(spark, tmp_path):
+    """Multi-file table layout regression guard: when <table>.parquet is a
+    DIRECTORY of part files (the production layout), the events stream
+    must read every part — the round-3 bug was a pathGlobFilter matching
+    the directory name so streams ran clean and EMPTY (the silent-failure
+    class). Build a directory-layout copy of sf0.001 and assert the
+    streamed aggregate equals the batch aggregate on the same data."""
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from crypto_data_ingestion_script_spark.catalog import load
+    from crypto_data_ingestion_script_spark.registry import load_all
+
+    src_dir = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sfdir")
+    tdir = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(tdir)
+    # Split the single events file into two part files.
+    table = _pq.read_table(os.path.join(src_dir, "events.parquet"))
+    half = table.num_rows // 2
+    _pq.write_table(table.slice(0, half), os.path.join(tdir, "part-0.parquet"))
+    _pq.write_table(table.slice(half), os.path.join(tdir, "part-1.parquet"))
+
+    streamed = load_all()["q_stream_tumbling"].fn(spark, sf_dir).toPandas()
+    assert len(streamed) > 0, "stream read zero rows from directory layout"
+    assert int(streamed["sample_count"].sum()) == table.num_rows
+
+    batch = (
+        spark.read.parquet(tdir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .count()
+        .count()
+    )
+    assert len(streamed) == batch
