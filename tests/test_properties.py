@@ -427,3 +427,33 @@ def test_two_pass_rank_and_running_sum_match_global_window(spark, rows):
         for r in df.select("idx", F.sum("v").over(w_sum).alias("rs")).collect()
     }
     assert got_sum == want_sum
+
+
+def test_member_slice_expansion_enumerates_all_pairs(spark):
+    """Three dedup queries (q_jaccard_join, q_dedup_near, q_dedup_fuzzy)
+    emit within-group pairs by pairing each sorted member with its strict
+    suffix via posexplode + slice. The idiom must enumerate every
+    unordered pair exactly once with a < b, for any group size including
+    the size-1 and size-2 edges."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    groups = [[7], [3, 9], [1, 4, 6], [10, 20, 30, 40, 50]]
+    df = spark.createDataFrame(
+        [(i, sorted(g)) for i, g in enumerate(groups)],
+        "gid int, members array<bigint>",
+    )
+    pairs = (
+        df.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "a"), "members")
+        .select(
+            "a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"),
+        )
+    )
+    got = sorted((r["a"], r["b"]) for r in pairs.collect())
+    want = sorted(
+        (a, b) for g in groups for a, b in combinations(sorted(g), 2)
+    )
+    assert got == want
