@@ -527,8 +527,24 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..partitioning import ensure_parallelism
 
     t = load(spark, sf_dir)
-    rows = t.embeddings.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    # Identical-vector collapse first (the round-3 dedup-family move):
+    # byte-identical embeddings are trivially cosine-1 cliques, so the
+    # graph runs over DISTINCT vectors — gid = min member, and since
+    # cos(u, x) is the same for every member of a group, group edges
+    # reproduce member edges exactly. Member lists expand the labels at
+    # the end.
+    sets = (
+        t.embeddings.select("vec_id", "embedding")
+        .groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.collect_list("vec_id").alias("members"),
+        )
+        .localCheckpoint()
+    )
+    sets = ensure_parallelism(sets)
+    rows = sets.select("gid", "embedding").collect()
+    ids = np.array([r["gid"] for r in rows], dtype="int64")
     M = np.array([r["embedding"] for r in rows], dtype="float64")
     M = M / np.sqrt((M * M).sum(axis=1))[:, None]
 
@@ -537,20 +553,23 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             E = E / np.sqrt((E * E).sum(axis=1))[:, None]
             sims = E @ M.T
-            row_ids = pdf["vec_id"].to_numpy()
+            row_ids = pdf["gid"].to_numpy()
             ai, bj = np.nonzero(sims >= _SEM_TAU)
             a, b = row_ids[ai], ids[bj]
             mask = a < b
             yield pd.DataFrame({"a": a[mask], "b": b[mask]})
 
-    edges = ensure_parallelism(
-        t.embeddings.select("vec_id", "embedding")
-    ).mapInPandas(edge_fn, schema="a bigint, b bigint")
-    nodes = t.embeddings.select(F.col("vec_id").alias("id"))
-    labels = connected_components(nodes, edges)
-    return labels.select(
-        F.col("id").alias("vec_id"),
-        F.col("label").cast("bigint").alias("cluster_id"),
+    edges = sets.select("gid", "embedding").mapInPandas(
+        edge_fn, schema="a bigint, b bigint"
+    )
+    nodes = sets.select(F.col("gid").alias("id"))
+    glabels = connected_components(nodes, edges)
+    return (
+        glabels.join(sets.select(F.col("gid").alias("id"), "members"), "id")
+        .select(
+            F.explode("members").alias("vec_id"),
+            F.col("label").cast("bigint").alias("cluster_id"),
+        )
     )
 
 
