@@ -338,38 +338,41 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_verdict(_probe_scores(t.embeddings, sf_dir, 5), cand, "lsh_recall_ok")
 
 
-def ivf_assignments(
-    embeddings: DataFrame, k: int = 16, n_iter: int = 5, sample_cap: int = 4096
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    n_iter: int = 5,
+    sample_cap: int = 4096,
 ):
-    """IVF coarse quantizer, fully deterministic: Lloyd's k-means trained
-    driver-side on a hash-chosen FIXED-SIZE sample — the ``sample_cap``
-    rows with the smallest ``xxhash64(vec_id)`` (a deterministic uniform
-    reservoir; data-dependent only, never partitioning-dependent) — with
-    init = first k sample rows in vec_id order and a fixed iteration
-    count. Assignment is a map-side numpy argmin with the k×d centroid
-    matrix shipped in the closure — one corpus scan, no shuffle.
+    """Deterministic driver-side Lloyd's k-means on a hash-chosen
+    FIXED-SIZE sample — the ``sample_cap`` rows with the smallest
+    ``xxhash64(id)`` (a deterministic uniform reservoir; data-dependent
+    only, never partitioning-dependent) — with init = first k sample rows
+    in id order and a fixed iteration count. Returns the k×d centroid
+    matrix (float64); shared by the IVF quantizer (`ivf_assignments`) and
+    the cone-blocked exact similarity join (`q_dedup_semantic`).
 
-    Training the quantizer offline/driver-side on a bounded sample and
-    broadcasting centroids is the standard IVF architecture. The hash-rank
-    LIMIT executes as distributed top-k (TakeOrderedAndProject: each
-    partition keeps ≤ sample_cap rows, the driver merges), so the collect
-    is O(sample_cap) — constant in corpus size, unlike a modulus filter
-    whose sample grows linearly. Determinism matters here because the cell
-    layout must not depend on session parallelism — MLlib's KMeans samples
-    its init from RDD partitions, so the same data on a different cluster
-    topology yields different cells."""
+    The hash-rank LIMIT executes as distributed top-k
+    (TakeOrderedAndProject: each partition keeps ≤ sample_cap rows, the
+    driver merges), so the collect is O(sample_cap) — constant in corpus
+    size, unlike a modulus filter whose sample grows linearly.
+    Determinism matters because the cell layout must not depend on
+    session parallelism — MLlib's KMeans samples its init from RDD
+    partitions, so the same data on a different cluster topology yields
+    different cells."""
     import numpy as np
-    import pandas as pd
-    from collections.abc import Iterator
 
     srows = sorted(
-        embeddings.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_cap)
         .collect(),
-        key=lambda r: r["vec_id"],
+        key=lambda r: r[id_col],
     )
-    S = np.array([r["embedding"] for r in srows], dtype="float64")
+    S = np.array([r[vec_col] for r in srows], dtype="float64")
+    k = min(k, len(S))
     C = S[:k].copy()
     for _ in range(n_iter):
         assign = np.argmin(
@@ -379,6 +382,26 @@ def ivf_assignments(
             mask = assign == c
             if mask.any():
                 C[c] = S[mask].mean(0)
+    return C
+
+
+def ivf_assignments(
+    embeddings: DataFrame, k: int = 16, n_iter: int = 5, sample_cap: int = 4096
+):
+    """IVF coarse quantizer, fully deterministic: centroids from
+    `kmeans_centroids` (driver trains on an O(sample_cap) hash-ranked
+    sample). Assignment is a map-side numpy argmin with the k×d centroid
+    matrix shipped in the closure — one corpus scan, no shuffle.
+    Training the quantizer offline/driver-side on a bounded sample and
+    broadcasting centroids is the standard IVF architecture."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    C = kmeans_centroids(
+        embeddings, id_col="vec_id", vec_col="embedding",
+        k=k, n_iter=n_iter, sample_cap=sample_cap,
+    )
 
     def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -500,18 +500,26 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         # Multi-file table layout: each generation is the directory's part
-        # files copied under a generation prefix (flat, so the stream's
-        # lexicographic file order keeps generations contiguous).
+        # files copied under a generation prefix. FileStreamSource orders
+        # files by MODIFICATION TIMESTAMP (ms granularity), not path —
+        # part files copied within the same millisecond could interleave
+        # gen0/gen1 across the two micro-batches — so each copy gets an
+        # explicit strictly-increasing mtime to pin the generation order.
         import glob as _glob
 
         parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        base = 1_600_000_000  # any fixed epoch; only the ordering matters
         for gen in (0, 1):
             for i, f in enumerate(parts):
-                shutil.copy(f, os.path.join(indir, f"gen{gen}_{i:04d}.parquet"))
+                dst = os.path.join(indir, f"gen{gen}_{i:04d}.parquet")
+                shutil.copy(f, dst)
+                os.utime(dst, (base + gen * 1000 + i, base + gen * 1000 + i))
         n_files_per_gen = str(len(parts))
     else:
-        shutil.copy(src, os.path.join(indir, "gen0.parquet"))
-        shutil.copy(src, os.path.join(indir, "gen1.parquet"))
+        for gen in (0, 1):
+            dst = os.path.join(indir, f"gen{gen}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (1_600_000_000 + gen, 1_600_000_000 + gen))
         n_files_per_gen = "1"
     stream = _stream_events_from(
         # one generation per micro-batch, whatever the file count

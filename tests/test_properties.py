@@ -457,3 +457,50 @@ def test_member_slice_expansion_enumerates_all_pairs(spark):
         (a, b) for g in groups for a, b in combinations(sorted(g), 2)
     )
     assert got == want
+
+
+def test_cone_blocked_edges_exact_and_prunes(spark):
+    """`cone_blocked_edges` (q_dedup_semantic's threshold-graph engine)
+    must emit EXACTLY the brute-force cosine-threshold edge set — the
+    spherical-triangle-inequality block pruning is only allowed to skip
+    provably-empty cell pairs — and on an angularly clustered corpus
+    (the 100 TB regime the pruning exists for) it must actually prune:
+    fewer surviving blocks than the full k(k+1)/2."""
+    import numpy as np
+
+    from crypto_data_ingestion_script_spark.llm.dedup import cone_blocked_edges
+
+    rng = np.random.default_rng(7)
+    dim, tau = 16, 0.8
+    # 6 well-separated direction anchors; 40 vectors jittered around each.
+    anchors = rng.normal(size=(6, dim))
+    anchors /= np.linalg.norm(anchors, axis=1)[:, None]
+    vecs = []
+    for a in anchors:
+        pts = a[None, :] + 0.06 * rng.normal(size=(40, dim))
+        vecs.append(pts / np.linalg.norm(pts, axis=1)[:, None])
+    M = np.concatenate(vecs)
+    ids = np.arange(len(M), dtype="int64") * (2**40)  # big ids: no float53 risk
+
+    Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    sims = Mn @ Mn.T
+    ai, bj = np.nonzero(np.triu(sims >= tau, 1))
+    want = sorted(zip(ids[ai].tolist(), ids[bj].tolist()))
+    assert len(want) > 100  # the fixture must exercise real edges
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, M)],
+        "gid bigint, embedding array<float>",
+    )
+    stats: dict = {}
+    got_df = cone_blocked_edges(df, tau, k=8, stats=stats)
+    got = sorted((r["a"], r["b"]) for r in got_df.collect())
+    # float32 storage in the DataFrame vs float64 brute force: recompute
+    # the expectation from the float32-rounded vectors to match exactly.
+    M32 = M.astype("float32").astype("float64")
+    Mn32 = M32 / np.linalg.norm(M32, axis=1)[:, None]
+    s32 = Mn32 @ Mn32.T
+    ai, bj = np.nonzero(np.triu(s32 >= tau, 1))
+    want32 = sorted(zip(ids[ai].tolist(), ids[bj].tolist()))
+    assert got == want32
+    assert stats["n_blocks"] < stats["n_blocks_total"], stats
