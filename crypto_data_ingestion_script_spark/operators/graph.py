@@ -182,33 +182,118 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing joins are equi-joins (hash/SMJ), never a nested loop.
     """
     t = load(spark, sf_dir)
-    li = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = li.alias("ea"), li.alias("eb")
-    # The edge list is referenced three times downstream (edge count,
-    # degree table, orientation join); localCheckpoint materializes the
-    # fact self-join + distinct ONCE instead of re-running it per branch
-    # (edge-list-sized storage, the same bound the algorithm already
-    # carries).
-    undirected = (
-        a.join(b, (F.col("ea.o") == F.col("eb.o")) & (F.col("ea.p") < F.col("eb.p")))
-        .select(F.col("ea.p").alias("u"), F.col("eb.p").alias("v"))
+    # li is referenced twice (edge generation + node count); materialize
+    # the fact-table distinct ONCE.
+    li = (
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
         .distinct()
         .localCheckpoint()
     )
+    # The edge list is referenced three times downstream (edge count,
+    # degree table, orientation join); localCheckpoint materializes it
+    # ONCE (edge-list-sized storage, the same bound the algorithm
+    # already carries).
+    undirected = copurchase_edges(li).localCheckpoint()
     n_nodes = li.select("p").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = undirected.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = triangle_count(undirected).agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
-def triangle_count(undirected: DataFrame) -> DataFrame:
+def copurchase_edges(
+    li: DataFrame, chunk: int = 256, stats: dict | None = None
+) -> DataFrame:
+    """Distinct co-occurrence edges (u, v) with u < v from a (group, item)
+    table — items sharing a group are adjacent. SKEW-GUARDED: the naive
+    per-group self-join puts a group with k items' entire O(k²) pair
+    expansion in the one task that owns its join key, so one mega-group
+    at 100 TB is a straggler. Here each group's sorted item list is cut
+    into chunks of ≤``chunk`` items; pairs are then within-chunk
+    (slice-suffix expansion, ≤ chunk²/2 rows per array row) plus
+    cross-chunk (chunk-pair rows round-robin ``repartition``-ed BEFORE
+    their product expands, so a mega-group's chunk-pairs spread across
+    the cluster and no task expands more than chunk² pairs).
+
+    ADAPTIVE: one scalar aggregate over the grouped table reads the max
+    group size; when no group exceeds ``chunk`` (every real TPC-H-shaped
+    dataset — max order size is single digits), the cross-chunk branch
+    and its two extra shuffles are skipped entirely and the plan is just
+    groupBy + explode. Sorted lists make u < v structural in both
+    branches (within a chunk by slice order; across chunks because
+    slices are contiguous ranges of the sorted list), so no post-filter
+    recompares pairs."""
+    parts = (
+        li.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .localCheckpoint()
+    )
+    max_k = parts.agg(F.max(F.size("ps"))).collect()[0][0] or 0
+    if stats is not None:
+        stats["max_group"] = max_k
+        stats["chunked"] = max_k > chunk
+    if max_k <= chunk:
+        pairs = parts.select(
+            F.posexplode("ps").alias("i", "u"), "ps"
+        ).select(
+            "u",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"),
+        )
+        return pairs.distinct()
+    chunks = parts.select(
+        "o",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(ps) / {chunk})) - 1),"
+                f" i -> slice(ps, i * {chunk} + 1, {chunk}))"
+            )
+        ).alias("ci", "cs"),
+    ).localCheckpoint()
+    within = chunks.select(
+        F.posexplode("cs").alias("i", "u"), "cs"
+    ).select(
+        "u", F.explode(F.expr("slice(cs, i + 2, size(cs))")).alias("v")
+    )
+    ca = chunks.select("o", F.col("ci").alias("cia"), F.col("cs").alias("csa"))
+    cb = chunks.select("o", F.col("ci").alias("cib"), F.col("cs").alias("csb"))
+    spread = li.sparkSession.sparkContext.defaultParallelism
+    cross = (
+        ca.join(cb, (ca.o == cb.o) & (F.col("cia") < F.col("cib")))
+        .select("csa", "csb")
+        .repartition(spread)  # round-robin: spread BEFORE the k² expansion
+        .select(F.explode("csa").alias("u"), "csb")
+        .select("u", F.explode("csb").alias("v"))
+    )
+    return within.unionByName(cross).distinct()
+
+
+def triangle_count(
+    undirected: DataFrame, broadcast_edge_cap: int = 50_000_000
+) -> DataFrame:
     """Degree-ordered triangle enumeration core: takes distinct undirected
     edges as columns (u, v) with u != v (one row per unordered pair, either
     orientation), returns one row per triangle. Factored out of
     q_triangles so toy graphs with known counts exercise it directly
-    (tests/test_properties.py)."""
+    (tests/test_properties.py).
+
+    Edge-iterator enumeration: in the total-order (degree, id)
+    orientation every triangle x->y, x->z, y->z (rank x < y < z) is
+    witnessed exactly once, at edge (x, y), by z in N_out(x) ∩ N_out(y),
+    and max out-degree is O(sqrt |E|) by the orientation bound. The
+    closing probe is ONE join: the checkpointed adjacency table explodes
+    MAP-SIDE into (x, N_out(x), y) wedge rows — the edge relation with
+    N_out(x) still attached, no second adjacency join needed — and joins
+    the adjacency table on y. The wedge-volume payload (sum of
+    outdeg² array elements, 410M at sf1) therefore crosses at most one
+    exchange, not two; and when the adjacency table is small enough
+    (Σ|nbrs| ≤ ``broadcast_edge_cap``, a cheap aggregate over the
+    checkpointed table — AQE can't make this call because array-typed
+    stats exceed the auto threshold long before the table is actually
+    too big to ship) it is BROADCAST and the wedge volume never touches
+    an exchange at all: explode, hash-probe, intersect run in one
+    map-side stage (34.9 s -> 3.1 s at sf1). Past the cap — the true
+    100 TB regime — the shuffle join path keeps it scale-safe."""
     deg = (
         undirected.select(F.col("u").alias("node"))
         .unionAll(undirected.select(F.col("v").alias("node")))
@@ -221,33 +306,30 @@ def triangle_count(undirected: DataFrame) -> DataFrame:
     # total-order rank of an endpoint: (degree, id) as a comparable struct
     ru = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
     rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
-    # Referenced twice (adjacency build + edge probe): materialize the
-    # orientation once.
     oriented = ranked.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(ru < rv, rv).otherwise(ru).alias("rdst"),
-    ).localCheckpoint()
-    # Edge-iterator enumeration: in the total-order orientation every
-    # triangle x->y, x->z, y->z (rank x < y < z) is witnessed exactly
-    # once, at edge (x, y), by z in N_out(x) ∩ N_out(y). Intersecting
-    # the two out-adjacency arrays per edge replaces the
-    # wedge-materialize-then-close shape, which shuffles sum(outdeg²)/2
-    # wedge rows (41M at sf0.1 for 1.9M triangles) through the closing
-    # join; here the only shuffled tables are edge-sized, and the
-    # adjacency arrays stay O(sqrt |E|) long by the orientation bound.
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    au = adj.select(F.col("src").alias("w_src"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("src").alias("b1"), F.col("nbrs").alias("nbrs_v"))
-    return (
-        oriented.select(F.col("src").alias("w_src"), F.col("dst").alias("b1"))
-        .join(au, "w_src")
-        .join(av, "b1")
-        .select(
-            "w_src",
-            "b1",
-            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("b2"),
-        )
+    )
+    # The adjacency table is the ONLY materialization: wedges derive
+    # from it map-side, so the orientation projection runs once.
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint()
+    )
+    n_edges = adj.agg(F.sum(F.size("nbrs"))).collect()[0][0] or 0
+    closing = adj.select(F.col("src").alias("b1"), F.col("nbrs").alias("nbrs_v"))
+    if n_edges <= broadcast_edge_cap:
+        closing = F.broadcast(closing)
+    wedge = adj.select(
+        F.col("src").alias("w_src"),
+        F.col("nbrs").alias("nbrs_u"),
+        F.explode("nbrs").alias("b1"),
+    )
+    return wedge.join(closing, "b1").select(
+        "w_src",
+        "b1",
+        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("b2"),
     )
 
 

@@ -440,12 +440,14 @@ def test_skyline_avoids_quadratic_self_join(spark, sf_dir):
 def test_triangles_all_equi_joins(spark, sf_dir):
     """Degree-ordered triangle counting must stay in hash/sort-merge join
     land — a nested-loop anywhere in the enumeration is the difference
-    between |E|^1.5 and |E|^2. The edge-iterator core joins the oriented
-    edge list to the out-adjacency table twice (src and dst side), both
-    equi; the edge-GENERATION join sits behind the edge list's
-    localCheckpoint and is pinned separately below. The only nested-loop
-    joins allowed are the two 1-row x 1-row scalar crossJoins assembling
-    the (n_nodes, n_edges, n_triangles) result row."""
+    between |E|^1.5 and |E|^2. The edge-iterator core explodes the
+    checkpointed adjacency table into wedges MAP-SIDE and closes them
+    with exactly ONE equi join against the adjacency table (broadcast
+    under the size cap) — the second adjacency join of the old shape
+    shuffled the wedge-volume array payload a second time. The only
+    nested-loop joins allowed are the two 1-row x 1-row scalar
+    crossJoins assembling the (n_nodes, n_edges, n_triangles) result
+    row."""
     from crypto_data_ingestion_script_spark.operators.graph import (
         q_triangles,
         triangle_count,
@@ -459,7 +461,7 @@ def test_triangles_all_equi_joins(spark, sf_dir):
         _node_count(df, n)
         for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
-    assert equi >= 2, f"expected both adjacency equi joins, saw {equi}"
+    assert equi == 1, f"expected exactly one closing equi join, saw {equi}"
 
     # The un-checkpointed core on a toy edge list: adjacency joins must be
     # equi and nested-loop-free there too.

@@ -504,3 +504,41 @@ def test_cone_blocked_edges_exact_and_prunes(spark):
     want32 = sorted(zip(ids[ai].tolist(), ids[bj].tolist()))
     assert got == want32
     assert stats["n_blocks"] < stats["n_blocks_total"], stats
+
+
+def test_copurchase_edges_mega_order_chunked(spark):
+    """`copurchase_edges` (q_triangles' edge generator) must produce the
+    exact distinct co-occurrence pair set even when one mega-group
+    exceeds the chunk size — the skew guard cuts each group's sorted
+    item list into chunks and spreads cross-chunk products across tasks,
+    and that path must enumerate every pair exactly once. A planted
+    200-item order against chunk=16 forces ~78 cross-chunk blocks; small
+    orders and a duplicate (o, p) row ride along to cover the
+    non-chunked edges and the collect_set guard."""
+    from itertools import combinations
+
+    from crypto_data_ingestion_script_spark.operators.graph import (
+        copurchase_edges,
+        triangle_count,
+    )
+
+    mega = [(1, p) for p in range(1000, 1200)]  # 200 parts, one order
+    small = [(2, 5), (2, 9), (3, 9), (3, 5), (3, 7), (4, 42), (2, 5)]
+    df = spark.createDataFrame(mega + small, "o bigint, p bigint")
+
+    stats: dict = {}
+    got = sorted(
+        (r["u"], r["v"])
+        for r in copurchase_edges(df, chunk=16, stats=stats).collect()
+    )
+    assert stats["chunked"] and stats["max_group"] == 200
+
+    want = set()
+    for order in ([p for o, p in mega], [5, 9], [5, 7, 9], [42]):
+        want.update(combinations(sorted(set(order)), 2))
+    assert got == sorted(want)
+    # the mega-order is a 200-clique: C(200,3) triangles + the (5,7,9) one
+    n_tri = triangle_count(
+        spark.createDataFrame(got, "u bigint, v bigint")
+    ).count()
+    assert n_tri == 200 * 199 * 198 // 6 + 1
