@@ -476,32 +476,6 @@ _SEM_DOT = (
 _SEM_TAU = 0.45
 
 
-@query(
-    "q_dedup_semantic",
-    oracle=f"""
-    WITH RECURSIVE norms AS (
-      SELECT vec_id, embedding,
-             sqrt({_SEM_DOT.format(a='embedding', b='embedding')}) AS nrm
-      FROM embeddings
-    ),
-    edges AS (
-      SELECT a.vec_id AS a, b.vec_id AS b
-      FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-      WHERE {_SEM_DOT.format(a='a.embedding', b='b.embedding')}
-            / (a.nrm * b.nrm) >= {_SEM_TAU}
-    ),
-    sym AS (SELECT a AS src, b AS dst FROM edges
-            UNION ALL SELECT b, a FROM edges),
-    reach AS (
-      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
-      UNION
-      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
-    )
-    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
-    """,
-    tags=("llm", "dedup", "iterative"),
-)
 def cone_blocked_edges(
     vectors: DataFrame,
     tau: float,
@@ -628,6 +602,32 @@ def cone_blocked_edges(
     )
 
 
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_SEM_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+      WHERE {_SEM_DOT.format(a='a.embedding', b='b.embedding')}
+            / (a.nrm * b.nrm) >= {_SEM_TAU}
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic clustering: vectors whose cosine meets the
     threshold form a graph; connected components give cluster ids (min

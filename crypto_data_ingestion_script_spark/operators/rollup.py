@@ -93,3 +93,56 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's entire computation as one declarative aggregation."""
     t = load(spark, sf_dir)
     return ohlc_bars(t.events, ts_col="ts", key_col="event_type", value_col="value")
+
+
+@query(
+    "q_ohlc_reference_parity",
+    oracle="""
+    SELECT date_trunc('hour', ts)   AS hour_ts,
+           event_type,
+           arg_min(value, ts)       AS open_price,
+           arg_min(value, ts) FILTER (WHERE value <> 0) AS open_price_ref,
+           max(value)               AS high_price,
+           min(value)               AS low_price,
+           arg_max(value, ts)       AS close_price,
+           avg(value)               AS avg_price,
+           count(*)                 AS sample_count
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "parity"),
+)
+def q_ohlc_reference_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship OHLC bars WITH the reference's falsy-open quirk as a
+    first-class column: ``open_price_ref`` is the first *non-zero* value
+    by event time (the reference tests ``if not open_`` before adopting a
+    price — /root/reference/dataCollector.py:83 — so a 0.0 tick never
+    opens a bar), NULL when the whole bar is zeros, alongside the clean
+    first-by-time ``open_price``. This makes the one documented semantic
+    deviation from the reference (SURVEY §7.4.1) itself driver-checkable
+    instead of living only in streaming/stateful.py's parity mode.
+
+    Expression: min over a CASE-gated (ts, value) struct — comparison is
+    lexicographic so the struct-min IS first-by-time among non-zero rows,
+    and F.min skips the NULL the CASE leaves on zero rows. Same single
+    shuffle + partial/final HashAggregate as the flagship; the quirk
+    costs one extra column in the map-side state."""
+    t = load(spark, sf_dir)
+    nz = F.when(
+        F.col("value") != 0, F.struct(F.col("ts"), F.col("value"))
+    )
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open_price"),
+            F.min(nz).getField("value").alias("open_price_ref"),
+            F.max("value").alias("high_price"),
+            F.min("value").alias("low_price"),
+            F.max_by("value", "ts").alias("close_price"),
+            F.avg("value").alias("avg_price"),
+            F.count(F.lit(1)).alias("sample_count"),
+        )
+    )

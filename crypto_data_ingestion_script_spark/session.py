@@ -26,6 +26,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark's 10 MB auto-broadcast default is tuned for small executors;
+    # at the 128 GiB-executor design point a filtered dim side of tens of
+    # MB is still far cheaper to ship once than to shuffle the fact table
+    # against (q_tpch_q3's orders⋈customer crosses 10 MB at sf1 and
+    # silently degraded the lineitem join to a shuffle). 64 MB keeps the
+    # decision size-aware — both the static planner and AQE's runtime
+    # re-check fall back to shuffle joins past it.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Eliminate correctness drift between engines: ANSI interval/date ops.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which

@@ -104,3 +104,42 @@ def test_nonzero_open_parity_mode():
     assert out["open_price"][0] == 4.0  # 0.0 skipped, first non-zero wins
     assert out["low_price"][0] == 0.0  # but min/max still see the 0.0 tick
     assert out["sample_count"][0] == 3
+
+
+def test_ohlc_reference_parity_query_planted_zeros(spark, tmp_path):
+    """q_ohlc_reference_parity's batch expression (struct-min over
+    CASE-gated (ts, value)) must agree with the stateful fold's
+    nonzero_open mode on planted zeros: a leading 0.0 tick never opens a
+    bar, an all-zero bar has NULL ref-open, and the clean open still
+    sees the zero."""
+    import datetime as dt
+
+    rows = [
+        # bar A: leading zero, then non-zeros
+        (dt.datetime(2024, 1, 1, 10, 0, 0), "A", 0.0),
+        (dt.datetime(2024, 1, 1, 10, 0, 5), "A", 4.0),
+        (dt.datetime(2024, 1, 1, 10, 0, 9), "A", 3.0),
+        # bar B: all zeros
+        (dt.datetime(2024, 1, 1, 11, 0, 1), "B", 0.0),
+        (dt.datetime(2024, 1, 1, 11, 0, 2), "B", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    d = str(tmp_path / "events.parquet")
+    df.write.parquet(d)
+    # mirror the sf-dir layout the query loads (other tables unused)
+    out = {
+        (r["hour_ts"].hour, r["event_type"]): r
+        for r in SPECS["q_ohlc_reference_parity"]
+        .fn.__wrapped__(spark, str(tmp_path))
+        .collect()
+    } if hasattr(SPECS["q_ohlc_reference_parity"].fn, "__wrapped__") else {
+        (r["hour_ts"].hour, r["event_type"]): r
+        for r in SPECS["q_ohlc_reference_parity"].fn(spark, str(tmp_path)).collect()
+    }
+    a = out[(10, "A")]
+    assert a["open_price"] == 0.0  # clean first-by-time
+    assert a["open_price_ref"] == 4.0  # reference falsy-open quirk
+    assert a["low_price"] == 0.0 and a["sample_count"] == 3
+    b = out[(11, "B")]
+    assert b["open_price"] == 0.0
+    assert b["open_price_ref"] is None  # no non-zero tick ever opened it
