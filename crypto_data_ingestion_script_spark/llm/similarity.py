@@ -145,6 +145,49 @@ def hyperplane_sign_bits(emb_col, n_planes: int = 8, dim: int = 64):
     )
 
 
+#: (n_planes, dim) -> numpy plane matrix, evaluated once per process.
+_PLANE_CACHE: dict = {}
+
+
+def _plane_matrix(spark: SparkSession, n_planes: int, dim: int):
+    """The SAME xxhash64-derived hyperplane components as
+    `hyperplane_sign_bits`, evaluated ONCE on the JVM (a single literal
+    row — constant-folded, no table scan) and cached as an
+    (n_planes, dim) float64 numpy matrix. Lets the hot path compute all
+    sign bits with one numpy matmul per Arrow batch instead of
+    n_planes × dim interpreted lambda ops per row, while staying
+    bit-identical to the expression form (same hash, same literal
+    types). Sign flips from float summation-order differences would need
+    |dot| ~ 1e-16 — measure-zero, and the LSH contract is probabilistic
+    recall, not exact bits."""
+    import numpy as np
+
+    key = (n_planes, dim)
+    if key not in _PLANE_CACHE:
+        # One transform expression, not n_planes*dim literal columns — a
+        # 2048-wide literal array costs seconds of analysis time alone.
+        # j*64+d over j<n_planes, d<dim with dim<=64 is exactly the int32
+        # sequence the expression form hashes.
+        flat = (
+            spark.range(1)
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda j: F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d: (F.xxhash64(j * 64 + d) % 1000).cast(
+                            "double"
+                        )
+                        / 1000.0,
+                    ),
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+        _PLANE_CACHE[key] = np.array(flat, dtype="float64")
+    return _PLANE_CACHE[key]
+
+
 def hyperplane_buckets(emb_col, n_planes: int = 8, dim: int = 64):
     """Single-table sign-LSH bucket id: the n_planes sign bits packed into
     one bigint (2^n_planes buckets)."""
@@ -285,57 +328,111 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN at scale: multi-table hyperplane sign-LSH (8 tables × 4 planes —
     the banding trick from MinHash applied to sign bits: a pair is a
     candidate if ANY table's 4-bit signature matches, turning per-table
-    recall ~0.2 into ~0.83 overall at NN-level similarity). Probe vectors
-    equi-join the corpus on (table, signature-hash) — shuffle-partitioned
-    by bucket, never all-pairs; more tables buy recall for linear cost,
-    the knob a 100 TB deployment tunes.
+    recall ~0.2 into ~0.83 overall at NN-level similarity). More tables
+    buy recall for linear cost, the knob a 100 TB deployment tunes.
+
+    ONE corpus scan does all the work (round-4 consolidation; the staged
+    shape — bits checkpoint, table explode, bucket join, separate exact
+    scan — paid ~4 small-stage fixed costs and ran 2.4 s at sf1 against
+    a 0.5 s oracle):
+
+    - Probe signatures are computed DRIVER-SIDE in numpy from the cached
+      JVM-evaluated plane matrix (`_plane_matrix`); the 4-bit band is
+      PACKED into an int (a bijection on band content, zero hash
+      collisions). The 5×8 probe signature matrix ships in the scan
+      closure — probe-scale state, the same contract as the probe
+      matrix itself.
+    - Each Arrow batch computes corpus signatures with one matmul and
+      matches them against the probe signatures IN NUMPY (any-table
+      match), emitting only the actual candidate pairs — no corpus-wide
+      signature table, no bucket join, no distinct (a vector lives in
+      exactly one batch, so a pair is emitted once). The same batch's
+      normalized matmul (q_cosine_topk's kernel) emits each probe's
+      within-batch exact top-5 partials; the global top-5 is a subset of
+      the union of batch top-5s, so the exact side stays exact.
+    - Downstream is probe-scale only: a window over the exact partials
+      and a broadcast-sized join with the candidate pairs.
+
+    At a bucketed-ANN deployment scale the per-batch probe match is the
+    map side of the bucket equi-join this query previously spelled out;
+    with 5 probes the join's build side is closure-shippable, and past
+    closure scale the explicit (tab, sig) equi-join form comes back —
+    tests/test_ann_recall.py pins the bucketing semantics either way.
 
     Driver-checkable output: per probe, the exact NN (id + rounded cosine,
     oracle recomputes both) and a recall verdict — ≥1 of the exact top-5
-    must surface in the LSH candidate set (measured recall ≥0.4 at both
-    test scales; bound 0.2). The exact side reuses the one-scan matmul of
-    q_cosine_topk, which doubles as the ground truth the LSH candidates
-    are graded against."""
-    t = load(spark, sf_dir)
-    n_tables, bits = 8, 4
-    # Materialize the 32 sign bits before the per-table explode — otherwise
-    # CollapseProject inlines the full 32-plane projection (a 64-dim fold
-    # per plane) into every table lambda, multiplying the work 8×. The
-    # parallelism guard first gives the plane folds the session's
-    # parallelism instead of the scan's (one task on a single-row-group
-    # file); a well-split scan passes through with no added shuffle.
+    must surface in the LSH candidate set (measured ≥0.4 at both test
+    scales; bound 0.2)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     from ..partitioning import ensure_parallelism
 
-    e = ensure_parallelism(t.embeddings).select(
-        "vec_id",
-        hyperplane_sign_bits(F.col("embedding"), n_planes=n_tables * bits).alias(
-            "bits"
-        ),
-    ).localCheckpoint()
-    tabs = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_tables - 1)),
-                lambda tb: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("bits"), tb * bits + 1, bits)),
-                    tb,
-                ),
+    t = load(spark, sf_dir)
+    n_tables, bits = 8, 4
+    P = _plane_matrix(spark, n_tables * bits, 64)
+    pack = 2 ** np.arange(bits - 1, -1, -1)
+    q_ids, Q = _probe_matrix(sf_dir, 5, embeddings=t.embeddings)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+    QS = (Q @ P.T >= 0).reshape(len(q_ids), n_tables, bits) @ pack  # (p, 8)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            ids = pdf["vec_id"].to_numpy()
+            n = len(ids)
+            sigs = (E @ P.T >= 0).reshape(n, n_tables, bits) @ pack
+            # any-table signature match against every probe: (n, p)
+            hit = (sigs[:, None, :] == QS[None, :, :]).any(axis=2)
+            hit &= ids[:, None] != q_ids[None, :]
+            ci, cj = np.nonzero(hit)
+            sims = (E @ Q.T) / (
+                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
             )
-        ).alias("tab", "sig_hash"),
+            sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-match
+            k = min(5, n)
+            top = np.argsort(-sims, axis=0)[:k]  # (k, p) row indices
+            yield pd.DataFrame(
+                {
+                    "kind": np.concatenate(
+                        [
+                            np.zeros(len(ci), dtype="int32"),
+                            np.ones(k * len(q_ids), dtype="int32"),
+                        ]
+                    ),
+                    "q_id": np.concatenate(
+                        [q_ids[cj], np.repeat(q_ids, k)]
+                    ),
+                    "cand_id": np.concatenate(
+                        [ids[ci], ids[top].ravel(order="F")]
+                    ),
+                    "sim": np.concatenate(
+                        [
+                            np.zeros(len(ci)),
+                            sims[top, np.arange(len(q_ids))[None, :]].ravel(
+                                order="F"
+                            ),
+                        ]
+                    ),
+                }
+            )
+
+    rows = (
+        ensure_parallelism(t.embeddings)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            scan, schema="kind int, q_id bigint, cand_id bigint, sim double"
+        )
+        .localCheckpoint()  # probe-scale rows; consumed twice below
     )
-    probes = tabs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), "tab", "sig_hash"
+    cand = rows.filter(F.col("kind") == 0).select("q_id", "cand_id")
+    exact = rows.filter(F.col("kind") == 1).select(
+        "q_id", "cand_id", F.col("sim").alias("cos_sim")
     )
-    corpus = tabs.select(F.col("vec_id").alias("cand_id"), "tab", "sig_hash")
-    cand = (
-        F.broadcast(probes)
-        .join(corpus, ["tab", "sig_hash"])
-        .filter(F.col("q_id") != F.col("cand_id"))
-        .select("q_id", "cand_id")
-        .distinct()
-    )
-    return _ann_verdict(_probe_scores(t.embeddings, sf_dir, 5), cand, "lsh_recall_ok")
+    return _ann_verdict(exact, cand, "lsh_recall_ok")
 
 
 def kmeans_centroids(

@@ -17,6 +17,10 @@ SF_DIR = _s.argv[1] if len(_s.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(_s.argv[2].split(",")) if len(_s.argv) > 2 else None
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
+# Warm the JVM + python-worker pool once so the alphabetically-first query's
+# recorded time is engine time, not cold-start (same approach as bench.py).
+spark.range(1_000_000).selectExpr("sum(id) s").collect()
+spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id bigint").count()
 import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()
