@@ -9,6 +9,16 @@ Prints ONE JSON line:
 Per-query timing = full plan execution to a count-style action (results are
 consumed, not collected to the driver — we measure engine throughput, not
 driver serialization).
+
+When run at the default sf0.1 dir, the same JSON line also carries the
+amortized-scale leg (VERDICT r3 item 5: sf1 is part of the official round
+artifact, not a side file): `sf1_queries` / `sf1_total_sec` (Spark,
+min-of-3, warm) and `sf1_oracle_queries` / `sf1_oracle_total_sec` (DuckDB
+on the SAME files, warm + min-of-2; `q_jaccard_join` excluded — its
+all-pairs oracle is quadratic and infeasible at sf1, see BENCH_scale.json).
+The sf1 dataset is `benchdata/sf1` (10x key-offset replication of sf0.1,
+scripts/make_benchdata.py), regenerated on demand if absent. Set
+SPARK_GRAFT_SF1=0 to skip the leg.
 """
 
 from __future__ import annotations
@@ -52,6 +62,99 @@ HEADLINE = [
     "q_pipeline_training_data",
     "q_jaccard_join",
 ]
+
+#: The round-1/2 comparison set: subtotal these 17 to compare with
+#: BENCH_r01/r02 (the extension above changed the grand total's meaning).
+ORIGINAL17 = HEADLINE[:17]
+
+
+def _measure_spark(spark, specs, sf_dir: str, trials: int) -> dict[str, float]:
+    """Min-of-`trials` wall time per headline query at `sf_dir` (warm JVM;
+    callers handle plan warmup). Full plan execution to a count action."""
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        best, n = float("inf"), 0
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# [{os.path.basename(sf_dir)}] {name}: {best:.3f}s rows={n}", file=sys.stderr)
+    return timings
+
+
+def _measure_duckdb(osql: dict[str, str], sf_dir: str, trials: int,
+                    skip: tuple[str, ...] = ()) -> dict[str, float]:
+    """DuckDB on the same files: warm once, then min-of-`trials` — the
+    methodology BASELINE.md records for the oracle side. Handles the
+    multi-file directory layout of benchdata/sf1."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count() or 32}")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = osql.get(name)
+        if sql is None or name in skip:
+            continue
+        con.execute(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    con.close()
+    return timings
+
+
+def _sf1_leg(spark, specs) -> dict[str, object]:
+    """The amortized-scale leg folded into the round artifact (VERDICT r3
+    item 5). Returns extra JSON keys; on any failure returns an error note
+    instead of failing the whole bench."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.path.join(repo, "benchdata", "sf1")
+    if not os.path.isdir(sf1_dir):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "make_benchdata.py")],
+            check=True, capture_output=True, timeout=300,
+        )
+    import __spark_entry__ as e
+
+    osql = e.oracle_sql()
+    spark_t = _measure_spark(spark, specs, sf1_dir, trials=3)
+    duck_t = _measure_duckdb(osql, sf1_dir, trials=2, skip=("q_jaccard_join",))
+    comparable = [q for q in spark_t if q in duck_t]
+    s_tot = round(sum(spark_t.values()), 4)
+    d_tot = round(sum(duck_t.values()), 4)
+    s_cmp = round(sum(spark_t[q] for q in comparable), 4)
+    return {
+        "sf1_queries": spark_t,
+        "sf1_total_sec": s_tot,
+        "sf1_original17_subtotal_sec": round(
+            sum(v for q, v in spark_t.items() if q in ORIGINAL17), 4
+        ),
+        "sf1_oracle_queries": duck_t,
+        "sf1_oracle_total_sec": d_tot,
+        "sf1_oracle_original17_subtotal_sec": round(
+            sum(v for q, v in duck_t.items() if q in ORIGINAL17), 4
+        ),
+        "sf1_ratio_spark_over_oracle_comparable": round(s_cmp / d_tot, 3) if d_tot else None,
+        "sf1_note": "oracle skips q_jaccard_join (quadratic all-pairs SQL, "
+                    "infeasible at sf1 — see BENCH_scale.json); ratio is over "
+                    "the comparable set",
+    }
 
 
 def main() -> None:
@@ -98,34 +201,31 @@ def main() -> None:
     # ±20% run-to-run noise (BASELINE.md); the minimum is the standard
     # microbenchmark estimator of the noise-free cost. Both trials execute
     # the full plan (build + run to a count action).
-    TRIALS = 3
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        spec = specs.get(name)
-        if spec is None:
-            continue
-        best, n = float("inf"), 0
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        total += best
-        print(f"# {name}: {best:.3f}s rows={n}", file=sys.stderr)
+    timings = _measure_spark(spark, specs, SF_DIR, trials=3)
+    total = sum(timings.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "original17_subtotal_sec": round(
+            sum(v for q, v in timings.items() if q in ORIGINAL17), 4
+        ),
+    }
+    # Amortized-scale leg (sf1) rides in the same artifact when benching the
+    # driver-default sf0.1 dir. Guarded: the round headline number must never
+    # fail because the optional leg did.
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and os.path.realpath(SF_DIR) == os.path.realpath("/root/testdata/sf0.1")
+    ):
+        try:
+            out.update(_sf1_leg(spark, specs))
+        except Exception as ex:  # noqa: BLE001 - leg is best-effort by design
+            out["sf1_error"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+    print(json.dumps(out))
     spark.stop()
 
 

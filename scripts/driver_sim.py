@@ -21,6 +21,10 @@ spark.sparkContext.setLogLevel("ERROR")
 # recorded time is engine time, not cold-start (same approach as bench.py).
 spark.range(1_000_000).selectExpr("sum(id) s").collect()
 spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id bigint").count()
+# Warm the parquet reader code path on the 5-row region dim: the JVM's first
+# parquet scan pays ~2s of class loading that otherwise lands on whichever
+# query sorts first alphabetically (q_active_users in the r3 artifact).
+spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()
