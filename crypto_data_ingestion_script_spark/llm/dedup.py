@@ -479,8 +479,9 @@ _SEM_TAU = 0.45
 def cone_blocked_edges(
     vectors: DataFrame,
     tau: float,
-    k: int = 16,
+    k: int | None = None,
     stats: dict | None = None,
+    block_target: int = 3000,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join (all pairs with cos ≥ tau),
     distributed as a cone-blocked block-matrix product over IVF cells —
@@ -508,7 +509,16 @@ def cone_blocked_edges(
 
     vectors: (gid bigint, embedding array<float>); returns (a, b) with
     a < b. ``stats``, if given, receives n_cells / n_blocks /
-    n_blocks_total for observability and tests."""
+    n_blocks_total for observability and tests.
+
+    ``k=None`` (the default) sizes the cell count to the corpus:
+    k = clamp(n / block_target, 1, 256). The blocking machinery
+    (k-means, assignment scan, radii aggregate, block join) only pays
+    for itself when cells are meaningfully smaller than the corpus; for
+    a corpus that fits one ~block_target cell the exact answer is a
+    single diagonal-block matmul, and spending 136 tiny tasks on it
+    quintuples the wall time (measured at sf0.01). The cap keeps the
+    driver-held centroid matrix trivially small (256×d floats)."""
     import math
 
     import numpy as np
@@ -518,6 +528,37 @@ def cone_blocked_edges(
     from .similarity import kmeans_centroids
 
     spark = vectors.sparkSession
+    if k is None:
+        k = max(1, min(256, vectors.count() // block_target))
+
+    def block_edges(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        En = E / np.sqrt((E * E).sum(axis=1))[:, None]
+        ids = pdf["gid"].to_numpy()
+        if key[0] == key[1]:  # diagonal block: upper triangle once
+            sims = En @ En.T
+            ai, bj = np.nonzero(np.triu(sims >= tau, 1))
+            a, b = ids[ai], ids[bj]
+        else:  # cross block: home-of-ca side × home-of-cb side
+            sa = pdf["side"].to_numpy() == 0
+            sims = En[sa] @ En[~sa].T
+            ai, bj = np.nonzero(sims >= tau)
+            a, b = ids[sa][ai], ids[~sa][bj]
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    if k == 1:
+        if stats is not None:
+            stats["n_cells"] = 1
+            stats["n_blocks"] = 1
+            stats["n_blocks_total"] = 1
+        one = vectors.select(
+            F.lit(0).alias("ca"), F.lit(0).alias("cb"),
+            F.lit(0).alias("side"), "gid", "embedding",
+        )
+        return one.groupBy("ca", "cb").applyInPandas(
+            block_edges, schema="a bigint, b bigint"
+        )
+
     C = kmeans_centroids(vectors, id_col="gid", vec_col="embedding", k=k)
     Cn = C / np.sqrt((C * C).sum(axis=1))[:, None]
 
@@ -579,21 +620,6 @@ def cone_blocked_edges(
         F.broadcast(blocks_df.filter(F.col("ca") != F.col("cb"))),
         assigned.cell == blocks_df.cb,
     ).select("ca", "cb", F.lit(1).alias("side"), "gid", "embedding")
-
-    def block_edges(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        En = E / np.sqrt((E * E).sum(axis=1))[:, None]
-        ids = pdf["gid"].to_numpy()
-        if key[0] == key[1]:  # diagonal block: upper triangle once
-            sims = En @ En.T
-            ai, bj = np.nonzero(np.triu(sims >= tau, 1))
-            a, b = ids[ai], ids[bj]
-        else:  # cross block: home-of-ca side × home-of-cb side
-            sa = pdf["side"].to_numpy() == 0
-            sims = En[sa] @ En[~sa].T
-            ai, bj = np.nonzero(sims >= tau)
-            a, b = ids[sa][ai], ids[~sa][bj]
-        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
 
     return (
         left.unionByName(right)
@@ -773,7 +799,8 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 15
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 15,
+    small_edge_cap: int = 200_000
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node
     starts labeled with its own id; each round, a node adopts the minimum
@@ -781,13 +808,59 @@ def connected_components(
 
     Scale notes: each round is one shuffle (join on node id) + one
     aggregation; rounds needed = graph diameter (near-dup clusters are
-    shallow, a handful of rounds). ``localCheckpoint`` truncates the plan
-    lineage every round — without it the iterative plan nests one join per
-    round and planning cost explodes. Driver holds only the convergence
-    counter, never the data.
+    shallow, a handful of rounds). The symmetrized edge table is
+    ``localCheckpoint``-ed ONCE up front — it is scanned every round, and
+    without the checkpoint each round would re-execute the caller's whole
+    edge-generation lineage (for q_dedup_semantic that is the full
+    cone-blocked matmul, once per round). Per-round ``localCheckpoint``
+    on labels truncates the iterative plan's lineage — without it the
+    plan nests one join per round and planning cost explodes. Driver
+    holds only the convergence counter, never the data.
+
+    Adaptive small-graph path (the same runtime adaptivity AQE applies
+    when it converts a sort-merge join to broadcast): the checkpointed
+    edge count is already known, and when it is ≤ ``small_edge_cap`` the
+    component structure involves at most 2·cap node ids — a
+    driver-side union-find over a provably bounded edge list, broadcast
+    back and left-joined onto the (arbitrarily large) node table, beats
+    diameter-many distributed rounds. Nodes outside every edge keep
+    their own id via coalesce and never leave the cluster. Above the cap
+    the fully distributed iterative path runs unchanged.
 
     nodes: (id bigint); edges: (a bigint, b bigint) undirected.
     """
+    # One materialization, reused every round (or once by the fast path).
+    edges = edges.select("a", "b").localCheckpoint()
+    n_edges = edges.count()
+    if n_edges <= small_edge_cap:
+        spark = nodes.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toPandas().itertuples(index=False):
+            x, y = int(row.a), int(row.b)
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:  # union by min: root is always the min id
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        mapping = [(x, find(x)) for x in parent]
+        if not mapping:
+            return nodes.selectExpr("id", "id AS label")
+        mdf = spark.createDataFrame(mapping, "id bigint, label bigint")
+        return nodes.join(F.broadcast(mdf), "id", "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("label")
+        )
     sym = edges.selectExpr("a AS src", "b AS dst").unionByName(
         edges.selectExpr("b AS src", "a AS dst")
     )
