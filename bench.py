@@ -134,7 +134,11 @@ def _sf1_leg(spark, specs) -> dict[str, object]:
 
     osql = e.oracle_sql()
     spark_t = _measure_spark(spark, specs, sf1_dir, trials=3)
-    duck_t = _measure_duckdb(osql, sf1_dir, trials=2, skip=("q_jaccard_join",))
+    # DuckDB side: warm + one timed run. Its run-to-run variance is small
+    # (BENCH_scale.json's back-to-back pairs agree within ~3%), and the
+    # oracle leg's q_dedup_near alone costs 25 s/run at sf1 — min-of-2
+    # would add a minute of wall time for no information.
+    duck_t = _measure_duckdb(osql, sf1_dir, trials=1, skip=("q_jaccard_join",))
     comparable = [q for q in spark_t if q in duck_t]
     s_tot = round(sum(spark_t.values()), 4)
     d_tot = round(sum(duck_t.values()), 4)

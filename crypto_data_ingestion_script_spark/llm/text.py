@@ -650,6 +650,80 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns shared by both engines — plain character classes only
+#: (no backreferences / lookaround), the syntax intersection of Java
+#: regex (Spark, JVM-side codegen) and RE2 (DuckDB).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || doc_id ||
+               '@mail.example.com from ' || (doc_id % 256) || '.0.' ||
+               (doc_id % 100) || '.1 ok'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT)
+             AS n_ips,
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+    tags=("llm", "text", "pii"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance stage of a training-data pipeline:
+    detect and mask email addresses and IPv4 literals, reporting per-doc
+    match counts (the audit trail) next to the redacted text.
+
+    The synthetic corpus contains no digits, so both engines first apply
+    the SAME deterministic augmentation (every 7th doc gains a
+    doc_id-derived email + IP) — the redaction machinery is exercised on
+    real matches and stays hash-checkable, while the pattern itself is
+    fixture-independent. Patterns use only character classes — the
+    dialect intersection of Java regex and RE2 — so one pattern text
+    drives both engines.
+
+    Scale shape: identical to q_text_clean — regexp_count/regexp_replace
+    are JVM-side codegen'd map expressions, zero shuffles, streaming
+    through the scan. Swapping in heavier patterns (phone formats, IBANs,
+    national-id checksums) changes only the pattern list, not the plan.
+    """
+    t = load(spark, sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@mail.example.com from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(".1 ok"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = t.documents.select("doc_id", aug.alias("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ).alias("redacted"),
+    )
+
+
 @query(
     "q_inverted_index",
     oracle="""

@@ -599,8 +599,14 @@ def test_sf1_relational_tail_plans(spark):
     hash-family with zero Sort nodes. Both scans must carry pushed
     filters / pruned schemas where applicable. The residual gap to the
     DuckDB oracle at sf1 is scan time, measured in BASELINE.md round 4:
-    q3's lineitem-side scan+agg alone is ~0.8 s of its ~1.0-1.3 s
-    total; join_range's two scans are ~1.4 s of its ~2.1 s total."""
+    q3: join-strategy A/B at sf1 (pinned SHJ 1.06 s, static-broadcast oc
+    0.99 s, AQE shuffle->broadcast conversion 2.32 s) moves the total by
+    <7% between the two sane strategies — the residual over DuckDB is
+    per-shuffle-stage fixed machinery (a lone groupBy over the scanned
+    lineitem costs 0.57 s where the scan alone is 0.12 s), not join
+    choice or scan time. join_range: 0.81 s total against 0.26 s of
+    scans with a ~6M-row join output — the work is real and
+    output-bound. Both amortize at a true 100x scale-up."""
     from crypto_data_ingestion_script_spark.plans.explain import (
         _node_count,
         formatted_plan,
