@@ -79,9 +79,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     can evict buffered rows; with the whole input in one batch the result
     must equal the batch self-join."""
     load(spark, sf_dir)
+    # Both sides derive from ONE file source (a supported streaming
+    # self-join): one offset log, one scan per micro-batch instead of two.
+    ev = _events_stream(spark, sf_dir)
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("click_user"),
@@ -90,8 +92,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("user_id"),
@@ -146,9 +147,11 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     that emission rule in SQL. Before Spark 4 this pipeline required two
     queries with an intermediate sink."""
     load(spark, sf_dir)
+    # One file source for both join sides (streaming self-join): one
+    # offset log, one scan per micro-batch (measured −0.4 s at sf0.01).
+    ev = _events_stream(spark, sf_dir)
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("click_user"),
             F.col("ts").alias("click_ts"),
@@ -156,8 +159,7 @@ def q_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "30 minutes")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("purchase_ts"), "value")
         .withWatermark("purchase_ts", "30 minutes")
     )
@@ -230,9 +232,10 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()["c"]
     )
+    # One file source for both join sides (streaming self-join).
+    ev = _events_stream(spark, sf_dir)
     clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("click_user"),
@@ -241,8 +244,7 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("user_id"),

@@ -25,6 +25,38 @@ spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id bigint").co
 # parquet scan pays ~2s of class loading that otherwise lands on whichever
 # query sorts first alphabetically (q_active_users in the r3 artifact).
 spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+# Warm the Structured Streaming machinery (offset log, state store, memory
+# sink classes) on the 5-row dim so the first streaming query's recorded
+# time is engine time, not ~3.5s of class loading.
+import os as _os, tempfile, uuid
+_rpath = f"{SF_DIR}/region.parquet"
+_rdr = spark.readStream.schema(spark.read.parquet(_rpath).schema)
+if _os.path.isdir(_rpath):
+    _warm_src = _rdr.parquet(_rpath)
+else:
+    _warm_src = _rdr.option("pathGlobFilter", "region.parquet").parquet(SF_DIR)
+_sq = (
+    _warm_src.groupBy("r_regionkey").count()
+    .writeStream.outputMode("complete").format("memory")
+    .queryName("warm_" + uuid.uuid4().hex[:6])
+    .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_warm_"))
+    .trigger(availableNow=True).start()
+)
+_sq.awaitTermination()
+# ... and the stream-stream join machinery (SymmetricHashJoinStateManager,
+# append-mode watermark bookkeeping) — otherwise the alphabetically-first
+# join query (q_stream_chained_stateful) absorbs ~2s of its class loading.
+from pyspark.sql import functions as _F
+_wa = _warm_src.select("r_regionkey", _F.current_timestamp().alias("ts_a")).withWatermark("ts_a", "1 minute")
+_wb = _warm_src.select(_F.col("r_regionkey").alias("rk_b"), _F.current_timestamp().alias("ts_b")).withWatermark("ts_b", "1 minute")
+_sq = (
+    _wa.join(_wb, (_wa.r_regionkey == _wb.rk_b) & (_wa.ts_a >= _wb.ts_b - _F.expr("INTERVAL 1 MINUTE")) & (_wa.ts_a <= _wb.ts_b))
+    .writeStream.outputMode("append").format("memory")
+    .queryName("warm_" + uuid.uuid4().hex[:6])
+    .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_warm_"))
+    .trigger(availableNow=True).start()
+)
+_sq.awaitTermination()
 import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()

@@ -295,11 +295,17 @@ def test_connected_components_matches_union_find(spark):
 
         ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
         edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
-        got = {
-            r["id"]: r["label"]
-            for r in connected_components(ndf, edf).collect()
-        }
-        assert got == expected, f"trial {trial}"
+        # Both execution paths must agree with the reference: the bounded
+        # driver-side fast path (default cap) AND the fully distributed
+        # iterative propagation (cap forced to 0).
+        for cap in (200_000, 0):
+            got = {
+                r["id"]: r["label"]
+                for r in connected_components(
+                    ndf, edf, small_edge_cap=cap
+                ).collect()
+            }
+            assert got == expected, f"trial {trial} cap {cap}"
 
 
 def test_jaccard_prefix_filter_no_false_negatives():
