@@ -854,10 +854,17 @@ def connected_components(
                     parent[ry] = rx
                 else:
                     parent[rx] = ry
-        mapping = [(x, find(x)) for x in parent]
-        if not mapping:
+        if not parent:
             return nodes.selectExpr("id", "id AS label")
-        mdf = spark.createDataFrame(mapping, "id bigint, label bigint")
+        import pandas as pd
+
+        # Arrow path: up to 2·cap rows ship as one batch, not 400k
+        # pickled tuples.
+        mpdf = pd.DataFrame(
+            {"id": list(parent), "label": [find(x) for x in parent]},
+            dtype="int64",
+        )
+        mdf = spark.createDataFrame(mpdf)
         return nodes.join(F.broadcast(mdf), "id", "left").select(
             "id", F.coalesce("label", F.col("id")).alias("label")
         )

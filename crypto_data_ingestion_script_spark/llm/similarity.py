@@ -529,34 +529,93 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the LSH path (IVF gives tunable recall via n_probe; LSH
     gives constant-time bucketing).
 
+    ONE corpus scan does all the work (round-4 consolidation, the
+    q_ann_lsh design): the k×d centroid matrix and the probes' 4 nearest
+    cell ids are computed driver-side (both probe/centroid-scale state,
+    shipped in the scan closure); each Arrow batch assigns its vectors to
+    cells with one argmin, emits the (probe, vector) pairs whose cell is
+    probed, and the same batch's normalized matmul emits each probe's
+    within-batch exact top-5 partials (the global top-5 is a subset of
+    the union of batch top-5s, so the exact side stays exact). No
+    corpus-wide assignment table, no bucket join, no distinct — a vector
+    lives in exactly one batch, so a pair is emitted once. Downstream is
+    probe-scale only. At deployment scale the per-batch cell match is the
+    map side of the cell equi-join; past closure scale (many probes) the
+    explicit broadcast join over `ivf_assignments` comes back —
+    tests/test_ann_recall.py pins the bucketing semantics either way.
+
     Driver-checkable output mirrors q_ann_lsh: per probe the exact NN
     (oracle recomputes it) plus ivf_recall_ok — ≥1 of the exact top-5 in
     the probed cells (measured ≥0.4 at both test scales; bound 0.2)."""
     import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ..partitioning import ensure_parallelism
 
     t = load(spark, sf_dir)
-    assigned, centers = ivf_assignments(t.embeddings, k=16)
-    qrows = (
-        t.embeddings.filter(F.col("vec_id") < 5)
+    C = kmeans_centroids(t.embeddings, k=16)
+    q_ids, Q = _probe_matrix(sf_dir, 5, embeddings=t.embeddings)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+    # 4 nearest cells per probe (driver-side: k×d matrix, trivially small)
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    probe_cells = np.argsort(d2, axis=1)[:, :4]  # (p, 4)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            ids = pdf["vec_id"].to_numpy()
+            cells = np.argmin(
+                ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            # candidate = vector whose cell is among the probe's 4: (n, p)
+            hit = (cells[:, None, None] == probe_cells[None, :, :]).any(axis=2)
+            hit &= ids[:, None] != q_ids[None, :]
+            ci, cj = np.nonzero(hit)
+            sims = (E @ Q.T) / (
+                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
+            )
+            sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-match
+            k = min(5, len(ids))
+            top = np.argsort(-sims, axis=0)[:k]  # (k, p) row indices
+            yield pd.DataFrame(
+                {
+                    "kind": np.concatenate(
+                        [
+                            np.zeros(len(ci), dtype="int32"),
+                            np.ones(k * len(q_ids), dtype="int32"),
+                        ]
+                    ),
+                    "q_id": np.concatenate([q_ids[cj], np.repeat(q_ids, k)]),
+                    "cand_id": np.concatenate(
+                        [ids[ci], ids[top].ravel(order="F")]
+                    ),
+                    "sim": np.concatenate(
+                        [
+                            np.zeros(len(ci)),
+                            sims[top, np.arange(len(q_ids))[None, :]].ravel(
+                                order="F"
+                            ),
+                        ]
+                    ),
+                }
+            )
+
+    rows = (
+        ensure_parallelism(t.embeddings)
         .select("vec_id", "embedding")
-        .collect()
+        .mapInPandas(
+            scan, schema="kind int, q_id bigint, cand_id bigint, sim double"
+        )
+        .localCheckpoint()  # probe-scale rows; consumed twice below
     )
-    Q = np.array([r["embedding"] for r in qrows], dtype="float64")
-    q_ids = [r["vec_id"] for r in qrows]
-    # 4 nearest cells per query (driver-side: k×d matrix, trivially small)
-    d2 = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-    probe = {qid: np.argsort(d2[i])[:4].tolist() for i, qid in enumerate(q_ids)}
-    probe_df = spark.createDataFrame(
-        [(qid, int(c)) for qid, cells in probe.items() for c in cells],
-        "q_id bigint, cell int",
+    cand = rows.filter(F.col("kind") == 0).select("q_id", "cand_id")
+    exact = rows.filter(F.col("kind") == 1).select(
+        "q_id", "cand_id", F.col("sim").alias("cos_sim")
     )
-    cand = (
-        assigned.join(F.broadcast(probe_df), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("cand_id"))
-        .distinct()
-    )
-    return _ann_verdict(_probe_scores(t.embeddings, sf_dir, 5), cand, "ivf_recall_ok")
+    return _ann_verdict(exact, cand, "ivf_recall_ok")
 
 
 @query(

@@ -84,3 +84,28 @@ def test_lsh_recall_on_planted_neighbors(spark):
     # decoys must NOT systematically co-bucket with bases
     false_hits = sum(bucketed[i] == bucketed[2000 + i] for i in range(100))
     assert false_hits < hits / 2, (hits, false_hits)
+
+
+def test_ivf_assignments_match_onescan_cells(spark, sf_dir):
+    """`ivf_assignments` (the explicit-join IVF form that replaces the
+    closure-shipped probe match past closure scale) must assign every
+    vector to the argmin-distance cell of the SAME deterministic centroid
+    matrix the one-scan q_ann_ivf ships — the two forms are the reduce
+    and map sides of the same cell equi-join, so their cell layouts must
+    be identical."""
+    from crypto_data_ingestion_script_spark.llm.similarity import (
+        ivf_assignments,
+        kmeans_centroids,
+    )
+
+    t = load(spark, sf_dir)
+    assigned, C = ivf_assignments(t.embeddings, k=16)
+    rows = assigned.select("vec_id", "embedding", "cell").collect()
+    assert len(rows) > 0
+    E = np.array([r["embedding"] for r in rows], dtype="float64")
+    want = np.argmin(((E[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+    got = np.array([r["cell"] for r in rows])
+    assert (got == want).all()
+    # and the centroid matrix is the shared deterministic one
+    C2 = kmeans_centroids(t.embeddings, k=16)
+    assert np.allclose(C, C2)
