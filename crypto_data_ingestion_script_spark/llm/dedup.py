@@ -1233,3 +1233,145 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_containment_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(a.s), 6) AS containment
+    FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "similarity-join"),
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-CONTAINMENT self-join: directional pairs (A, B) with
+    C(A,B) = |A∩B| / |A| >= 0.9 — the asymmetric complement of
+    q_jaccard_join. Jaccard misses the quote/sub-document case (a small
+    doc fully contained in a much larger one scores |A|/|B| ≈ 0), which
+    is exactly what contamination and quotation detection in training
+    corpora need; containment has no upper length filter on B.
+
+    Same structural defenses as q_jaccard_join, adapted to the
+    directional bound:
+
+    - **Identical-set collapse**: the join runs over DISTINCT token
+      sets; within-group ordered pairs are containment 1.0 by
+      definition (emitted directly, output-sized), cross-group verdicts
+      expand members_a × members_b afterward.
+    - **Prefix filter, one-sided**: A can miss at most
+      |A| - ceil(tau·|A|) of its tokens, so if C(A,B) >= tau then B
+      contains one of A's (|A| - ceil(tau·|A|) + 1) rarest tokens. Only
+      the PROBE side is prefix-pruned; the INDEX side must post all its
+      tokens (containment puts no upper bound on |B| — that asymmetry
+      is the operator). Rarity-ranked integer keys come from the same
+      vocabulary-scale aggregate as q_jaccard_join.
+    - **Length filter**: |B| >= ceil(tau·|A|) (B must hold tau·|A|
+      common tokens).
+
+    At 100 TB the fact-scale work is the tokenize groupBys, the
+    distinct-set collapse, and the prefix⋈index equi-join on rare
+    integer keys; the df dictionary stays broadcast-scale and the
+    verify stage touches candidate pairs only.
+
+    Reference scope note: the reference engine has no similarity ops —
+    this extends SURVEY §2.M's training-data family
+    (`q_jaccard_join`, `q_contamination`)."""
+    from pyspark.sql import Window
+
+    tau = 0.9
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            "tok"
+        ),
+    )
+    rank = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
+        .select("tok", "r")
+    )
+    keyed = tok.join(F.broadcast(rank), "tok").select(
+        "doc_id", F.col("r").alias("k")
+    )
+    toksets = keyed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("k")).alias("rs")
+    )
+    sets = (
+        toksets.groupBy("rs")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .withColumn("n", F.size("rs"))
+        .withColumn(
+            "plen", F.col("n") - F.ceil(F.lit(tau) * F.col("n")).cast("int") + 1
+        )
+        .localCheckpoint()
+    )
+    from ..partitioning import ensure_parallelism
+
+    sets = ensure_parallelism(sets)
+    # Identical sets: every ORDERED pair within a group is containment 1.0
+    # (both directions — the relation is not symmetric, unlike jaccard's
+    # a<b canonical form).
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("containment", F.lit(1.0))
+    )
+    probe = sets.select(
+        F.col("gid").alias("ga"),
+        F.col("n").alias("na"),
+        F.explode(F.expr("slice(rs, 1, plen)")).alias("pkey"),
+    )
+    index = sets.select(
+        F.col("gid").alias("gb"),
+        F.col("n").alias("nb"),
+        F.explode("rs").alias("pkey"),
+    )
+    cand = (
+        probe.join(
+            index,
+            (probe["pkey"] == index["pkey"])
+            & (F.col("ga") != F.col("gb"))
+            & (F.col("nb") >= F.ceil(F.lit(tau) * F.col("na"))),
+        )
+        .select("ga", "gb")
+        .dropDuplicates(["ga", "gb"])
+    )
+    sa = sets.select(
+        F.col("gid").alias("ga"), F.col("rs").alias("ra"),
+        F.col("members").alias("ma"), F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("gid").alias("gb"), F.col("rs").alias("rb"),
+        F.col("members").alias("mb"),
+    )
+    cross = (
+        cand.join(sa, "ga")
+        .join(sb, "gb")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("ra", "rb")) / F.col("na"),
+        )
+        .filter(F.col("containment") >= tau)
+        .select(F.explode("ma").alias("doc_a"), "mb", "containment")
+        .select("doc_a", F.explode("mb").alias("doc_b"), "containment")
+    )
+    return (
+        within.unionByName(cross)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
