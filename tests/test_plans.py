@@ -634,3 +634,27 @@ def test_sf1_relational_tail_plans(spark):
     assert _node_count(jr, "SortMergeJoin") == 0
     assert _node_count(jr, "Sort") == 0
     assert _node_count(jr, "CartesianProduct") == 0
+
+
+def test_pii_redact_is_map_only_with_pruned_scan(spark, sf_dir):
+    """PII redaction is a pure codegen map stage: zero exchanges, and the
+    scan reads only the columns the redaction needs (doc_id, text) — at
+    100 TB a scan that also reads lang/source/n_chars for a 2-column
+    projection is wrong."""
+    df = SPECS["q_pii_redact"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    from crypto_data_ingestion_script_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "n_chars" not in plan
+    assert "lang" not in plan
+
+
+def test_containment_join_is_prefix_bucketed_not_all_pairs(spark, sf_dir):
+    """The directional containment join must generate candidates through
+    the prefix-key equi-join — never a cartesian/nested-loop pair
+    enumeration (the formulation that dies first at corpus scale)."""
+    df = SPECS["q_containment_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
