@@ -548,3 +548,53 @@ def test_copurchase_edges_mega_order_chunked(spark):
         spark.createDataFrame(got, "u bigint, v bigint")
     ).count()
     assert n_tri == 200 * 199 * 198 // 6 + 1
+
+
+def test_containment_prefix_filter_no_false_negatives():
+    """q_containment_join's ONE-SIDED pruning rule: if C(A,B) =
+    |A∩B|/|A| >= tau then B contains at least ceil(tau*|A|) of A's
+    tokens, so B must hold one of A's (|A| - ceil(tau*|A|) + 1) rarest
+    tokens — the probe prefix intersects B's FULL set (never B's prefix:
+    containment puts no upper bound on |B|, so B-side pruning would be
+    unsound). Prove on random universes against brute force, and also
+    prove the length filter |B| >= ceil(tau*|A|) never prunes a true
+    pair."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    tau = 0.9
+    for trial in range(300):
+        universe = list(range(rng.randint(5, 40)))
+        sets = []
+        base = rng.sample(universe, rng.randint(1, len(universe)))
+        for _ in range(rng.randint(2, 8)):
+            s = set(base)
+            for tok in universe:
+                if rng.random() < 0.15:
+                    (s.discard if tok in s else s.add)(tok)
+            if s:
+                sets.append(frozenset(s))
+        freq = {}
+        for s in sets:
+            for tok in s:
+                freq[tok] = freq.get(tok, 0) + 1
+        order = {t: i for i, t in enumerate(sorted(freq, key=lambda t: (freq[t], t)))}
+
+        def prefix(s):
+            ranked = sorted(s, key=order.__getitem__)
+            plen = len(s) - math.ceil(tau * len(s)) + 1
+            return set(ranked[:plen])
+
+        for a in sets:
+            for b in sets:
+                if a is b:
+                    continue
+                cont = len(a & b) / len(a)
+                if cont >= tau:
+                    assert prefix(a) & b, (
+                        f"trial {trial}: true pair pruned (containment={cont})"
+                    )
+                    assert len(b) >= math.ceil(tau * len(a)), (
+                        f"trial {trial}: length filter pruned a true pair"
+                    )
