@@ -97,13 +97,26 @@ for name in sorted(qs):
                         s[c] = s[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v, na_action="ignore")
                     if o[c].dtype == object:
                         o[c] = o[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v, na_action="ignore")
-                try:
-                    s2 = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
-                    o2 = o.sort_values(by=list(o.columns), kind="mergesort").reset_index(drop=True)
-                except Exception:
-                    key = [c for c in s.columns if not pt.is_float_dtype(s[c])]
-                    s2 = s.sort_values(by=key, kind="mergesort").reset_index(drop=True)
-                    o2 = o.sort_values(by=key, kind="mergesort").reset_index(drop=True)
+                # Sort rows by NON-float columns first, rounded floats as
+                # tiebreak: a float primary sort key lets sub-tolerance
+                # engine noise (1e-16) flip the order of two rows whose
+                # float values tie, misaligning every other column
+                # (observed: q_entropy at sf0.001, two sources with equal
+                # entropy).
+                def _sorted(df):
+                    tmp = df.copy()
+                    key = [c for c in df.columns if not pt.is_float_dtype(df[c])]
+                    for c in df.columns:
+                        if pt.is_float_dtype(df[c]):
+                            tmp["__r_" + c] = df[c].round(6)
+                            key.append("__r_" + c)
+                    try:
+                        return tmp.sort_values(by=key, kind="mergesort").reset_index(drop=True)[list(df.columns)]
+                    except Exception:
+                        key = [c for c in key if not c.startswith("__r_")]
+                        return tmp.sort_values(by=key, kind="mergesort").reset_index(drop=True)[list(df.columns)]
+                s2 = _sorted(s)
+                o2 = _sorted(o)
                 for c in s2.columns:
                     if pt.is_float_dtype(s2[c]) or pt.is_float_dtype(o2[c]):
                         a = pd.to_numeric(s2[c], errors="coerce").astype(float).fillna(1.2345e300)

@@ -40,13 +40,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 else v,
                 na_action="ignore",
             )
-    sort_cols = [
-        c for c in df.columns if not pd.api.types.is_float_dtype(df[c])
-    ] or list(df.columns)
+    # Row order: NON-float columns lead the sort key, floats participate
+    # only ROUNDED (tiebreak) — a float primary key lets sub-tolerance
+    # engine noise (~1e-16) flip the order of two rows whose float values
+    # tie, misaligning every other column (observed on q_entropy at
+    # sf0.001: two sources with equal lang_entropy).
+    cols = list(df.columns)
+    key = [c for c in cols if not pd.api.types.is_float_dtype(df[c])]
+    tmp = df.copy()
+    for c in cols:
+        if pd.api.types.is_float_dtype(df[c]):
+            tmp["__r_" + c] = df[c].round(6)
+            key.append("__r_" + c)
     try:
-        df = df.sort_values(by=list(df.columns), kind="mergesort")
+        df = tmp.sort_values(by=key, kind="mergesort")[cols]
     except Exception:
-        df = df.sort_values(by=sort_cols, kind="mergesort")
+        fkey = [c for c in key if not c.startswith("__r_")]
+        df = tmp.sort_values(by=fkey, kind="mergesort")[cols] if fkey else df
     return df.reset_index(drop=True)
 
 
