@@ -658,3 +658,16 @@ def test_containment_join_is_prefix_bucketed_not_all_pairs(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """The global prefix sum must run as the two-pass range-partitioned
+    shape: every Window in the plan is partitioned (local or the
+    n_ranges-sized offsets table) — a `sum() OVER (ORDER BY ...)` with
+    no PARTITION BY would serialize the whole corpus into one task."""
+    df = SPECS["q_pack_sequences"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The fact-scale window partitions by _pid; the only unpartitioned
+    # window is over the per-range totals (bounded by n_ranges).
+    assert "_pid" in plan
+    assert "CartesianProduct" not in plan
