@@ -863,64 +863,3 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
-
-
-@query(
-    "q_pack_sequences",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS stream_offset
-      FROM d
-    )
-    SELECT doc_id,
-           CAST(n_tokens AS BIGINT)          AS n_tokens,
-           CAST(stream_offset AS BIGINT)     AS stream_offset,
-           CAST(stream_offset // 512 AS BIGINT) AS pack_id
-    FROM c
-    """,
-    tags=("llm", "text", "packing"),
-)
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing — the last stage before a training run: documents
-    are concatenated in a deterministic order (doc_id) into one token
-    stream and cut into fixed-capacity packs (512 tokens here; the
-    context length in production). Emits each doc's token count, its
-    token offset in the global stream, and the pack its first token
-    lands in — the (pack_id, stream_offset) pair is exactly what a
-    dataloader needs to materialize examples.
-
-    The global ordered prefix sum is THE scale hazard of this op: the
-    naive ``sum() OVER (ORDER BY doc_id)`` window has no PARTITION BY,
-    which Spark executes as a SINGLE-partition window — one task owns
-    100 TB. `global_running_sum` (ranking.py) does it in two passes:
-    range-partition by doc_id, per-range local running sums in parallel,
-    then a broadcast prefix of the ~n_ranges per-range totals. The
-    oracle spells the same semantics with DuckDB's in-process window.
-
-    Docs longer than the capacity straddle pack boundaries by design
-    (streaming-concat packing, the standard LM pretraining layout) —
-    packing-with-truncation or first-fit-decreasing bin packing change
-    only the assignment expression, not the prefix-sum architecture."""
-    from ..ranking import global_running_sum
-
-    t = load(spark, sf_dir)
-    d = t.documents.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
-    )
-    c = global_running_sum(d, "n_tokens", "doc_id", out_col="_cum")
-    return c.select(
-        "doc_id",
-        "n_tokens",
-        (F.col("_cum") - F.col("n_tokens")).alias("stream_offset"),
-        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(512))
-        .cast("bigint")
-        .alias("pack_id"),
-    )
