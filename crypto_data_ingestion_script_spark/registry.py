@@ -30,6 +30,10 @@ class QuerySpec:
 #: name -> spec; populated by @query decorators at import time.
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: name -> "module.qualname" of the registering function — duplicate-name
+#: detection (a second definition under an existing name raises).
+_REGISTERED_BY: dict[str, str] = {}
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a declared query. ``oracle`` is DuckDB SQL or None."""
@@ -43,6 +47,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        ident = f"{fn.__module__}.{fn.__qualname__}"
+        prev = _REGISTERED_BY.get(name)
+        if prev is not None and prev != ident:
+            # Same-name registration from a DIFFERENT definition silently
+            # replaces — a duplicate op in another module shadows the
+            # original and nothing downstream notices (hit twice in
+            # round 4). Re-decorating the same function (module
+            # re-import) stays legal.
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{prev}, now by {ident}"
+            )
+        _REGISTERED_BY[name] = ident
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, tags=tags)
         return fn
 
