@@ -598,3 +598,33 @@ def test_containment_prefix_filter_no_false_negatives():
                     assert len(b) >= math.ceil(tau * len(a)), (
                         f"trial {trial}: length filter pruned a true pair"
                     )
+
+
+def test_cone_blocked_edges_adaptive_k_small_corpus_exact(spark):
+    """`cone_blocked_edges` with the default k=None must pick ONE cell for
+    a corpus far below block_target (the k=1 fast path skips k-means /
+    radii / block-join machinery entirely) and still emit exactly the
+    brute-force threshold edge set."""
+    import numpy as np
+
+    from crypto_data_ingestion_script_spark.llm.dedup import cone_blocked_edges
+
+    rng = np.random.default_rng(23)
+    M = rng.normal(size=(60, 8))
+    ids = np.arange(60, dtype="int64") * (2**40)
+    M32 = M.astype("float32").astype("float64")
+    Mn = M32 / np.linalg.norm(M32, axis=1)[:, None]
+    sims = Mn @ Mn.T
+    tau = 0.5
+    ai, bj = np.nonzero(np.triu(sims >= tau, 1))
+    want = sorted(zip(ids[ai].tolist(), ids[bj].tolist()))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, M)],
+        "gid bigint, embedding array<float>",
+    )
+    stats: dict = {}
+    got = sorted(
+        (r["a"], r["b"]) for r in cone_blocked_edges(df, tau, stats=stats).collect()
+    )
+    assert stats == {"n_cells": 1, "n_blocks": 1, "n_blocks_total": 1}
+    assert got == want
