@@ -223,24 +223,37 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionByName(cross).select("a_id", "b_id", "jaccard")
 
 
-def simhash64(tokens_col):
-    """64-bit SimHash of a token array: per-token hash bits vote ±1 per bit
-    position; the sign vector packs into one bigint.
+def simhash_token_bits(tok):
+    """Per-token ±1 vote vector over the 64 bit positions of xxhash64."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (F.getbit(F.xxhash64(tok), i) * 2 - 1).cast("bigint"),
+    )
+
+
+def simhash_votes(tokens_col):
+    """The SimHash vote vector (array<bigint> of 64 signed sums) — the
+    expensive fold, split out so callers needing several fingerprint
+    variants materialize it ONCE: Catalyst does not CSE across
+    higher-order-function lambdas, so each textual reference re-runs the
+    whole |tokens|×64 interpreted fold (the q_dedup_near lesson)."""
+    return F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, tok: F.zip_with(
+            acc, simhash_token_bits(tok), lambda a, b: a + b
+        ),
+    )
+
+
+def simhash_pack(votes):
+    """Sign the vote vector and pack into one bigint.
 
     ANSI-safe packing: a single acc*2+bit fold arithmetic-overflows once
     the MSB is set (a driver-owned ANSI session turns that into a query
     failure), so each 32-bit half packs arithmetically (max 2^32-1, no
     overflow) and the halves combine with shiftleft/bitwiseOR — bitwise
     ops wrap instead of throwing."""
-    token_bits = lambda tok: F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: (F.getbit(F.xxhash64(tok), i) * 2 - 1).cast("bigint"),
-    )
-    votes = F.aggregate(
-        tokens_col,
-        F.array_repeat(F.lit(0).cast("bigint"), 64),
-        lambda acc, tok: F.zip_with(acc, token_bits(tok), lambda a, b: a + b),
-    )
     sign_bits = F.transform(
         votes, lambda v: F.when(v >= 0, 1).otherwise(0).cast("bigint")
     )
@@ -253,6 +266,12 @@ def simhash64(tokens_col):
     return F.shiftleft(pack32(F.slice(sign_bits, 1, 32)), 32).bitwiseOR(
         pack32(F.slice(sign_bits, 33, 32))
     )
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash of a token array: per-token hash bits vote ±1 per bit
+    position; the sign vector packs into one bigint."""
+    return simhash_pack(simhash_votes(tokens_col))
 
 
 @query(
@@ -290,16 +309,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       testdata regeneration.
 
     ``n_tokens`` anchors the check to real per-row data (oracle recomputes
-    it exactly)."""
+    it exactly).
+
+    Cost shape: the |tokens|×64 vote fold is THE expense, and Catalyst
+    re-evaluates it per textual reference (no CSE through lambdas), so
+    the base and sorted vote vectors materialize once via
+    localCheckpoint and every fingerprint derives from the stored
+    columns. The edited fingerprint adds the probe token's ±1 vector to
+    the STORED votes — bit-identical to refolding the appended array
+    (the fold is commutative vote addition; that commutativity is
+    exactly what order_invariant independently re-proves with its full
+    second fold over the sorted array). 3 folds → 2, and no
+    re-evaluation: 2.5 s → ~1.5 s at sf0.01."""
     t = load(spark, sf_dir)
-    h0 = simhash64(_tokens())
-    h_sorted = simhash64(F.array_sort(_tokens()))
-    h_edit = simhash64(F.array_append(_tokens(), F.lit("zzz-probe")))
-    return t.documents.select(
+    base = t.documents.select(
         "doc_id",
         F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        simhash_votes(_tokens()).alias("v0"),
+        simhash_votes(F.array_sort(_tokens())).alias("vs"),
+    ).localCheckpoint()
+    h0 = simhash_pack(F.col("v0"))
+    h_sorted = simhash_pack(F.col("vs"))
+    h_edit = simhash_pack(
+        F.zip_with(
+            F.col("v0"),
+            simhash_token_bits(F.lit("zzz-probe")),
+            lambda a, b: a + b,
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
         (h0 == h_sorted).alias("order_invariant"),
-        F.when(F.size(_tokens()) < 24, F.lit(True))
+        F.when(F.col("n_tokens") < 24, F.lit(True))
         .otherwise(F.bit_count(h0.bitwiseXOR(h_edit)) <= 20)
         .alias("edit_locality_ok"),
     )
