@@ -57,6 +57,22 @@ _sq = (
     .trigger(availableNow=True).start()
 )
 _sq.awaitTermination()
+# ... and the Python DataSource runner (plan serialization + python-source
+# worker infra): first use costs ~4.5s, warm reads are 0.4s. One-tick
+# batch + stream drains against the sim_ticks source.
+import sys as _sys, os as _os2
+_sys.path.insert(0, _os2.path.dirname(_os2.path.dirname(_os2.path.abspath(__file__))))
+from crypto_data_ingestion_script_spark.sources.custom import register as _reg_ds
+_reg_ds(spark)
+spark.read.format("sim_ticks").option("n_ticks", "1").load().count()
+_sq = (
+    spark.readStream.format("sim_ticks").option("max_ticks", "1").load()
+    .writeStream.outputMode("append").format("memory")
+    .queryName("warm_" + uuid.uuid4().hex[:6])
+    .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_warm_"))
+    .trigger(availableNow=True).start()
+)
+_sq.awaitTermination()
 import os, sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()
