@@ -20,6 +20,54 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
+#: Vocabulary-cardinality guard for the set-similarity joins' token->rank
+#: dictionary. Below this many distinct tokens the dictionary is ranked
+#: with a single-partition row_number window and BROADCAST to the
+#: tokenize fact (summary-scale: 5M (tok, int) rows is tens of MB); above
+#: it — a web-crawl corpus with hundreds of millions of distinct tokens —
+#: both the window funnel and the driver-side broadcast build would blow
+#: up, so the rank comes from ranking.global_row_number's two-pass range
+#: plan and joins back by SHUFFLE. Both paths emit identical ranks
+#: ((df, tok) is a total order); equivalence is property-tested in
+#: tests/test_properties.py and both guard branches are pinned in
+#: tests/test_dedup.py.
+VOCAB_BROADCAST_CAP = 5_000_000
+
+
+def token_rank(tok: DataFrame, broadcast_cap: int | None = None):
+    """Rarity-ranked integer keys for a ``(doc_id, tok)`` exploded token
+    table: returns ``(rank_df[tok, r], strategy)`` where ``r`` is the
+    1-based row_number of the token in ascending ``(document frequency,
+    token)`` order, and ``strategy`` names the guard branch taken
+    (``"broadcast-window"`` or ``"two-pass-range"``).
+
+    Prefix-filter correctness needs only a CONSISTENT total order over
+    tokens; rarity order is the performance choice (rare tokens seed few
+    candidates). The df aggregate is localCheckpoint'ed once so the
+    cardinality probe, the rank, and the join-back all reuse one
+    materialization of the tokenize chain instead of recomputing it.
+    """
+    from ..ranking import global_row_number
+
+    cap = VOCAB_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    dfagg = (
+        tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
+    )
+    n_vocab = dfagg.count()  # cheap: counts the checkpointed aggregate
+    if n_vocab <= cap:
+        from pyspark.sql import Window
+
+        rank = (
+            dfagg.withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
+            .select("tok", F.col("r").cast("bigint").alias("r"))
+        )
+        return F.broadcast(rank), "broadcast-window"
+    rank = global_row_number(dfagg, "df", "tok", out_col="r").select(
+        "tok", F.col("r").cast("bigint").alias("r")
+    )
+    return rank, "two-pass-range"
+
+
 @query(
     "q_dedup_exact",
     oracle="""
@@ -1121,11 +1169,14 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. **Rarity-ordered integer keys from the vocabulary aggregate.**
        Prefix-filter correctness needs only a CONSISTENT total order over
        tokens; rarity order (ascending document frequency, token string
-       as tiebreak) is the performance choice. The rank is a row_number
-       window over the TOKEN VOCABULARY — an aggregate that this operator
-       already assumes fits a broadcast (the df dictionary is joined back
-       to the fact with a broadcast hint), so the single-partition window
-       is summary-scale by the same contract, never fact-scale. Integer
+       as tiebreak) is the performance choice. The rank comes from
+       ``token_rank``'s vocabulary-cardinality guard: below
+       ``VOCAB_BROADCAST_CAP`` distinct tokens the dictionary is ranked
+       with a summary-scale window and broadcast back to the fact; above
+       it (web-crawl vocabularies: hundreds of millions of tokens) the
+       rank is ranking.py's two-pass range plan and the join back is a
+       shuffle join — no single task and no driver broadcast build ever
+       holds the whole vocabulary. Integer
        keys make the candidate equi-join and the verify-stage
        array_intersect integer-typed — measured ~5x faster than
        struct<df,tok> element comparisons. Token -> rank is injective, so
@@ -1153,15 +1204,14 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (planner broadcasts it at this scale; plain shuffle join at
     vocabulary scale), and verify with one integer array_intersect per
     distinct-set pair. At 100 TB: the df dictionary is vocabulary-sized
-    (broadcast); the only fact-scale shuffles are the doc-token groupBys,
+    (broadcast below VOCAB_BROADCAST_CAP, two-pass-ranked + shuffle-joined
+    above it); the only fact-scale shuffles are the doc-token groupBys,
     the distinct-set groupBy, and the candidate equi-join on rare keys.
     The distinct-set table is localCheckpoint'ed once (bounded: one row
     per distinct set) so the a/b prefix branches and the member
     expansions don't recompute the tokenize-join-aggregate chain four
     times.
     """
-    from pyspark.sql import Window
-
     tau = 0.9
     t = load(spark, sf_dir)
     tok = (
@@ -1172,15 +1222,12 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Vocabulary-scale rank: window over the df AGGREGATE (the same table
-    # the broadcast join below already requires to fit in memory).
-    rank = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
-        .select("tok", "r")
-    )
-    keyed = tok.join(F.broadcast(rank), "tok").select("doc_id", F.col("r").alias("k"))
+    # Vocabulary-cardinality guard (see token_rank): small vocabularies
+    # rank via a summary-scale window and broadcast-join; above
+    # VOCAB_BROADCAST_CAP the rank is the two-pass range plan and the
+    # join back to the fact is a plain shuffle join.
+    rank, _strategy = token_rank(tok)
+    keyed = tok.join(rank, "tok").select("doc_id", F.col("r").alias("k"))
     toksets = keyed.groupBy("doc_id").agg(F.sort_array(F.collect_list("k")).alias("rs"))
     sets = (
         toksets.groupBy("rs")
@@ -1320,14 +1367,14 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the fact-scale work is the tokenize groupBys, the
     distinct-set collapse, and the prefix⋈index equi-join on rare
-    integer keys; the df dictionary stays broadcast-scale and the
-    verify stage touches candidate pairs only.
+    integer keys; the df dictionary rides ``token_rank``'s
+    vocabulary-cardinality guard (broadcast below the cap, two-pass
+    range rank + shuffle join above it) and the verify stage touches
+    candidate pairs only.
 
     Reference scope note: the reference engine has no similarity ops —
     this extends SURVEY §2.M's training-data family
     (`q_jaccard_join`, `q_contamination`)."""
-    from pyspark.sql import Window
-
     tau = 0.9
     t = load(spark, sf_dir)
     tok = t.documents.select(
@@ -1336,15 +1383,9 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
-    rank = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("r", F.row_number().over(Window.orderBy("df", "tok")))
-        .select("tok", "r")
-    )
-    keyed = tok.join(F.broadcast(rank), "tok").select(
-        "doc_id", F.col("r").alias("k")
-    )
+    # Same vocabulary-cardinality guard as q_jaccard_join (token_rank).
+    rank, _strategy = token_rank(tok)
+    keyed = tok.join(rank, "tok").select("doc_id", F.col("r").alias("k"))
     toksets = keyed.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("k")).alias("rs")
     )
