@@ -144,6 +144,7 @@ def _sf1_leg(spark, specs) -> dict[str, object]:
     d_tot = round(sum(duck_t.values()), 4)
     s_cmp = round(sum(spark_t[q] for q in comparable), 4)
     return {
+        "sf1_trials": 3,
         "sf1_queries": spark_t,
         "sf1_total_sec": s_tot,
         "sf1_original17_subtotal_sec": round(
@@ -212,6 +213,11 @@ def main() -> None:
         "metric": "total_wall_sec",
         "value": round(total, 4),
         "unit": "sec",
+        # Self-documenting noise posture (VERDICT r4 item 4): every
+        # per-query number above is the minimum of this many full plan
+        # executions — a single contended run can no longer masquerade
+        # as the round's headline.
+        "trials": 3,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "original17_subtotal_sec": round(

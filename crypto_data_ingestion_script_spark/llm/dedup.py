@@ -1375,7 +1375,35 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope note: the reference engine has no similarity ops —
     this extends SURVEY §2.M's training-data family
     (`q_jaccard_join`, `q_contamination`)."""
-    tau = 0.9
+    sets, verified = _containment_sets_verified(spark, sf_dir, tau=0.9)
+    # Identical sets: every ORDERED pair within a group is containment 1.0
+    # (both directions — the relation is not symmetric, unlike jaccard's
+    # a<b canonical form).
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("containment", F.lit(1.0))
+    )
+    cross = (
+        verified
+        .select(F.explode("ma").alias("doc_a"), "mb", "containment")
+        .select("doc_a", F.explode("mb").alias("doc_b"), "containment")
+    )
+    return (
+        within.unionByName(cross)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _containment_sets_verified(spark: SparkSession, sf_dir: str, tau: float):
+    """Shared machinery of the containment family: distinct token sets
+    (collapsed, checkpointed, with sorted ``members``) plus the VERIFIED
+    cross-group pairs ``(ga, gb, ma, mb, containment)`` at GROUP
+    granularity — i.e. before any member expansion, so callers choose how
+    much output to materialize (full pair list vs capped top-k)."""
     t = load(spark, sf_dir)
     tok = t.documents.select(
         "doc_id",
@@ -1404,16 +1432,6 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..partitioning import ensure_parallelism
 
     sets = ensure_parallelism(sets)
-    # Identical sets: every ORDERED pair within a group is containment 1.0
-    # (both directions — the relation is not symmetric, unlike jaccard's
-    # a<b canonical form).
-    within = (
-        sets.filter(F.size("members") >= 2)
-        .select(F.explode("members").alias("doc_a"), "members")
-        .select("doc_a", F.explode("members").alias("doc_b"))
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .withColumn("containment", F.lit(1.0))
-    )
     probe = sets.select(
         F.col("gid").alias("ga"),
         F.col("n").alias("na"),
@@ -1442,7 +1460,7 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gid").alias("gb"), F.col("rs").alias("rb"),
         F.col("members").alias("mb"),
     )
-    cross = (
+    verified = (
         cand.join(sa, "ga")
         .join(sb, "gb")
         .withColumn(
@@ -1450,11 +1468,103 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("ra", "rb")) / F.col("na"),
         )
         .filter(F.col("containment") >= tau)
-        .select(F.explode("ma").alias("doc_a"), "mb", "containment")
-        .select("doc_a", F.explode("mb").alias("doc_b"), "containment")
+        .select("ga", "gb", "ma", "mb", "containment")
     )
+    return sets, verified
+
+
+@query(
+    "q_containment_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+      FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+    ),
+    ranked AS (
+      SELECT da, db, c,
+             row_number() OVER (PARTITION BY da ORDER BY c DESC, db) AS rk
+      FROM pairs
+    )
+    SELECT da AS doc_a, db AS doc_b, round(c, 6) AS containment,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_a, rk
+    """,
+    tags=("dedup", "similarity-join"),
+)
+def q_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped containment screen: the TOP-3 containing
+    documents per probe doc (score desc, doc_b asc tie-break) instead of
+    the full directional pair list. q_containment_join's output at sf1 is
+    ~8M pairs on the replicated corpus — the pair LIST is what a 100 TB
+    contamination pass must never materialize; the decision surface it
+    actually needs is per-doc: "is this doc contained somewhere, and
+    where (a few witnesses)?". Output here is corpus-bounded (≤3 rows per
+    probe doc).
+
+    The cap is applied at GROUP granularity, before any member
+    expansion — the asymmetric prefix-filter/verify machinery is shared
+    with q_containment_join (``_containment_sets_verified``):
+
+    - within-group witnesses (identical sets, containment 1.0): each doc
+      needs only the 3 smallest OTHER member ids, which all live in the
+      first 4 elements of the group's sorted member list — expansion is
+      ≤4 rows per doc by construction, never m² per group;
+    - cross-group witnesses: every member of probe group A sees the same
+      candidate groups, and within one candidate group B every member
+      scores the same containment, so the top-3 docs FOR THE WHOLE GROUP
+      are slice(sorted mb, 1, 3) ranked per-ga — group-level row_number,
+      then a ≤3-rows-per-group expansion to members;
+    - the final per-doc rank merges the two ≤-constant candidate lists
+      with a doc-partitioned window (never single-partition).
+
+    Every step between the verify stage and the output is bounded by
+    k=3 × corpus size, independent of how many pairs pass the threshold.
+    """
+    from pyspark.sql import Window
+
+    k = 3
+    sets, verified = _containment_sets_verified(spark, sf_dir, tau=0.9)
+    # Within-group: all scores are 1.0 and the tie-break is doc_b asc, so
+    # a doc's best k witnesses among its m-1 twins are the k smallest
+    # other ids — all inside the first k+1 elements of the sorted member
+    # list. (Docs beyond position k+1 still only need those first k+1.)
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(
+            F.explode("members").alias("doc_a"),
+            F.expr(f"slice(members, 1, {k + 1})").alias("head"),
+        )
+        .select("doc_a", F.explode("head").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .withColumn("containment", F.lit(1.0))
+    )
+    # Cross-group: group-level top-k first (members of one candidate
+    # group share a score; doc_b asc prefers its k smallest ids), then
+    # expand the ≤k surviving witnesses to the probe group's members.
+    w_g = Window.partitionBy("ga").orderBy(F.desc("containment"), "doc_b")
+    cross = (
+        verified.select(
+            "ga", "ma", "containment",
+            F.explode(F.expr(f"slice(mb, 1, {k})")).alias("doc_b"),
+        )
+        .withColumn("g_rk", F.row_number().over(w_g))
+        .filter(F.col("g_rk") <= k)
+        .select(F.explode("ma").alias("doc_a"), "doc_b", "containment")
+    )
+    w_d = Window.partitionBy("doc_a").orderBy(F.desc("containment"), "doc_b")
     return (
         within.unionByName(cross)
-        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
-        .orderBy("doc_a", "doc_b")
+        .withColumn("rk", F.row_number().over(w_d).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment"), "rk"
+        )
+        .orderBy("doc_a", "rk")
     )
