@@ -67,6 +67,12 @@ HEADLINE = [
 #: BENCH_r01/r02 (the extension above changed the grand total's meaning).
 ORIGINAL17 = HEADLINE[:17]
 
+#: Spark trials per query (min-of-N): one constant drives both the
+#: _measure_spark calls and the self-documenting "trials"/"sf1_trials"
+#: fields in the emitted JSON, so the recorded noise posture can't drift
+#: from the measurement code.
+TRIALS = 3
+
 
 def _measure_spark(spark, specs, sf_dir: str, trials: int) -> dict[str, float]:
     """Min-of-`trials` wall time per headline query at `sf_dir` (warm JVM;
@@ -133,7 +139,7 @@ def _sf1_leg(spark, specs) -> dict[str, object]:
     import __spark_entry__ as e
 
     osql = e.oracle_sql()
-    spark_t = _measure_spark(spark, specs, sf1_dir, trials=3)
+    spark_t = _measure_spark(spark, specs, sf1_dir, trials=TRIALS)
     # DuckDB side: warm + one timed run. Its run-to-run variance is small
     # (BENCH_scale.json's back-to-back pairs agree within ~3%), and the
     # oracle leg's q_dedup_near alone costs 25 s/run at sf1 — min-of-2
@@ -144,7 +150,7 @@ def _sf1_leg(spark, specs) -> dict[str, object]:
     d_tot = round(sum(duck_t.values()), 4)
     s_cmp = round(sum(spark_t[q] for q in comparable), 4)
     return {
-        "sf1_trials": 3,
+        "sf1_trials": TRIALS,
         "sf1_queries": spark_t,
         "sf1_total_sec": s_tot,
         "sf1_original17_subtotal_sec": round(
@@ -202,11 +208,11 @@ def main() -> None:
             spec = specs.get(name)
             if spec is not None:
                 spec.fn(spark, warm_dir).count()
-    # min-of-2 trials per query at measurement scale: the shared host has
+    # min-of-TRIALS per query at measurement scale: the shared host has
     # ±20% run-to-run noise (BASELINE.md); the minimum is the standard
-    # microbenchmark estimator of the noise-free cost. Both trials execute
+    # microbenchmark estimator of the noise-free cost. Every trial executes
     # the full plan (build + run to a count action).
-    timings = _measure_spark(spark, specs, SF_DIR, trials=3)
+    timings = _measure_spark(spark, specs, SF_DIR, trials=TRIALS)
     total = sum(timings.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -217,7 +223,7 @@ def main() -> None:
         # per-query number above is the minimum of this many full plan
         # executions — a single contended run can no longer masquerade
         # as the round's headline.
-        "trials": 3,
+        "trials": TRIALS,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "original17_subtotal_sec": round(

@@ -28,9 +28,8 @@ def _tokens():
 #: both the window funnel and the driver-side broadcast build would blow
 #: up, so the rank comes from ranking.global_row_number's two-pass range
 #: plan and joins back by SHUFFLE. Both paths emit identical ranks
-#: ((df, tok) is a total order); equivalence is property-tested in
-#: tests/test_properties.py and both guard branches are pinned in
-#: tests/test_dedup.py.
+#: ((df, tok) is a total order); equivalence is property-tested and both
+#: guard branches are plan-pinned in tests/test_token_rank.py.
 VOCAB_BROADCAST_CAP = 5_000_000
 
 
@@ -46,6 +45,15 @@ def token_rank(tok: DataFrame, broadcast_cap: int | None = None):
     candidates). The df aggregate is localCheckpoint'ed once so the
     cardinality probe, the rank, and the join-back all reuse one
     materialization of the tokenize chain instead of recomputing it.
+
+    Retention note: each call leaves one checkpointed vocabulary aggregate
+    (|vocab| rows of (tok, df) — summary-scale, MEMORY_AND_DISK) in
+    executor storage until the plan that references it is garbage-
+    collected (ContextCleaner) or the session ends — the same retention
+    contract as the `sets` localCheckpoint in the callers. Repeated bench
+    trials therefore accumulate a bounded few-MB block per call;
+    unpersisting eagerly here would instead recompute the tokenize chain
+    in the caller's later stages.
     """
     from ..ranking import global_row_number
 

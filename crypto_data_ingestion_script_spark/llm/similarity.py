@@ -49,13 +49,14 @@ _DOT_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                WHERE vec_id < 5),
     scored AS (
       SELECT q.q_id, e.vec_id AS cand_id, e.label AS cand_label,
-             {_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+             round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
              / (sqrt({_DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
-                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})) AS cos_sim
+                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 8)
+               AS cos_sim
       FROM q CROSS JOIN embeddings e
       WHERE e.vec_id <> q.q_id
     )
-    SELECT q_id, cand_id, cand_label, round(cos_sim, 8) AS cos_sim,
+    SELECT q_id, cand_id, cand_label, cos_sim,
            CAST(rn AS BIGINT) AS rn
     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                                        ORDER BY cos_sim DESC, cand_id) AS rn
@@ -110,12 +111,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = t.embeddings.mapInPandas(
         score, schema="q_id bigint, cand_id bigint, cand_label int, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 8))
+    # Rank on the ROUNDED similarity (the declared output precision), ties
+    # by cand_id — the same order the oracle uses, so duplicate embeddings
+    # whose BLAS-batched sims differ only in trailing ulps cannot flip the
+    # top-5 boundary between engines (knn_classify's established contract).
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 5)
-        .withColumn("cos_sim", F.round("cos_sim", 8))
     )
 
 
@@ -216,9 +220,14 @@ def _probe_matrix(sf_dir: str, probe_limit: int, embeddings: DataFrame | None = 
         try:
             import pyarrow.parquet as pq
 
+            # Predicate pushed into the parquet read (row-group pruning +
+            # row-level filter) so the driver never materializes the full
+            # corpus — the probe fetch is O(probe_limit) in memory, not
+            # O(corpus), matching the Spark fallback's pushed filter.
             tbl = pq.read_table(
                 os.path.join(sf_dir, "embeddings.parquet"),
                 columns=["vec_id", "embedding"],
+                filters=[("vec_id", "<", probe_limit)],
             )
             pdf = tbl.to_pandas()
         except Exception:
@@ -240,36 +249,27 @@ def _probe_matrix(sf_dir: str, probe_limit: int, embeddings: DataFrame | None = 
     return q_ids, Q
 
 
-def _probe_scores(embeddings: DataFrame, sf_dir: str, probe_limit: int) -> DataFrame:
-    """Exact (q_id, cand_id, cos_sim) scores of every corpus vector against
-    the probe set (vec_id < probe_limit): Arrow-batch numpy matmul, one
-    corpus scan, probe matrix in the closure — no corpus shuffle."""
+def _topk_partial(sims, ids, k: int):
+    """Within-batch exact top-k row indices per probe column, with the
+    GLOBAL tie-break (cos_sim desc, cand_id asc) — the same order the
+    downstream window and the DuckDB oracle use. This makes each batch's
+    partial a guaranteed superset of the global top-k's members from that
+    batch: any row among the global top-k has < k rows ahead of it in
+    (sim desc, id asc) order globally, hence < k ahead of it within its
+    batch under the SAME order. A plain ``argsort(-sims)`` breaks ties by
+    in-batch row position instead, so with duplicate embeddings at the
+    k-boundary the surviving cand_id could depend on Arrow batch
+    boundaries and diverge from the deterministic oracle.
+
+    ``sims`` is (n, p); ``ids`` is (n,); returns (k, p) row indices."""
     import numpy as np
-    import pandas as pd
-    from collections.abc import Iterator
 
-    q_ids, Q = _probe_matrix(sf_dir, probe_limit, embeddings=embeddings)
-    q_norms = np.sqrt((Q * Q).sum(axis=1))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            sims = (E @ Q.T) / (
-                np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
-            )
-            n, k = sims.shape
-            out = pd.DataFrame(
-                {
-                    "q_id": np.tile(q_ids, n),
-                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "cos_sim": sims.ravel(),
-                }
-            )
-            yield out[out["q_id"] != out["cand_id"]]
-
-    return embeddings.mapInPandas(
-        score, schema="q_id bigint, cand_id bigint, cos_sim double"
-    )
+    p = sims.shape[1]
+    top = np.empty((k, p), dtype="int64")
+    for j in range(p):
+        # lexsort: last key is primary → sort by -sim, ties by id asc.
+        top[:, j] = np.lexsort((ids, -sims[:, j]))[:k]
+    return top
 
 
 def _ann_verdict(exact_scored: DataFrame, cand: DataFrame, verdict_col: str
@@ -303,14 +303,14 @@ _ANN_ORACLE = f"""
                WHERE vec_id < 5),
     scored AS (
       SELECT q.q_id, e.vec_id AS cand_id,
-             {_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+             round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
              / (sqrt({_DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
-                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}))
+                * sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})), 8)
                AS cos_sim
       FROM q CROSS JOIN embeddings e
       WHERE e.vec_id <> q.q_id
     )
-    SELECT q_id, cand_id AS exact_nn_id, round(cos_sim, 8) AS exact_nn_sim,
+    SELECT q_id, cand_id AS exact_nn_id, cos_sim AS exact_nn_sim,
            TRUE AS {{verdict}}
     FROM (SELECT *, row_number() OVER (PARTITION BY q_id
                                        ORDER BY cos_sim DESC, cand_id) AS rn
@@ -349,7 +349,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly one batch, so a pair is emitted once). The same batch's
       normalized matmul (q_cosine_topk's kernel) emits each probe's
       within-batch exact top-5 partials; the global top-5 is a subset of
-      the union of batch top-5s, so the exact side stays exact.
+      the union of batch top-5s, so the exact side stays exact — the
+      partials carry the global (sim desc, cand_id) tie-break
+      (`_topk_partial`) so duplicate embeddings at the k-boundary cannot
+      make the survivor depend on Arrow batch boundaries.
     - Downstream is probe-scale only: a window over the exact partials
       and a broadcast-sized join with the candidate pairs.
 
@@ -392,9 +395,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = (E @ Q.T) / (
                 np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
             )
+            # Round to the declared 8-digit output precision BEFORE the
+            # top-k selection: BLAS-batched matmuls give ulp-different
+            # values for bit-identical vectors depending on batch shape,
+            # so only the rounded value is batch-invariant — the ranking
+            # contract is (round(cos,8) desc, cand_id), oracle-matched.
+            sims = np.round(sims, 8)
             sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-match
             k = min(5, n)
-            top = np.argsort(-sims, axis=0)[:k]  # (k, p) row indices
+            top = _topk_partial(sims, ids, k)  # (k, p) row indices
             yield pd.DataFrame(
                 {
                     "kind": np.concatenate(
@@ -536,7 +545,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells with one argmin, emits the (probe, vector) pairs whose cell is
     probed, and the same batch's normalized matmul emits each probe's
     within-batch exact top-5 partials (the global top-5 is a subset of
-    the union of batch top-5s, so the exact side stays exact). No
+    the union of batch top-5s, so the exact side stays exact; the
+    partials carry the global (sim desc, cand_id) tie-break —
+    `_topk_partial` — so k-boundary ties are batch-boundary-proof). No
     corpus-wide assignment table, no bucket join, no distinct — a vector
     lives in exactly one batch, so a pair is emitted once. Downstream is
     probe-scale only. At deployment scale the per-batch cell match is the
@@ -577,9 +588,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = (E @ Q.T) / (
                 np.sqrt((E * E).sum(axis=1))[:, None] * q_norms[None, :]
             )
+            # round-before-select: see q_ann_lsh's scan — the rounded
+            # value is the only batch-shape-invariant ranking key.
+            sims = np.round(sims, 8)
             sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-match
             k = min(5, len(ids))
-            top = np.argsort(-sims, axis=0)[:k]  # (k, p) row indices
+            top = _topk_partial(sims, ids, k)  # (k, p) row indices
             yield pd.DataFrame(
                 {
                     "kind": np.concatenate(
