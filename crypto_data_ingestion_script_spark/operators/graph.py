@@ -182,28 +182,32 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing joins are equi-joins (hash/SMJ), never a nested loop.
     """
     t = load(spark, sf_dir)
-    # li is referenced twice (edge generation + node count); materialize
-    # the fact-table distinct ONCE.
-    li = (
-        t.lineitem.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint()
+    li = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    # The edge list is referenced three times downstream (edge count,
-    # degree table, orientation join); localCheckpoint materializes it
-    # ONCE (edge-list-sized storage, the same bound the algorithm
-    # already carries).
-    undirected = copurchase_edges(li).localCheckpoint()
+    # No (o, p) distinct pass here: copurchase_edges' per-group
+    # collect_set dedups within groups (the only dedup the pair expansion
+    # needs), so a full-width distinct shuffle of the fact table before it
+    # is pure overhead (~2 s of the sf1 wall time, round-6 decomposition).
+    # And no edge-level distinct either: oriented_adjacency's collect_set
+    # dedups while grouping, fusing what used to be TWO edge-scale
+    # exchanges (distinct + collect_list) into one. The checkpointed
+    # adjacency table then serves both the exact distinct-edge count
+    # (sum of neighbor-list sizes) and the closing probe.
+    adj = oriented_adjacency(copurchase_edges(li, distinct=False))
+    # n_nodes: single-column distinct straight off the fact scan —
+    # map-side partial aggregation shrinks the shuffle to node scale.
     n_nodes = li.select("p").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = undirected.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_tri = triangle_count(undirected).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = adj.agg(F.sum(F.size("nbrs")).alias("n_edges"))
+    n_tri = closing_probe(adj).agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
 def copurchase_edges(
-    li: DataFrame, chunk: int = 256, stats: dict | None = None
+    li: DataFrame,
+    chunk: int = 256,
+    stats: dict | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct co-occurrence edges (u, v) with u < v from a (group, item)
     table — items sharing a group are adjacent. SKEW-GUARDED: the naive
@@ -223,7 +227,12 @@ def copurchase_edges(
     groupBy + explode. Sorted lists make u < v structural in both
     branches (within a chunk by slice order; across chunks because
     slices are contiguous ranges of the sorted list), so no post-filter
-    recompares pairs."""
+    recompares pairs.
+
+    ``distinct=False`` skips the final cross-group dedup shuffle: a pair
+    appears once PER GROUP either way (sorted-set construction), so
+    callers that dedup downstream anyway (oriented_adjacency's
+    collect_set) save a full edge-scale exchange."""
     parts = (
         li.groupBy("o")
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
@@ -240,7 +249,7 @@ def copurchase_edges(
             "u",
             F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"),
         )
-        return pairs.distinct()
+        return pairs.distinct() if distinct else pairs
     chunks = parts.select(
         "o",
         F.posexplode(
@@ -265,11 +274,86 @@ def copurchase_edges(
         .select(F.explode("csa").alias("u"), "csb")
         .select("u", F.explode("csb").alias("v"))
     )
-    return within.unionByName(cross).distinct()
+    both = within.unionByName(cross)
+    return both.distinct() if distinct else both
+
+
+#: Broadcast budget for the closing-probe adjacency table, in ESTIMATED
+#: BYTES (not element count — a 50M-element cap would admit a ~400 MB+
+#: driver collect long before tripping). 128 MiB: safely inside executor
+#: and driver memory at local-test scale, and far below Spark's 8 GB
+#: broadcast hard limit, while still letting the sf1 adjacency (~8 B per
+#: neighbor + ~48 B per row) take the map-side fast path.
+BROADCAST_ADJ_CAP_BYTES = 128 * 1024 * 1024
+
+
+def oriented_adjacency(edges: DataFrame) -> DataFrame:
+    """Degree-ordered oriented adjacency table ``(src, nbrs)`` from an
+    edge-pair relation ``(u, v)`` with u != v — duplicate rows and mixed
+    orientations WELCOME: ``collect_set`` dedups while grouping, so
+    callers can skip a full edge-distinct shuffle before this one (the
+    round-6 q_triangles fusion: distinct + collect_list, two edge-scale
+    exchanges, became one collect_set exchange).
+
+    Correctness needs only a FIXED TOTAL ORDER on nodes (every triangle
+    has exactly one doubly-outgoing node under any such order); degree
+    ordering is the performance bound on out-degree. Degrees are
+    therefore counted over the RAW rows (multiplicity-weighted —
+    partial-aggregated map-side, node-scale shuffle), which preserves
+    exactness (ties broken by id make the order strict) and tracks true
+    degree closely enough to keep the O(sqrt |E|) wedge bound in
+    practice. The adjacency table is the only materialization
+    (localCheckpoint): wedges derive from it map-side."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
+    ranked = edges.join(du, "u").join(dv, "v")
+    # total-order rank of an endpoint: (degree, id) as a comparable struct
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = ranked.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    return (
+        oriented.groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+        .localCheckpoint()
+    )
+
+
+def closing_probe(
+    adj: DataFrame, broadcast_adj_cap_bytes: int = BROADCAST_ADJ_CAP_BYTES
+) -> DataFrame:
+    """Closing join over a checkpointed oriented adjacency table: one row
+    per triangle (w_src, b1, b2). See `triangle_count` for the plan
+    shape and the byte-budgeted broadcast decision."""
+    n_edges, n_rows = adj.agg(
+        F.sum(F.size("nbrs")), F.count(F.lit(1))
+    ).collect()[0]
+    est_bytes = 8 * (n_edges or 0) + 48 * (n_rows or 0)
+    closing = adj.select(F.col("src").alias("b1"), F.col("nbrs").alias("nbrs_v"))
+    if est_bytes <= broadcast_adj_cap_bytes:
+        closing = F.broadcast(closing)
+    wedge = adj.select(
+        F.col("src").alias("w_src"),
+        F.col("nbrs").alias("nbrs_u"),
+        F.explode("nbrs").alias("b1"),
+    )
+    return wedge.join(closing, "b1").select(
+        "w_src",
+        "b1",
+        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("b2"),
+    )
 
 
 def triangle_count(
-    undirected: DataFrame, broadcast_edge_cap: int = 50_000_000
+    undirected: DataFrame, broadcast_adj_cap_bytes: int = BROADCAST_ADJ_CAP_BYTES
 ) -> DataFrame:
     """Degree-ordered triangle enumeration core: takes distinct undirected
     edges as columns (u, v) with u != v (one row per unordered pair, either
@@ -286,50 +370,17 @@ def triangle_count(
     N_out(x) still attached, no second adjacency join needed — and joins
     the adjacency table on y. The wedge-volume payload (sum of
     outdeg² array elements, 410M at sf1) therefore crosses at most one
-    exchange, not two; and when the adjacency table is small enough
-    (Σ|nbrs| ≤ ``broadcast_edge_cap``, a cheap aggregate over the
-    checkpointed table — AQE can't make this call because array-typed
-    stats exceed the auto threshold long before the table is actually
-    too big to ship) it is BROADCAST and the wedge volume never touches
-    an exchange at all: explode, hash-probe, intersect run in one
-    map-side stage (34.9 s -> 3.1 s at sf1). Past the cap — the true
-    100 TB regime — the shuffle join path keeps it scale-safe."""
-    deg = (
-        undirected.select(F.col("u").alias("node"))
-        .unionAll(undirected.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
-    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
-    ranked = undirected.join(du, "u").join(dv, "v")
-    # total-order rank of an endpoint: (degree, id) as a comparable struct
-    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
-    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
-    oriented = ranked.select(
-        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
-    # The adjacency table is the ONLY materialization: wedges derive
-    # from it map-side, so the orientation projection runs once.
-    adj = (
-        oriented.groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
-        .localCheckpoint()
-    )
-    n_edges = adj.agg(F.sum(F.size("nbrs"))).collect()[0][0] or 0
-    closing = adj.select(F.col("src").alias("b1"), F.col("nbrs").alias("nbrs_v"))
-    if n_edges <= broadcast_edge_cap:
-        closing = F.broadcast(closing)
-    wedge = adj.select(
-        F.col("src").alias("w_src"),
-        F.col("nbrs").alias("nbrs_u"),
-        F.explode("nbrs").alias("b1"),
-    )
-    return wedge.join(closing, "b1").select(
-        "w_src",
-        "b1",
-        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("b2"),
+    exchange, not two; and when the adjacency table's ESTIMATED SIZE
+    (8 B per neighbor long + ~48 B per-row key/array/row overhead, from
+    one cheap aggregate over the checkpointed table) fits
+    ``broadcast_adj_cap_bytes`` — AQE can't make this call because
+    array-typed stats exceed the auto threshold long before the table is
+    actually too big to ship — it is BROADCAST and the wedge volume
+    never touches an exchange at all: explode, hash-probe, intersect run
+    in one map-side stage (34.9 s -> 3.1 s at sf1). Past the cap — the
+    true 100 TB regime — the shuffle join path keeps it scale-safe."""
+    return closing_probe(
+        oriented_adjacency(undirected), broadcast_adj_cap_bytes
     )
 
 

@@ -80,7 +80,10 @@ import duckdb, pandas as pd, numpy as np
 import pandas.api.types as pt
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # single-file layout (testdata) or directory-of-part-files (benchdata)
+    p = f"{SF_DIR}/{t}.parquet"
+    src = f"{p}/*.parquet" if _os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 results = {}
 for name in sorted(qs):
     if ONLY is not None and name not in ONLY:

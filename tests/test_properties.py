@@ -255,6 +255,21 @@ def test_triangle_count_on_known_graphs(spark):
     assert count(k4 + [(4, 5)]) == 4
 
 
+def test_triangle_count_forced_shuffle_path_equivalent(spark):
+    """The broadcast budget is expressed in estimated BYTES; forcing the
+    cap to 0 must route the closing probe through the shuffle-join scale
+    path and still produce identical counts — the 100 TB branch is
+    exercised, not trusted (the token_rank guard's test pattern)."""
+    from crypto_data_ingestion_script_spark.operators.graph import triangle_count
+
+    k4_pendant = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(k4_pendant, "u bigint, v bigint")
+    assert triangle_count(df, broadcast_adj_cap_bytes=0).count() == 4
+    forced = triangle_count(df, broadcast_adj_cap_bytes=0)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_connected_components_matches_union_find(spark):
     """The general iterative min-label CC (connected_components) and the
     block-local union-find labeling used by q_dedup_clusters must agree:
