@@ -573,6 +573,15 @@ _SEM_DOT = (
 
 _SEM_TAU = 0.45
 
+#: Per-worker budget (bytes) for ONE sims buffer in cone_blocked_edges'
+#: block rerank. Blocks are ~block_target rows so most matmuls run in a
+#: single chunk; the budget only bites when a caller raises block_target
+#: (or k=1 puts the whole corpus in the diagonal block), where an
+#: unchunked n×n double matrix would be O(n²) worker memory (ADVICE r5
+#: item 4). Module-level so tests can shrink it to force the chunked
+#: path on small inputs.
+SIMS_BLOCK_BUDGET_BYTES = 128 * 1024 * 1024
+
 
 def cone_blocked_edges(
     vectors: DataFrame,
@@ -629,20 +638,39 @@ def cone_blocked_edges(
     if k is None:
         k = max(1, min(256, vectors.count() // block_target))
 
+    sims_budget = SIMS_BLOCK_BUDGET_BYTES
+
     def block_edges(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         En = E / np.sqrt((E * E).sum(axis=1))[:, None]
         ids = pdf["gid"].to_numpy()
         if key[0] == key[1]:  # diagonal block: upper triangle once
-            sims = En @ En.T
-            ai, bj = np.nonzero(np.triu(sims >= tau, 1))
-            a, b = ids[ai], ids[bj]
+            Ln, Lids = En, ids
+            Rn, Rids = En, ids
+            diagonal = True
         else:  # cross block: home-of-ca side × home-of-cb side
             sa = pdf["side"].to_numpy() == 0
-            sims = En[sa] @ En[~sa].T
+            Ln, Lids = En[sa], ids[sa]
+            Rn, Rids = En[~sa], ids[~sa]
+            diagonal = False
+        # Row-chunked matmul: memory is O(chunk × |R|) regardless of
+        # block size, never O(n²) — the ADVICE-4 k=1 hazard.
+        chunk = max(64, sims_budget // (8 * max(1, len(Rids))))
+        outs = []
+        for s in range(0, len(Lids), chunk):
+            sims = Ln[s : s + chunk] @ Rn.T
             ai, bj = np.nonzero(sims >= tau)
-            a, b = ids[sa][ai], ids[~sa][bj]
-        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+            ai = ai + s
+            if diagonal:  # upper triangle once
+                keep = ai < bj
+                ai, bj = ai[keep], bj[keep]
+            a, b = Lids[ai], Rids[bj]
+            outs.append(
+                pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+            )
+        if not outs:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        return pd.concat(outs, ignore_index=True)
 
     if k == 1:
         if stats is not None:

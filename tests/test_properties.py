@@ -527,7 +527,43 @@ def test_cone_blocked_edges_exact_and_prunes(spark):
     assert stats["n_blocks"] < stats["n_blocks_total"], stats
 
 
-def test_copurchase_edges_mega_order_chunked(spark):
+def test_cone_blocked_edges_chunked_rerank_equivalent(spark, monkeypatch):
+    """The block rerank's row-chunked matmul (worker memory O(chunk × |R|)
+    instead of O(n²) — the k=1 whole-corpus-diagonal hazard, ADVICE r5
+    item 4) must emit the identical edge set when the sims budget forces
+    MANY chunks per block, including the k=1 single-block path."""
+    import numpy as np
+
+    from crypto_data_ingestion_script_spark.llm import dedup as dd
+
+    rng = np.random.default_rng(13)
+    dim, tau = 16, 0.8
+    anchors = rng.normal(size=(4, dim))
+    anchors /= np.linalg.norm(anchors, axis=1)[:, None]
+    vecs = []
+    for a in anchors:
+        pts = a[None, :] + 0.06 * rng.normal(size=(30, dim))
+        vecs.append(pts / np.linalg.norm(pts, axis=1)[:, None])
+    M = np.concatenate(vecs)
+    ids = np.arange(len(M), dtype="int64")
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, M)],
+        "gid bigint, embedding array<float>",
+    )
+
+    def edges(k):
+        return sorted(
+            (r["a"], r["b"])
+            for r in dd.cone_blocked_edges(df, tau, k=k).collect()
+        )
+
+    want_k4, want_k1 = edges(4), edges(1)
+    assert want_k4 == want_k1 and len(want_k1) > 50
+    # budget of 8*64 bytes/row -> chunk floor of 64 rows: every 120-row
+    # block reranks in >=2 chunks, the diagonal k=1 block in 2.
+    monkeypatch.setattr(dd, "SIMS_BLOCK_BUDGET_BYTES", 1)
+    assert edges(4) == want_k4
+    assert edges(1) == want_k1
     """`copurchase_edges` (q_triangles' edge generator) must produce the
     exact distinct co-occurrence pair set even when one mega-group
     exceeds the chunk size — the skew guard cuts each group's sorted
