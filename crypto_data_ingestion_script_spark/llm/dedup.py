@@ -654,7 +654,13 @@ def cone_blocked_edges(
             Rn, Rids = En[~sa], ids[~sa]
             diagonal = False
         # Row-chunked matmul: memory is O(chunk × |R|) regardless of
-        # block size, never O(n²) — the ADVICE-4 k=1 hazard.
+        # block size, never O(n²) — the ADVICE-4 k=1 hazard. The 64-row
+        # floor can exceed sims_budget when |R| > budget/512 (very wide
+        # R, e.g. k=1 on a multi-million-row corpus): the budget is a
+        # soft target, and the floor's 512·|R|-byte buffer is the same
+        # order as the block's own materialized embedding matrix
+        # (8·d·|R| bytes, d ≥ 64), so the floor never dominates worker
+        # memory — it only caps the chunking overhead.
         chunk = max(64, sims_budget // (8 * max(1, len(Rids))))
         outs = []
         for s in range(0, len(Lids), chunk):

@@ -400,6 +400,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # values for bit-identical vectors depending on batch shape,
             # so only the rounded value is batch-invariant — the ranking
             # contract is (round(cos,8) desc, cand_id), oracle-matched.
+            # Rounding mode: np.round is half-to-even while the DuckDB
+            # oracle and F.round are half-away-from-zero; a cosine
+            # landing EXACTLY on a decimal half at the 8th digit would
+            # rank differently, but float-computed cosines hit exact
+            # decimal halves with probability ~0 (measure-zero set), so
+            # the modes are interchangeable here in practice.
             sims = np.round(sims, 8)
             sims[ids[:, None] == q_ids[None, :]] = -2.0  # mask self-match
             k = min(5, n)

@@ -564,6 +564,9 @@ def test_cone_blocked_edges_chunked_rerank_equivalent(spark, monkeypatch):
     monkeypatch.setattr(dd, "SIMS_BLOCK_BUDGET_BYTES", 1)
     assert edges(4) == want_k4
     assert edges(1) == want_k1
+
+
+def test_copurchase_edges_mega_order_chunked(spark):
     """`copurchase_edges` (q_triangles' edge generator) must produce the
     exact distinct co-occurrence pair set even when one mega-group
     exceeds the chunk size — the skew guard cuts each group's sorted
