@@ -1440,12 +1440,19 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _containment_sets_verified(spark: SparkSession, sf_dir: str, tau: float):
+def _containment_sets_verified(
+    spark: SparkSession, sf_dir: str, tau: float, stats: dict | None = None
+):
     """Shared machinery of the containment family: distinct token sets
     (collapsed, checkpointed, with sorted ``members``) plus the VERIFIED
     cross-group pairs ``(ga, gb, ma, mb, containment)`` at GROUP
     granularity — i.e. before any member expansion, so callers choose how
-    much output to materialize (full pair list vs capped top-k)."""
+    much output to materialize (full pair list vs capped top-k).
+
+    ``stats``, if given, receives the lazy intermediate DataFrames
+    (``sets``, ``cand``) for observability — the per-stage decomposition
+    script (scripts/containment_decomp.py) counts them; registered
+    queries never pass it, so there is no extra work on the query path."""
     t = load(spark, sf_dir)
     tok = t.documents.select(
         "doc_id",
@@ -1512,6 +1519,8 @@ def _containment_sets_verified(spark: SparkSession, sf_dir: str, tau: float):
         .filter(F.col("containment") >= tau)
         .select("ga", "gb", "ma", "mb", "containment")
     )
+    if stats is not None:
+        stats["sets"], stats["cand"] = sets, cand
     return sets, verified
 
 

@@ -449,12 +449,36 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bfs_distances(
-    spark: SparkSession, edges: DataFrame, source: int, rounds: int
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    rounds: int,
+    broadcast_edges_cap_bytes: int = BROADCAST_ADJ_CAP_BYTES,
 ) -> DataFrame:
     """BFS frontier-iteration core over directed edges (src, dst): returns
     (node, dist) for every node within ``rounds`` hops of ``source``.
     Factored out of q_bfs so toy graphs with known distances exercise it
-    directly (tests)."""
+    directly (tests).
+
+    Two scale-aware cost decisions (r7, q_bfs 3.1 → see BASELINE.md):
+
+    - **Byte-budgeted edge broadcast**: the edge table is loop-invariant,
+      so when its estimated size (16 B of ints + ~32 B row overhead per
+      edge, from one count over the caller's checkpointed table) fits the
+      cap it is broadcast ONCE and every round's frontier join runs
+      map-side — no per-round join exchange. Past the cap (the 100 TB
+      regime) the shuffle join path is unchanged and still bounded by
+      state = one row per reached node.
+    - **Checkpoint cadence 4, skipping the final round**: each round
+      references ``dist`` once, so the plan grows LINEARLY with rounds —
+      checkpointing exists to bound driver planning time on long
+      iterations, not correctness. At the query's 4-round diameter bound
+      this means the whole BFS executes as ONE job instead of a job per
+      eager checkpoint (the q_dedup_clusters cadence lesson, applied at
+      the round count where it pays)."""
+    n_edges = edges.count()  # cheap: callers pass a checkpointed table
+    if 48 * n_edges <= broadcast_edges_cap_bytes:
+        edges = F.broadcast(edges)
     dist = spark.createDataFrame([(source, 0)], "node int, dist int")
     for i in range(rounds):
         frontier = (
@@ -466,6 +490,6 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        if (i + 1) % 2 == 0:
+        if (i + 1) % 4 == 0 and (i + 1) < rounds:
             dist = dist.localCheckpoint(eager=True)
     return dist

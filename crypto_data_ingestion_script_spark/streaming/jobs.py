@@ -111,6 +111,14 @@ def tumbling_ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+#: Per-batch engine progress of the LAST run_to_memory-driven query
+#: (list of StreamingQueryProgress dicts). Observability hook only — the
+#: fixed-cost decomposition script (scripts/stream_decomp.py) reads the
+#: engine's own durationMs / stateOperators breakdown from here; no query
+#: semantics depend on it.
+LAST_QUERY_PROGRESS: list = []
+
+
 def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion with an availableNow
     trigger into a memory sink; returns the materialized result. The
@@ -127,6 +135,8 @@ def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    global LAST_QUERY_PROGRESS
+    LAST_QUERY_PROGRESS = [p.json for p in q.recentProgress]
     spark = agg.sparkSession
     return spark.table(name)
 

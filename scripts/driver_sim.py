@@ -78,6 +78,7 @@ import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()
 import duckdb, pandas as pd, numpy as np
 import pandas.api.types as pt
+from simlib import compare_frames
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     # single-file layout (testdata) or directory-of-part-files (benchdata)
@@ -97,54 +98,9 @@ for name in sorted(qs):
         t0 = time.perf_counter()
         o = con.execute(osql[name]).fetchdf()
         rec["oracle_s"] = round(time.perf_counter() - t0, 2)
-        s = s.reindex(sorted(s.columns), axis=1); o = o.reindex(sorted(o.columns), axis=1)
-        if list(s.columns) != list(o.columns):
-            rec["status"] = "cols"; rec["err"] = f"{list(s.columns)} vs {list(o.columns)}"
-        elif len(s) != len(o):
-            rec["status"] = "rows"; rec["err"] = f"{len(s)} vs {len(o)}"
-        else:
-            for c in s.columns:
-                if pt.is_datetime64_any_dtype(s[c]): s[c] = s[c].astype("datetime64[us]")
-                if pt.is_datetime64_any_dtype(o[c]): o[c] = o[c].astype("datetime64[us]")
-                si, oi = pt.is_integer_dtype(s[c]), pt.is_integer_dtype(o[c])
-                sf_, of = pt.is_float_dtype(s[c]), pt.is_float_dtype(o[c])
-                if (si and of) or (sf_ and oi):
-                    rec["status"] = "dtype"; rec["err"] = f"{c}: {s[c].dtype} vs {o[c].dtype}"; break
-            if rec["status"] == "ok":
-                for c in s.columns:
-                    if s[c].dtype == object:
-                        s[c] = s[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v, na_action="ignore")
-                    if o[c].dtype == object:
-                        o[c] = o[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v, na_action="ignore")
-                # Sort rows by NON-float columns first, rounded floats as
-                # tiebreak: a float primary sort key lets sub-tolerance
-                # engine noise (1e-16) flip the order of two rows whose
-                # float values tie, misaligning every other column
-                # (observed: q_entropy at sf0.001, two sources with equal
-                # entropy).
-                def _sorted(df):
-                    tmp = df.copy()
-                    key = [c for c in df.columns if not pt.is_float_dtype(df[c])]
-                    for c in df.columns:
-                        if pt.is_float_dtype(df[c]):
-                            tmp["__r_" + c] = df[c].round(6)
-                            key.append("__r_" + c)
-                    try:
-                        return tmp.sort_values(by=key, kind="mergesort").reset_index(drop=True)[list(df.columns)]
-                    except Exception:
-                        key = [c for c in key if not c.startswith("__r_")]
-                        return tmp.sort_values(by=key, kind="mergesort").reset_index(drop=True)[list(df.columns)]
-                s2 = _sorted(s)
-                o2 = _sorted(o)
-                for c in s2.columns:
-                    if pt.is_float_dtype(s2[c]) or pt.is_float_dtype(o2[c]):
-                        a = pd.to_numeric(s2[c], errors="coerce").astype(float).fillna(1.2345e300)
-                        b = pd.to_numeric(o2[c], errors="coerce").astype(float).fillna(1.2345e300)
-                        if not np.allclose(a, b, rtol=1e-7, atol=1e-9):
-                            rec["status"] = "values"; rec["err"] = c; break
-                    else:
-                        if not (s2[c].fillna("\0N").astype(str) == o2[c].fillna("\0N").astype(str)).all():
-                            rec["status"] = "values"; rec["err"] = c; break
+        # Shared comparison semantics (scripts/simlib.py) — identical
+        # check in the sf0.01 full sweep and the sf1 structural sweep.
+        rec["status"], rec["err"] = compare_frames(s, o)
     except Exception as ex:
         rec["status"] = "crash"; rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
     results[name] = rec

@@ -1,0 +1,283 @@
+#!/usr/bin/env python
+"""Per-round sf1 structural sweep → SIM_sf1_r{N}.json (VERDICT r4/r6 task).
+
+Runs the structural LLM / graph / streaming / containment operator set —
+the queries whose cost is dominated by real distributed machinery rather
+than per-query JVM floor — against benchdata/sf1 (10× key-offset
+replication of sf0.1, scripts/make_benchdata.py) in a PLAIN 16 GiB
+local[32] session (no bench confs; a huge driver heap distorts timings —
+a 100 GiB heap made q_triangles read 57-82 s from GC pathology vs ~7 s
+at 16 GiB).
+
+Per query:
+- FULL mode: driver-sim strict compare vs the DuckDB oracle on the SAME
+  files (scripts/simlib.py semantics — columns, rows, dtype drift,
+  order-insensitive values). Used wherever the oracle is non-quadratic
+  at sf1 (incl. q_triangles, whose oracle costs ~100 s — run once).
+- ROWS_ONLY mode: for ops whose oracle is an all-pairs quadratic join
+  (infeasible at 50k docs / 828M output pairs): record row count plus a
+  Spark-side order-insensitive value checksum (sum of xxhash64 over all
+  columns) so the OUTPUT is still pinned round-over-round — benchdata/sf1
+  is deterministic, so any checksum drift is a regression. Expected
+  checksums live in ROWS_ONLY; first run of a new query prints the value
+  to pin.
+
+Timing: spark_s is min-of-2 warm executions to a count-style action for
+ROWS_ONLY (engine throughput; 828M rows cannot be collected) and to
+toPandas for FULL (what the grading driver does). The checksum pass is
+not timed.
+
+Usage: python scripts/sim_sf1.py [out_json] [only]
+       out_json: default /tmp/sim_sf1.json — pass the round-stamped
+                 SIM_sf1_rNN.json explicitly for the committed artifact
+       only:     optional comma-separated query subset (re-measure just
+                 the queries you touched; merges into an existing
+                 out_json instead of replacing it)
+"""
+import gc
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SIM_SF1_DIR", os.path.join(ROOT, "benchdata", "sf1"))
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sim_sf1.json"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+
+#: FULL-compare queries: oracle is non-quadratic at sf1. Ordered so the
+#: two expensive oracles (triangles ~100 s, dedup_near ~40 s) run last —
+#: a mid-sweep crash still leaves the cheap rows recorded.
+FULL = [
+    "q_pagerank",
+    "q_bfs",
+    "q_weighted_median",
+    "q_dedup_fuzzy",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_simhash",
+    "q_pii_redact",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_cosine_topk",
+    "q_stream_stream_join",
+    "q_stream_left_join",
+    "q_stream_chained_stateful",
+    "q_dedup_near",
+    "q_triangles",
+]
+
+#: Quadratic-oracle queries → rows + Spark-side checksum only. Values are
+#: the pinned (rows, checksum) from the first round-7 run on the
+#: deterministic benchdata/sf1; None means "print to pin".
+ROWS_ONLY: dict = {
+    "q_containment_join": None,
+    "q_containment_topk": None,
+    "q_jaccard_join": None,
+    "q_dedup_semantic": None,
+}
+
+PINS_PATH = os.path.join(HERE, "sim_sf1_pins.json")
+if os.path.exists(PINS_PATH):
+    with open(PINS_PATH) as f:
+        ROWS_ONLY.update({k: tuple(v) for k, v in json.load(f).items()})
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.driver.memory", "16g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# Warm: JVM codegen, python-worker pool, parquet reader, streaming
+# machinery (offset log, state store, stream-stream join state manager) —
+# same rationale as driver_sim.py.
+spark.range(1_000_000).selectExpr("sum(id) s").collect()
+spark.range(64).repartition(8).mapInPandas(
+    lambda it: it, schema="id bigint"
+).count()
+spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+import tempfile  # noqa: E402
+import uuid  # noqa: E402
+
+_rpath = f"{SF_DIR}/region.parquet"
+_rdr = spark.readStream.schema(spark.read.parquet(_rpath).schema)
+if os.path.isdir(_rpath):
+    _warm_src = _rdr.parquet(_rpath)
+else:
+    _warm_src = _rdr.option("pathGlobFilter", "region.parquet").parquet(SF_DIR)
+_sq = (
+    _warm_src.groupBy("r_regionkey")
+    .count()
+    .writeStream.outputMode("complete")
+    .format("memory")
+    .queryName("warm_" + uuid.uuid4().hex[:6])
+    .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_warm_"))
+    .trigger(availableNow=True)
+    .start()
+)
+_sq.awaitTermination()
+_wa = _warm_src.select(
+    "r_regionkey", F.current_timestamp().alias("ts_a")
+).withWatermark("ts_a", "1 minute")
+_wb = _warm_src.select(
+    F.col("r_regionkey").alias("rk_b"), F.current_timestamp().alias("ts_b")
+).withWatermark("ts_b", "1 minute")
+_sq = (
+    _wa.join(
+        _wb,
+        (_wa.r_regionkey == _wb.rk_b)
+        & (_wa.ts_a >= _wb.ts_b - F.expr("INTERVAL 1 MINUTE"))
+        & (_wa.ts_a <= _wb.ts_b),
+    )
+    .writeStream.outputMode("append")
+    .format("memory")
+    .queryName("warm_" + uuid.uuid4().hex[:6])
+    .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_warm_"))
+    .trigger(availableNow=True)
+    .start()
+)
+_sq.awaitTermination()
+
+import __spark_entry__ as e  # noqa: E402
+
+qs, osql = e.queries(), e.oracle_sql()
+
+import duckdb  # noqa: E402
+
+from simlib import compare_frames  # noqa: E402
+
+con = duckdb.connect()
+for t in [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]:
+    p = f"{SF_DIR}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+results = {}
+
+
+def checksum(df):
+    """Order-insensitive value checksum: sum of xxhash64 over every
+    column, cast to string first so the hash is layout-independent.
+    Summed as decimal(38,0) — 828M int64 hashes overflow a long sum
+    under ANSI mode; the decimal sum is exact (< 1e28 << 1e38)."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row = df.agg(
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["h"] or 0), int(row["n"])
+
+
+def session_hygiene():
+    """Between queries: drop Python references to finished plans and ask
+    both runtimes to collect, so ContextCleaner can unpersist prior
+    queries' localCheckpoint blocks — 16 sf1 queries' accumulated state
+    otherwise inflates late-ordered queries' times via GC pressure
+    (observed: q_triangles 25 s late-in-sweep vs ~7 s fresh-session)."""
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
+for name in FULL:
+    if ONLY is not None and name not in ONLY:
+        continue
+    session_hygiene()
+    rec = {"mode": "full", "status": "ok", "spark_s": None, "oracle_s": None,
+           "rows": None, "err": None}
+    try:
+        t0 = time.perf_counter()
+        s = qs[name](spark, SF_DIR).toPandas()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s = qs[name](spark, SF_DIR).toPandas()
+        rec["spark_s"] = round(min(t1, time.perf_counter() - t0), 2)
+        rec["rows"] = len(s)
+        t0 = time.perf_counter()
+        o = con.execute(osql[name]).fetchdf()
+        rec["oracle_s"] = round(time.perf_counter() - t0, 2)
+        rec["status"], rec["err"] = compare_frames(s, o)
+    except Exception as ex:
+        rec["status"] = "crash"
+        rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+    results[name] = rec
+    flag = "" if rec["status"] == "ok" else "  <<< " + rec["status"]
+    print(
+        f"{name}: spark={rec['spark_s']}s oracle={rec['oracle_s']}s "
+        f"rows={rec['rows']}{flag}",
+        flush=True,
+    )
+
+new_pins = {}
+for name, pinned in ROWS_ONLY.items():
+    if ONLY is not None and name not in ONLY:
+        continue
+    session_hygiene()
+    rec = {"mode": "rows+checksum", "status": "ok", "spark_s": None,
+           "rows": None, "checksum": None,
+           "oracle": "skipped: quadratic all-pairs oracle infeasible at sf1",
+           "err": None}
+    try:
+        t0 = time.perf_counter()
+        n1 = qs[name](spark, SF_DIR).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        rec["spark_s"] = round(min(t1, time.perf_counter() - t0), 2)
+        h, n = checksum(qs[name](spark, SF_DIR))
+        assert n == n1, f"row count unstable across runs: {n1} vs {n}"
+        rec["rows"], rec["checksum"] = n, h
+        new_pins[name] = [n, h]
+        if pinned is not None and tuple(pinned) != (n, h):
+            rec["status"] = "values"
+            rec["err"] = f"pinned {pinned} != observed {(n, h)}"
+    except Exception as ex:
+        rec["status"] = "crash"
+        rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+    results[name] = rec
+    flag = "" if rec["status"] == "ok" else "  <<< " + rec["status"]
+    pin_note = "  (PIN ME)" if pinned is None else ""
+    print(
+        f"{name}: spark={rec['spark_s']}s rows={rec['rows']} "
+        f"checksum={rec['checksum']}{pin_note}{flag}",
+        flush=True,
+    )
+
+if ONLY is not None and os.path.exists(OUT):
+    with open(OUT) as f:
+        out = json.load(f)
+    out["queries"].update(results)
+else:
+    out = {
+        "session": "plain local[32], spark.driver.memory=16g, default confs",
+        "sf_dir": SF_DIR,
+        "timing": "min-of-2 warm; FULL=toPandas, rows+checksum=count()",
+        "queries": results,
+    }
+with open(OUT, "w") as f:
+    json.dump(out, f, indent=1)
+# Pin any rows+checksum query that doesn't have a baseline yet (first
+# observation on the deterministic dataset becomes the pin).
+pins = {}
+if os.path.exists(PINS_PATH):
+    with open(PINS_PATH) as f:
+        pins = json.load(f)
+missing = {k: v for k, v in new_pins.items() if k not in pins}
+if missing:
+    pins.update(missing)
+    with open(PINS_PATH, "w") as f:
+        json.dump(pins, f, indent=1)
+    print(f"pinned rows+checksum baselines for {sorted(missing)} -> {PINS_PATH}")
+bad = {k: v for k, v in results.items() if v["status"] != "ok"}
+print(f"\nSF1 SWEEP DONE: {len(results)} queries, {len(bad)} problems -> {OUT}")
+for k, v in bad.items():
+    print(f"  {k}: {v['status']} {v['err']}")

@@ -1,0 +1,90 @@
+"""Shared driver-sim comparison semantics: the strict column/row/dtype/
+value check both `driver_sim.py` (full 243-query sweep at sf0.01) and
+`sim_sf1.py` (structural subset at benchdata/sf1) apply, kept in ONE place
+so the two artifacts can never drift in what "green" means.
+
+Mirrors the grading driver: sort columns by name, compare row counts,
+flag int-vs-float dtype drift, then order-insensitive value comparison
+(non-float sort keys first, floats rounded as tiebreak — a float primary
+sort key lets sub-tolerance engine noise flip the order of tied rows,
+misaligning every other column; observed q_entropy at sf0.001).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pandas.api.types as pt
+
+
+def compare_frames(s: pd.DataFrame, o: pd.DataFrame):
+    """Compare a Spark result `s` against an oracle result `o`.
+
+    Returns (status, err): status is "ok" or one of
+    "cols" / "rows" / "dtype" / "values"; err carries the detail.
+    Mutates working copies only.
+    """
+    s = s.reindex(sorted(s.columns), axis=1)
+    o = o.reindex(sorted(o.columns), axis=1)
+    if list(s.columns) != list(o.columns):
+        return "cols", f"{list(s.columns)} vs {list(o.columns)}"
+    if len(s) != len(o):
+        return "rows", f"{len(s)} vs {len(o)}"
+    s = s.copy()
+    o = o.copy()
+    for c in s.columns:
+        if pt.is_datetime64_any_dtype(s[c]):
+            s[c] = s[c].astype("datetime64[us]")
+        if pt.is_datetime64_any_dtype(o[c]):
+            o[c] = o[c].astype("datetime64[us]")
+        si, oi = pt.is_integer_dtype(s[c]), pt.is_integer_dtype(o[c])
+        sf_, of = pt.is_float_dtype(s[c]), pt.is_float_dtype(o[c])
+        if (si and of) or (sf_ and oi):
+            return "dtype", f"{c}: {s[c].dtype} vs {o[c].dtype}"
+    for c in s.columns:
+        if s[c].dtype == object:
+            s[c] = s[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v,
+                na_action="ignore",
+            )
+        if o[c].dtype == object:
+            o[c] = o[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v,
+                na_action="ignore",
+            )
+
+    def _sorted(df):
+        tmp = df.copy()
+        key = [c for c in df.columns if not pt.is_float_dtype(df[c])]
+        for c in df.columns:
+            if pt.is_float_dtype(df[c]):
+                tmp["__r_" + c] = df[c].round(6)
+                key.append("__r_" + c)
+        try:
+            return tmp.sort_values(by=key, kind="mergesort").reset_index(
+                drop=True
+            )[list(df.columns)]
+        except Exception:
+            key = [c for c in key if not c.startswith("__r_")]
+            return tmp.sort_values(by=key, kind="mergesort").reset_index(
+                drop=True
+            )[list(df.columns)]
+
+    s2 = _sorted(s)
+    o2 = _sorted(o)
+    for c in s2.columns:
+        if pt.is_float_dtype(s2[c]) or pt.is_float_dtype(o2[c]):
+            a = pd.to_numeric(s2[c], errors="coerce").astype(float).fillna(
+                1.2345e300
+            )
+            b = pd.to_numeric(o2[c], errors="coerce").astype(float).fillna(
+                1.2345e300
+            )
+            if not np.allclose(a, b, rtol=1e-7, atol=1e-9):
+                return "values", c
+        else:
+            if not (
+                s2[c].fillna("\0N").astype(str)
+                == o2[c].fillna("\0N").astype(str)
+            ).all():
+                return "values", c
+    return "ok", None
