@@ -71,12 +71,24 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a tolerance verdict (``est_within_5pct``); the oracle computes the
     exact side and states the verdict as literal TRUE. A broken sketch
     (estimate drifting >5% at rsd=0.01) flips the boolean and fails the
-    hash. q_count_distinct is the exact-only twin."""
+    hash. q_count_distinct is the exact-only twin.
+
+    Plan shape: distinct-pairs first, then a plain aggregate — NOT
+    ``countDistinct`` next to the sketch in one agg, which plans an
+    Expand that duplicates every input row per aggregate branch before
+    the shuffle. Over the distinct (event_type, user_id) pairs,
+    ``count(*)`` IS the exact distinct count and the HLL estimate is
+    unchanged (sketches are duplicate-insensitive), so the rewrite is
+    output-identical with map-side partial aggregation on both hops and
+    no expand (r7: 1.6 → 1.0 s warm at sf0.01; at 100 TB the expand is
+    2× the fact scan's shuffle volume)."""
     t = load(spark, sf_dir)
     return (
-        t.events.groupBy("event_type")
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users_exact"),
+            F.count(F.lit(1)).alias("n_users_exact"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("_est"),
         )
         .select(
