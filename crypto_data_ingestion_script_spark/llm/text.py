@@ -29,14 +29,22 @@ def _tokens():
     tags=("llm", "text"),
 )
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term frequencies: tokenize → explode → aggregate."""
+    """Corpus term frequencies: tokenize → explode → aggregate.
+
+    Two-level aggregate — (token, doc_id) partial counts, then the token
+    rollup where count(*) of the pairs IS the distinct-doc count —
+    instead of count + countDistinct in one agg, which plans an Expand
+    duplicating every exploded token row per branch before the shuffle
+    (r7: output-identical, no Expand, first-run 2.3 → 0.3 s)."""
     t = load(spark, sf_dir)
     return (
         t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("token")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
     )
 

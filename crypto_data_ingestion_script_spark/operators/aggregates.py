@@ -400,9 +400,13 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row checks the union-merge path end-to-end — a broken merge drifts the
     global estimate and flips its boolean."""
     t = load(spark, sf_dir)
-    sketches = t.events.groupBy("event_type").agg(
+    # Distinct pairs first (sketches are duplicate-insensitive, count(*)
+    # of the pairs is the exact distinct count) — avoids the Expand that
+    # sketch-next-to-countDistinct plans; see q_approx_count_distinct.
+    pairs = t.events.select("event_type", "user_id").distinct()
+    sketches = pairs.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_users_exact"),
     )
     ok = lambda est, exact: (
         F.abs(est - exact) <= F.greatest(F.lit(1.0), 0.05 * exact)
@@ -414,7 +418,7 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_5pct"
         ),
     )
-    global_exact = t.events.agg(
+    global_exact = pairs.agg(
         F.countDistinct("user_id").alias("n_users_exact")
     )
     merged = (
@@ -601,12 +605,17 @@ def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count with set-algebra (union/intersect/difference) support.
     Per-type distinct-user estimates, emitted driver-checkable as exact
     count + 5%-tolerance verdict on the sketch estimate (oracle states
-    TRUE)."""
+    TRUE).
+
+    Distinct-pairs-first plan, same rationale as q_approx_count_distinct
+    (no Expand; sketches are duplicate-insensitive)."""
     t = load(spark, sf_dir)
     return (
-        t.events.groupBy("event_type")
+        t.events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users_exact"),
+            F.count(F.lit(1)).alias("n_users_exact"),
             F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias(
                 "_est"
             ),
