@@ -313,3 +313,109 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mix, 8).alias("mix_weight"),
         F.round(mix / natural, 8).alias("upsample_factor"),
     )
+
+
+#: DSIR hashed-feature space size. 1024 buckets is summary-scale (the
+#: per-bucket tables broadcast) while keeping hash collisions rare enough
+#: on this corpus's vocabulary for the ratio estimates to be informative.
+DSIR_BUCKETS = 1024
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {DSIR_BUCKETS} AS BIGINT) AS bkt
+      FROM tok
+    ),
+    src AS (SELECT bkt, count(*) AS cs FROM b GROUP BY bkt),
+    tgt AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+    tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS nt,
+                   (SELECT count(*) FROM b) AS ns),
+    lr AS (
+      SELECT src.bkt,
+             ln((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}))
+               - ln((src.cs + 1.0) / (tot.ns + {DSIR_BUCKETS})) AS logr
+      FROM src LEFT JOIN tgt USING (bkt) CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           count(*)                 AS n_tokens,
+           round(sum(lr.logr), 6)   AS dsir_logweight
+    FROM b JOIN lr USING (bkt)
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): per-document log importance weight of a TARGET
+    distribution (here lang='en') against the raw SOURCE corpus, in a
+    hashed unigram feature space — the standard cheap proxy for "select
+    raw web data that looks like the high-quality target". Downstream, a
+    Gumbel top-k over ``dsir_logweight`` resamples the corpus toward the
+    target; emitting (doc_id, n_tokens, weight) keeps that choice to the
+    consumer, like q_mix_temperature.
+
+    Bucket hash is md5-prefix based (``conv(substr(md5(tok),1,8),16,10) %
+    {DSIR_BUCKETS}``) — engine-neutral, so the oracle reproduces the
+    EXACT bucket assignment (the q_sample_hash technique); add-1
+    smoothing on both distributions bounds unseen-bucket ratios.
+
+    Scale shape: two fact-scale groupBy(bucket) aggregates collapse
+    map-side into {DSIR_BUCKETS}-row summaries; the per-bucket log-ratio
+    table BROADCASTS onto the token stream (no fact-scale shuffle for
+    the scoring join); the only remaining fact-scale exchange is the
+    final groupBy(doc_id) fold. Nothing driver-side, nothing quadratic;
+    at 100 TB the feature tables stay {DSIR_BUCKETS} rows regardless of
+    corpus size."""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).withColumn(
+        "bkt",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ),
+    )
+    src = tok.groupBy("bkt").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = tok.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    lr = (
+        src.join(tgt, "bkt", "left")
+        .crossJoin(tot)
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("cs") + 1.0) / (F.col("ns") + DSIR_BUCKETS))
+            ).alias("logr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logr"), 6).alias("dsir_logweight"),
+        )
+    )

@@ -568,6 +568,22 @@ def test_curation_plan_shapes(spark, sf_dir):
     assert "TakeOrdered" in plan and "Exchange rangepartitioning" not in plan
 
 
+def test_dsir_broadcast_scoring_and_target_skew(spark, sf_dir):
+    """q_dsir_weights' scale-shape claim: the per-bucket log-ratio table
+    broadcasts onto the token stream (no fact-scale scoring shuffle).
+    Semantic sanity: the weights must actually separate the target —
+    docs of the target lang ('en') average a HIGHER importance weight
+    than non-target docs (that is DSIR's entire point)."""
+    df = SPECS["q_dsir_weights"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    docs = load(spark, sf_dir).documents.select("doc_id", "lang")
+    joined = df.join(docs, "doc_id").groupBy(
+        (F.col("lang") == "en").alias("is_target")
+    ).agg(F.avg("dsir_logweight").alias("w"))
+    means = {r["is_target"]: r["w"] for r in joined.collect()}
+    assert means[True] > means[False], means
+
+
 def test_dedup_near_is_bucketed_not_all_pairs(spark, sf_dir):
     """MinHash+LSH near-dup must generate candidates through the band-hash
     equi-join — never a cartesian/nested-loop pair enumeration."""
