@@ -376,7 +376,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the feature tables stay {DSIR_BUCKETS} rows regardless of
     corpus size."""
     t = load(spark, sf_dir)
-    tok = t.documents.select(
+    return dsir_logweights(t.documents)
+
+
+def dsir_logweights(documents: DataFrame) -> DataFrame:
+    """DSIR weights core: (doc_id, n_tokens, dsir_logweight) per document,
+    weight rounded to the declared 6-digit output precision. Factored out
+    of q_dsir_weights so q_dsir_resample selects over the IDENTICAL
+    values the weights query emits."""
+    tok = documents.select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower("text"), " ")).alias("tok"),
@@ -418,4 +426,104 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("logr"), 6).alias("dsir_logweight"),
         )
+    )
+
+
+#: Documents drawn by the Gumbel-top-k resampler.
+DSIR_SAMPLE_K = 200
+
+
+@query(
+    "q_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {DSIR_BUCKETS} AS BIGINT) AS bkt
+      FROM tok
+    ),
+    src AS (SELECT bkt, count(*) AS cs FROM b GROUP BY bkt),
+    tgt AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+    tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS nt,
+                   (SELECT count(*) FROM b) AS ns),
+    lr AS (
+      SELECT src.bkt,
+             ln((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}))
+               - ln((src.cs + 1.0) / (tot.ns + {DSIR_BUCKETS})) AS logr
+      FROM src LEFT JOIN tgt USING (bkt) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT b.doc_id, round(sum(lr.logr), 6) AS dsir_logweight
+      FROM b JOIN lr USING (bkt)
+      GROUP BY b.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, dsir_logweight,
+             round(dsir_logweight - ln(-ln(
+               (CAST(concat('0x', substr(md5(concat('dsir-resample-',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) + 0.5)
+               / 4294967296.0)), 6) AS gumbel_key
+      FROM w
+    )
+    SELECT doc_id, dsir_logweight, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {DSIR_SAMPLE_K}
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step DSIR weights exist for: Gumbel-top-k sampling
+    WITHOUT replacement of {DSIR_SAMPLE_K} documents ∝ exp(dsir_logweight)
+    — add an independent standard Gumbel to each log weight and take the
+    top k (the Gumbel-max trick; equivalent to sequential weighted
+    draws). The Gumbel is DERANDOMIZED the q_sample_hash way: u comes
+    from an md5 of a salted doc_id ((v+0.5)/2^32 with v the 32-bit hash
+    prefix), so the sample is exactly reproducible across engines, reruns
+    and layouts — a seeded audit sample, not partitioning-dependent
+    Bernoulli noise.
+
+    Batch-invariance contract (the ANN rounded-rank lesson): the ranking
+    key is round(logweight + gumbel, 6) with doc_id tie-break — a total
+    order identical in both engines up to exact decimal-half landings
+    (measure-zero for float-computed keys).
+
+    Scale shape: the weights plan (see dsir_logweights) plus ONE
+    TakeOrdered(k) — per-partition top-k, k-row driver merge; the corpus
+    never globally sorts."""
+    t = load(spark, sf_dir)
+    w = dsir_logweights(t.documents)
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit("dsir-resample-"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v + F.lit(0.5)) / F.lit(float(2**32))
+    return (
+        w.select(
+            "doc_id",
+            "dsir_logweight",
+            F.round(
+                F.col("dsir_logweight") - F.log(-F.log(u)), 6
+            ).alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(DSIR_SAMPLE_K)
     )

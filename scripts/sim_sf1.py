@@ -64,6 +64,7 @@ FULL = [
     "q_ann_ivf",
     "q_ann_lsh",
     "q_cosine_topk",
+    "q_dsir_weights",
     "q_stream_stream_join",
     "q_stream_left_join",
     "q_stream_chained_stateful",

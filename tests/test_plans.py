@@ -584,6 +584,30 @@ def test_dsir_broadcast_scoring_and_target_skew(spark, sf_dir):
     assert means[True] > means[False], means
 
 
+def test_dsir_resample_takeordered_and_skew(spark, sf_dir):
+    """q_dsir_resample's scale shape: TakeOrdered (per-partition top-k +
+    k-row merge), never a global sort exchange. Semantics: the Gumbel
+    top-k sample must over-represent the target lang relative to the
+    corpus (weighted sampling's observable effect), and be exactly
+    reproducible (two runs, identical rows)."""
+    df = SPECS["q_dsir_resample"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan and "Exchange rangepartitioning" not in plan
+
+    rows = sorted((r["doc_id"], r["gumbel_key"]) for r in df.collect())
+    rows2 = sorted(
+        (r["doc_id"], r["gumbel_key"])
+        for r in SPECS["q_dsir_resample"].fn(spark, sf_dir).collect()
+    )
+    assert rows == rows2 and len(rows) > 0
+
+    docs = load(spark, sf_dir).documents.select("doc_id", "lang")
+    base = docs.filter(F.col("lang") == "en").count() / docs.count()
+    sample = df.join(docs, "doc_id")
+    frac = sample.filter(F.col("lang") == "en").count() / sample.count()
+    assert frac > base, (frac, base)
+
+
 def test_dedup_near_is_bucketed_not_all_pairs(spark, sf_dir):
     """MinHash+LSH near-dup must generate candidates through the band-hash
     equi-join — never a cartesian/nested-loop pair enumeration."""
