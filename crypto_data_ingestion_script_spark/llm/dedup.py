@@ -1359,10 +1359,14 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-    return (
-        within.unionByName(cross)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    # No output orderBy: a global sort of the pair list costs a full
+    # range-partition + sort of the (at sf1) 96.7M-row output for pure
+    # presentation — the driver's compare is order-insensitive, and at
+    # 100 TB sorting the pair list is exactly the exchange this plan
+    # exists to avoid (r7: the equivalent sort on q_containment_join's
+    # 828M rows was ~10 s of its 23 s wall).
+    return within.unionByName(cross).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -1433,10 +1437,11 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("ma").alias("doc_a"), "mb", "containment")
         .select("doc_a", F.explode("mb").alias("doc_b"), "containment")
     )
-    return (
-        within.unionByName(cross)
-        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
-        .orderBy("doc_a", "doc_b")
+    # No output orderBy (see q_jaccard_join): globally sorting the 828M-row
+    # sf1 pair list cost ~10 s of the query's 23 s wall for presentation
+    # only — the driver's compare is order-insensitive.
+    return within.unionByName(cross).select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
     )
 
 
