@@ -368,11 +368,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT bucket assignment (the q_sample_hash technique); add-1
     smoothing on both distributions bounds unseen-bucket ratios.
 
-    Scale shape: two fact-scale groupBy(bucket) aggregates collapse
-    map-side into {DSIR_BUCKETS}-row summaries; the per-bucket log-ratio
-    table BROADCASTS onto the token stream (no fact-scale shuffle for
-    the scoring join); the only remaining fact-scale exchange is the
-    final groupBy(doc_id) fold. Nothing driver-side, nothing quadratic;
+    Scale shape: ONE fact-scale groupBy(bucket) aggregate (source and
+    target counts as conditional aggregates in the same pass, totals
+    summed from the {DSIR_BUCKETS}-row result) collapses map-side; the
+    per-bucket log-ratio table BROADCASTS onto the token stream (no
+    fact-scale shuffle for the scoring join); the only remaining
+    fact-scale exchange is the final groupBy(doc_id) fold — the corpus
+    tokenizes exactly twice (stats pass + scoring pass), never cached.
+    Nothing driver-side, nothing quadratic;
     at 100 TB the feature tables stay {DSIR_BUCKETS} rows regardless of
     corpus size."""
     t = load(spark, sf_dir)
@@ -395,29 +398,28 @@ def dsir_logweights(documents: DataFrame) -> DataFrame:
             % DSIR_BUCKETS
         ),
     )
-    src = tok.groupBy("bkt").agg(F.count(F.lit(1)).alias("cs"))
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE stats pass over the token stream: per-bucket source count plus
+    # conditional target count; corpus totals come from summing the
+    # 1024-row result (a window over the summary, not a second scan).
+    from pyspark.sql import Window
+
+    stats = tok.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
     )
-    tot = tok.agg(
-        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
-        F.count(F.lit(1)).alias("ns"),
-    )
-    lr = (
-        src.join(tgt, "bkt", "left")
-        .crossJoin(tot)
-        .select(
-            "bkt",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + DSIR_BUCKETS)
-                )
-                - F.log((F.col("cs") + 1.0) / (F.col("ns") + DSIR_BUCKETS))
-            ).alias("logr"),
-        )
+    w_all = Window.partitionBy()
+    lr = stats.select(
+        "bkt",
+        (
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.sum("ct").over(w_all) + DSIR_BUCKETS)
+            )
+            - F.log(
+                (F.col("cs") + 1.0)
+                / (F.sum("cs").over(w_all) + DSIR_BUCKETS)
+            )
+        ).alias("logr"),
     )
     return (
         tok.join(F.broadcast(lr), "bkt")
