@@ -608,6 +608,26 @@ def test_dsir_resample_takeordered_and_skew(spark, sf_dir):
     assert frac > base, (frac, base)
 
 
+def test_pair_list_outputs_never_globally_sort(spark, sf_dir):
+    """The two full-pair-list similarity joins emit 828M / 96.7M rows at
+    sf1 — a presentational global orderBy on that output costs a full
+    range-partition + sort that survives even count() actions (removed
+    r7: ~10 s of q_containment_join's 23 s sf1 wall). Pin: no
+    rangepartitioning exchange anywhere in either plan. (A repo-wide
+    audit found all OTHER rangepartitioning exchanges sit on
+    summary-scale outputs — aggregation-cardinality-sized, not
+    fact-sized.)"""
+    for name in ("q_containment_join", "q_jaccard_join"):
+        plan = (
+            SPECS[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rangepartitioning" not in plan, name
+
+
 def test_dedup_near_is_bucketed_not_all_pairs(spark, sf_dir):
     """MinHash+LSH near-dup must generate candidates through the band-hash
     equi-join — never a cartesian/nested-loop pair enumeration."""
