@@ -54,3 +54,32 @@ def test_two_pass_ranking_on_empty_input(spark, sf_dir):
     assert rn.count() == 0 and set(rn.columns) == {"event_id", "value", "rn"}
     rs = global_running_sum(empty, "value", "event_id", out_col="rs")
     assert rs.count() == 0 and set(rs.columns) == {"event_id", "value", "rs"}
+
+
+def test_dsir_on_empty_corpus(spark, sf_dir):
+    """dsir_logweights over zero documents: empty result, stable schema —
+    the add-1-smoothed ratio math must not divide by zero or emit NULLs
+    when both distributions are empty."""
+    from crypto_data_ingestion_script_spark.llm.curation import (
+        dsir_logweights,
+    )
+
+    t = load(spark, sf_dir)
+    out = dsir_logweights(t.documents.filter(F.lit(False)))
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "dsir_logweight"}
+
+
+def test_dsir_on_target_free_corpus(spark, sf_dir):
+    """A corpus with NO target-lang documents still weights every doc
+    (smoothing keeps the target distribution defined as uniform); all
+    docs present, no NULL weights."""
+    from crypto_data_ingestion_script_spark.llm.curation import (
+        dsir_logweights,
+    )
+
+    t = load(spark, sf_dir)
+    non_en = t.documents.filter(F.col("lang") != "en")
+    out = dsir_logweights(non_en).toPandas()
+    assert len(out) == non_en.count()
+    assert out["dsir_logweight"].notna().all()
