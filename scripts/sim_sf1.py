@@ -65,6 +65,7 @@ FULL = [
     "q_ann_lsh",
     "q_cosine_topk",
     "q_dsir_weights",
+    "q_dsir_resample",
     "q_stream_stream_join",
     "q_stream_left_join",
     "q_stream_chained_stateful",
