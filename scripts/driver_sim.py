@@ -25,6 +25,13 @@ spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id bigint").co
 # parquet scan pays ~2s of class loading that otherwise lands on whichever
 # query sorts first alphabetically (q_active_users in the r3 artifact).
 spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+# ... and the parquet WRITER (output committer, codec, Hadoop FS classes):
+# the first write costs ~1s of class loading otherwise billed to the
+# alphabetically-first sink query (q_compact / q_merge_upsert / q_sink_*).
+import tempfile as _tf
+spark.read.parquet(f"{SF_DIR}/region.parquet").write.mode("overwrite").parquet(
+    _tf.mkdtemp(prefix="warm_write_") + "/region"
+)
 # Warm the Structured Streaming machinery (offset log, state store, memory
 # sink classes) on the 5-row dim so the first streaming query's recorded
 # time is engine time, not ~3.5s of class loading.
