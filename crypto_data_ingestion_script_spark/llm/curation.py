@@ -529,3 +529,51 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gumbel_key"), "doc_id")
         .limit(DSIR_SAMPLE_K)
     )
+
+
+#: Max documents kept per source domain by the cap.
+DOMAIN_CAP = 15
+
+
+@query(
+    "q_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS keep_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+    FROM ranked WHERE keep_rank <= {DOMAIN_CAP}
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most {DOMAIN_CAP} docs per source,
+    chosen by deterministic hash rank — the Common-Crawl-style guard
+    against a handful of template-heavy domains dominating a pretraining
+    mix. Hash ranking (md5 of the doc_id string, the q_sample_hash
+    technique) makes the survivor set uniform-within-domain AND exactly
+    reproducible across engines, reruns and layouts; emitting
+    (doc_id, source, keep_rank) keeps the cut auditable and joinable.
+
+    Scale shape: rank-filter windows compile to WindowGroupLimit in
+    Spark 4 — a PARTIAL per-map-partition top-{DOMAIN_CAP} runs BEFORE
+    the exchange, so a mega-domain ships at most {DOMAIN_CAP} rows per
+    upstream partition instead of its full row count; the skew a naive
+    per-domain window would funnel into one task is bounded at the map
+    side (plan-pinned in tests/test_plans.py)."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+    )
+    return (
+        t.documents.select("doc_id", "source")
+        .withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("keep_rank") <= DOMAIN_CAP)
+    )

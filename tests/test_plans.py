@@ -608,6 +608,20 @@ def test_dsir_resample_takeordered_and_skew(spark, sf_dir):
     assert frac > base, (frac, base)
 
 
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """q_domain_cap's skew guard: the rank-filter window must compile to
+    WindowGroupLimit with a PARTIAL stage — the per-map-partition top-k
+    that bounds what a mega-domain ships into the exchange."""
+    plan = (
+        SPECS["q_domain_cap"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_pair_list_outputs_never_globally_sort(spark, sf_dir):
     """The two full-pair-list similarity joins emit 828M / 96.7M rows at
     sf1 — a presentational global orderBy on that output costs a full
