@@ -66,6 +66,7 @@ FULL = [
     "q_cosine_topk",
     "q_dsir_weights",
     "q_dsir_resample",
+    "q_domain_cap",
     "q_stream_stream_join",
     "q_stream_left_join",
     "q_stream_chained_stateful",
