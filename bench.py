@@ -73,6 +73,66 @@ ORIGINAL17 = HEADLINE[:17]
 #: from the measurement code.
 TRIALS = 3
 
+#: Host-drift calibration references (VERDICT r7 item 1). The two kernels
+#: below run CONSTANT work (no benchmark data), so their wall time moves
+#: only with host state — CPU contention, thermal/frequency state, memory
+#: pressure. Reference values were pinned in round 8 on this host,
+#: uncontended, min-of-3 warm; a future run's `calib_*_sec / CALIB_*_REF`
+#: ratio is the host-drift factor, and `*_norm` fields divide the headline
+#: totals by it so cross-round comparisons are machine-adjudicable (the
+#: r6→r7 "17% regression" was exactly this drift).
+CALIB_SPARK_REF = 0.43
+CALIB_DUCK_REF = 0.40
+#: Rows and modulus of the calibration kernels — identical constants on
+#: both engines so the two kernels do comparable work (one shuffle
+#: aggregation over 30M generated longs into 4096 groups).
+CALIB_ROWS = 30_000_000
+CALIB_GROUPS = 4096
+
+
+def _calibrate_spark(spark, trials: int = TRIALS) -> float:
+    """Fixed Spark shuffle-aggregation kernel on generated data: range →
+    mod-key → groupBy/sum/count. Warm once, min-of-`trials`."""
+    from pyspark.sql import functions as F
+
+    def kernel() -> int:
+        return (
+            spark.range(CALIB_ROWS)
+            .withColumn("k", F.col("id") % CALIB_GROUPS)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    kernel()
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        kernel()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _calibrate_duckdb(trials: int = TRIALS) -> float:
+    """The DuckDB twin of _calibrate_spark: same generated rows, same
+    group count, same warm + min-of-`trials` posture."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count() or 32}")
+    sql = (
+        f"SELECT k, sum(id) FROM (SELECT range AS id, range % {CALIB_GROUPS} "
+        f"AS k FROM range({CALIB_ROWS})) GROUP BY k"
+    )
+    con.execute(sql).fetchall()
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    return round(best, 4)
+
 
 def _measure_spark(spark, specs, sf_dir: str, trials: int) -> dict[str, float]:
     """Min-of-`trials` wall time per headline query at `sf_dir` (warm JVM;
@@ -179,6 +239,17 @@ def main() -> None:
     # task scheduler. Touches none of the benchmark tables, so per-query
     # timings below still include their own planning + IO (cold data, warm JVM).
     spark.range(1_000_000).selectExpr("sum(id) s", "count(*) c").collect()
+    # Host-drift calibration FIRST (constant work, both engines) so every
+    # number below can be read against the host's state at measurement time.
+    calib_spark = _calibrate_spark(spark)
+    calib_duck = _calibrate_duckdb()
+    drift_spark = round(calib_spark / CALIB_SPARK_REF, 3)
+    drift_duck = round(calib_duck / CALIB_DUCK_REF, 3)
+    print(
+        f"# calib: spark={calib_spark}s (drift {drift_spark}x) "
+        f"duck={calib_duck}s (drift {drift_duck}x)",
+        file=sys.stderr,
+    )
     # Warm the parquet reader code path on the 5-row region dim (not a
     # benchmarked table): first parquet scan in a JVM pays ~2s of class
     # loading that would otherwise be billed to whichever query runs first.
@@ -229,6 +300,17 @@ def main() -> None:
         "original17_subtotal_sec": round(
             sum(v for q, v in timings.items() if q in ORIGINAL17), 4
         ),
+        # Host-drift calibration (VERDICT r7 item 1): constant-work kernel
+        # times + the pinned references they're read against. drift > 1
+        # means the host was slower than the r8 pin when THIS artifact was
+        # produced; *_norm totals below divide by it.
+        "calib_spark_sec": calib_spark,
+        "calib_duck_sec": calib_duck,
+        "calib_spark_ref_sec": CALIB_SPARK_REF,
+        "calib_duck_ref_sec": CALIB_DUCK_REF,
+        "calib_spark_drift": drift_spark,
+        "calib_duck_drift": drift_duck,
+        "value_norm_sec": round(total / drift_spark, 4) if drift_spark else None,
     }
     # Amortized-scale leg (sf1) rides in the same artifact when benching the
     # driver-default sf0.1 dir. Guarded: the round headline number must never
@@ -241,6 +323,24 @@ def main() -> None:
             out.update(_sf1_leg(spark, specs))
         except Exception as ex:  # noqa: BLE001 - leg is best-effort by design
             out["sf1_error"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        if "sf1_total_sec" in out:
+            # Drift-normalized sf1 headline: each engine's total divided by
+            # its own drift factor; the normalized ratio divides those, so
+            # a host window that slows both engines equally cancels out.
+            out["sf1_total_norm_sec"] = round(out["sf1_total_sec"] / drift_spark, 4)
+            out["sf1_oracle_total_norm_sec"] = round(
+                out["sf1_oracle_total_sec"] / drift_duck, 4
+            )
+            r = out.get("sf1_ratio_spark_over_oracle_comparable")
+            out["sf1_ratio_norm"] = (
+                round(r * drift_duck / drift_spark, 3) if r is not None else None
+            )
+    # Full-line committed artifact (VERDICT r7 item 1): the driver's
+    # 2000-char tail capture truncates the head of this JSON line, so the
+    # complete object is also written to a file the round commits.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_full.json"), "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
     spark.stop()
 

@@ -1184,7 +1184,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks a JOIN toks b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
-    ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "similarity-join"),
 )
@@ -1382,7 +1381,6 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(a.s), 6) AS containment
     FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
-    ORDER BY doc_a, doc_b
     """,
     tags=("dedup", "similarity-join"),
 )

@@ -84,7 +84,13 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     2× the fact scan's shuffle volume)."""
     t = load(spark, sf_dir)
     return (
+        # NULL contract: countDistinct ignores NULL user_ids but a
+        # (type, NULL) distinct pair would be counted — filter explicitly
+        # so n_users_exact stays equal to count(DISTINCT user_id) even if
+        # the schema's non-null guarantee is ever relaxed (pushed to scan,
+        # no extra pass).
         t.events.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(
@@ -403,7 +409,13 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distinct pairs first (sketches are duplicate-insensitive, count(*)
     # of the pairs is the exact distinct count) — avoids the Expand that
     # sketch-next-to-countDistinct plans; see q_approx_count_distinct.
-    pairs = t.events.select("event_type", "user_id").distinct()
+    # NULL contract: see q_approx_count_distinct — drop NULL user_ids so
+    # the pair count matches count(DISTINCT user_id) under any nullability.
+    pairs = (
+        t.events.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
     sketches = pairs.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_users_exact"),
@@ -611,7 +623,13 @@ def q_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Expand; sketches are duplicate-insensitive)."""
     t = load(spark, sf_dir)
     return (
+        # NULL contract: countDistinct ignores NULL user_ids but a
+        # (type, NULL) distinct pair would be counted — filter explicitly
+        # so n_users_exact stays equal to count(DISTINCT user_id) even if
+        # the schema's non-null guarantee is ever relaxed (pushed to scan,
+        # no extra pass).
         t.events.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
         .distinct()
         .groupBy("event_type")
         .agg(

@@ -286,6 +286,13 @@ def copurchase_edges(
 #: neighbor + ~48 B per row) take the map-side fast path.
 BROADCAST_ADJ_CAP_BYTES = 128 * 1024 * 1024
 
+#: Heuristic in-memory bytes per (src, dst) edge row when deciding whether
+#: an edge table fits the broadcast cap: 16 B of int payload + ~32 B of
+#: UnsafeRow/object overhead. Deliberately conservative (overestimates) so
+#: a borderline table takes the shuffle path rather than a too-big
+#: broadcast (ADVICE r7: name the constant).
+EDGE_ROW_EST_BYTES = 48
+
 
 def oriented_adjacency(edges: DataFrame) -> DataFrame:
     """Degree-ordered oriented adjacency table ``(src, nbrs)`` from an
@@ -454,6 +461,7 @@ def bfs_distances(
     source: int,
     rounds: int,
     broadcast_edges_cap_bytes: int = BROADCAST_ADJ_CAP_BYTES,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """BFS frontier-iteration core over directed edges (src, dst): returns
     (node, dist) for every node within ``rounds`` hops of ``source``.
@@ -476,8 +484,11 @@ def bfs_distances(
       this means the whole BFS executes as ONE job instead of a job per
       eager checkpoint (the q_dedup_clusters cadence lesson, applied at
       the round count where it pays)."""
-    n_edges = edges.count()  # cheap: callers pass a checkpointed table
-    if 48 * n_edges <= broadcast_edges_cap_bytes:
+    # Sizing count: skipped when the caller already knows the edge count
+    # (ADVICE r7 — avoids an extra eager job on the past-cap path too).
+    if n_edges is None:
+        n_edges = edges.count()  # cheap: callers pass a checkpointed table
+    if EDGE_ROW_EST_BYTES * n_edges <= broadcast_edges_cap_bytes:
         edges = F.broadcast(edges)
     dist = spark.createDataFrame([(source, 0)], "node int, dist int")
     for i in range(rounds):

@@ -173,7 +173,12 @@ def checksum(df):
     column, cast to string first so the hash is layout-independent.
     Summed as decimal(38,0) — 828M int64 hashes overflow a long sum
     under ANSI mode; the decimal sum is exact (< 1e28 << 1e38)."""
-    cols = [F.col(c).cast("string") for c in df.columns]
+    # Coalesce NULLs to a sentinel: xxhash64 treats NULL args as no-ops in
+    # its seed chain, so without this, rows differing only in WHICH column
+    # is NULL would hash identically (ADVICE r7). The sentinel makes NULL
+    # position-distinguishing; residual sum-cancellation risk is accepted
+    # for a drift detector.
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00N")) for c in df.columns]
     row = df.agg(
         F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
         F.count(F.lit(1)).alias("n"),
