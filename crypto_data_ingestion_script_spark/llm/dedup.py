@@ -193,14 +193,24 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses no candidate pair; within-group pairs are emitted directly at
     jaccard 1.0 (identical sets), cross-group matches verify once per
     set pair and expand members_a × members_b."""
+    t = load(spark, sf_dir)
+    return near_dup_pairs(t.documents)
+
+
+def near_dup_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash+LSH near-dup pair core: (a_id, b_id, jaccard) with
+    a_id < b_id and exact distinct-3-shingle Jaccard >= 0.8 over any
+    `documents`-shaped relation (doc_id, text, ...). Factored out of
+    q_dedup_near (whose docstring carries the full design rationale) so
+    composed pipelines (q_pipeline_pretrain) run the IDENTICAL pair
+    semantics over an already-filtered survivor set."""
     from ..partitioning import ensure_parallelism
 
-    t = load(spark, sf_dir)
     # Parallelism guard before the compute-heavy projections: the
     # shingle + 32-hash MinHash work would otherwise run with the scan's
     # parallelism — one task on a single-row-group file. A well-split
     # production corpus passes through with no added shuffle.
-    corpus = ensure_parallelism(t.documents)
+    corpus = ensure_parallelism(documents)
     # One row per DISTINCT shingle set, with the sorted member list.
     # localCheckpoint materializes the shingling + collapse once: the
     # table feeds the signature projection, both verify sides, and both

@@ -745,3 +745,44 @@ def test_pack_sequences_no_single_partition_window(spark, sf_dir):
     # window is over the per-range totals (bounded by n_ranges).
     assert "_pid" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_pretrain_one_dag_shape_and_semantics(spark, sf_dir):
+    """q_pipeline_pretrain (VERDICT r7 item 2): the composed curation
+    chain's FINAL plan (downstream of the curated-corpus checkpoint) must
+    be exactly the DSIR + selection + packing shape — 3 exchanges (bucket
+    stats, per-doc fold, pack range partition), broadcast scoring join,
+    no cartesian, no global sort of anything corpus-sized — and every
+    upstream stage's contract must hold on the output."""
+    fn = SPECS["q_pipeline_pretrain"].fn
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(df) == 3, plan
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = df.collect()
+    assert 0 < len(rows) <= 200
+    # Reproducible end to end (derandomized sampling, hash ranks).
+    again = sorted((r["doc_id"], r["gumbel_key"], r["bin"]) for r in fn(spark, sf_dir).collect())
+    assert sorted((r["doc_id"], r["gumbel_key"], r["bin"]) for r in rows) == again
+
+    # Stage contracts on the survivors: gate bounds, exact-dedup
+    # uniqueness, domain cap.
+    docs = load(spark, sf_dir).documents
+    sel = docs.join(
+        spark.createDataFrame([(r["doc_id"],) for r in rows], "doc_id bigint"),
+        "doc_id",
+    )
+    lens = [r["n"] for r in sel.select(F.length("text").alias("n")).collect()]
+    assert all(80 <= n <= 2000 for n in lens)
+    texts = [r["text"] for r in sel.select("text").collect()]
+    assert len(texts) == len(set(texts)), "exact duplicates survived"
+    per_source = sel.groupBy("source").count().collect()
+    assert all(r["count"] <= 15 for r in per_source)
+    # Packing: bins are a prefix 0..max with every bin's first doc placed
+    # by the running total (monotone non-decreasing bins in doc_id order).
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    bins = [r["bin"] for r in by_id]
+    assert bins == sorted(bins) and bins[0] == 0
