@@ -1814,3 +1814,189 @@ def incremental_near_dedup(
             F.col("n_matches").isNull().alias("is_novel"),
         )
     )
+
+
+#: Substring-dedup window width in tokens. 8 matches the contamination
+#: n-gram unit; Lee et al. 2022 use 50-token windows at web scale — the
+#: width is a constant in every cost term below.
+SUBSTR_WIN = 8
+
+#: The two polynomial-hash legs (base, modulus). Both engines fold the
+#: identical arithmetic, so window fingerprints are engine-neutral; the
+#: packed pair lives in ~2^60 space (collision-safe to ~1e9 windows; a
+#: 100 TB corpus adds a third leg the same way).
+_POLY1 = (131, 1_000_000_007)
+_POLY2 = (137, 1_000_000_009)
+
+
+@query(
+    "q_substring_dup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))
+               AS codes,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id, codes,
+             unnest(generate_series(1, CAST(n - {SUBSTR_WIN - 1} AS INTEGER)))
+               AS pos
+      FROM d WHERE n >= {SUBSTR_WIN}
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         codes[pos:pos+{SUBSTR_WIN - 1}]),
+                         (a, c) -> (a * {_POLY1[0]} + c) % {_POLY1[1]})
+               * {_POLY2[1]}
+             + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           codes[pos:pos+{SUBSTR_WIN - 1}]),
+                           (a, c) -> (a * {_POLY2[0]} + c) % {_POLY2[1]})
+               AS h
+      FROM w0
+    ),
+    dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dwin AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+    cov AS (
+      SELECT doc_id, pos,
+             least({SUBSTR_WIN},
+                   coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) - pos,
+                            {SUBSTR_WIN})) AS covered
+      FROM dwin
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS n_dup_windows,
+             CAST(sum(covered) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(d.n - {SUBSTR_WIN - 1}, 0) AS BIGINT) AS n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) / CAST(d.n AS DOUBLE), 6)
+             AS dup_token_frac
+    FROM d LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, the Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") shape at sub-document
+    granularity: fingerprint every {SUBSTR_WIN}-token window with a
+    rolling polynomial hash, mark windows whose fingerprint occurs in
+    ≥2 DISTINCT documents, and report per document the duplicated-span
+    coverage — window count, duplicated-window count, tokens covered by
+    the union of duplicated windows (interval-union sweep via lead()),
+    and the covered fraction. This catches quote/boilerplate repetition
+    that whole-document Jaccard (q_dedup_near) and even containment
+    (q_containment_join) miss when the shared span is a small slice of
+    both documents; dropping or clipping the flagged spans is the
+    consumer's call, as in the paper.
+
+    Engine-neutral fingerprints: two polynomial legs over the
+    q_fingerprint token codes (length*31 + ascii), folded mod 1e9+7 /
+    1e9+9 and packed into ~2^60 — both engines compute identical
+    arithmetic (no engine-native hash), so the oracle reproduces every
+    window hash exactly.
+
+    Scale shape — linear, never quadratic: one scan emits n-W+1 windows
+    per doc (the window fold is O(W) per position with W constant; a
+    production 50-token window uses the prefix-difference rolling form
+    to make it O(1)); duplicated fingerprints come from ONE
+    groupBy(hash) with map-side partial count-distinct; the mark-back is
+    an equi-join on the same hash key (partitioning reused, no second
+    shuffle of the window list); the coverage sweep is a per-doc window
+    function over only the DUPLICATED windows. Compare the suffix-array
+    construction the paper uses single-node: the hash formulation is the
+    shuffle-friendly equivalent a 1000-executor cluster wants."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    codes = F.transform(
+        _tokens(), lambda tok: (F.length(tok) * 31 + F.ascii(tok)).cast("bigint")
+    )
+    d = t.documents.select(
+        "doc_id",
+        codes.alias("codes"),
+        F.size(_tokens()).cast("bigint").alias("n"),
+    ).localCheckpoint()
+
+    def poly2(sl):
+        # Both hash legs in ONE fold over the window slice (a struct
+        # accumulator halves the interpreted-lambda work vs two passes),
+        # packed into the ~2^60 pair space in the finish step.
+        return F.aggregate(
+            sl,
+            F.struct(
+                F.lit(0).cast("bigint").alias("a"),
+                F.lit(0).cast("bigint").alias("b"),
+            ),
+            lambda acc, c: F.struct(
+                ((acc["a"] * _POLY1[0] + c) % _POLY1[1]).alias("a"),
+                ((acc["b"] * _POLY2[0] + c) % _POLY2[1]).alias("b"),
+            ),
+            lambda acc: acc["a"] * _POLY2[1] + acc["b"],
+        )
+
+    wins = (
+        d.filter(F.col("n") >= SUBSTR_WIN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("n") - (SUBSTR_WIN - 1)).cast("int")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        poly2(F.slice("codes", i, SUBSTR_WIN)).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    # Cross-doc duplication = the fingerprint's doc_id span is non-trivial:
+    # min(doc_id) != max(doc_id) over the h-partition. ONE window pass over
+    # ONE evaluation of the window list — the groupBy(h) + join-back twin
+    # evaluates the O(n·W) fingerprint fold twice (measured slower at
+    # sf0.1) and shuffles the window list a second time for the join.
+    w_h = Window.partitionBy("h")
+    dwin = (
+        wins.withColumn("_span", F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h))
+        .filter(F.col("_span"))
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cov = dwin.withColumn(
+        "covered",
+        F.least(
+            F.lit(SUBSTR_WIN),
+            F.coalesce(
+                F.lead("pos").over(w_doc) - F.col("pos"), F.lit(SUBSTR_WIN)
+            ),
+        ),
+    )
+    perdoc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum("covered").cast("bigint").alias("dup_tokens"),
+    )
+    return d.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.greatest(F.col("n") - (SUBSTR_WIN - 1), F.lit(0)).cast("bigint").alias(
+            "n_windows"
+        ),
+        F.coalesce("n_dup_windows", F.lit(0).cast("bigint")).alias(
+            "n_dup_windows"
+        ),
+        F.coalesce("dup_tokens", F.lit(0).cast("bigint")).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0).cast("bigint"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+    )
