@@ -871,3 +871,140 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_bpe_merge",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, count(*) AS word_freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    chars AS (
+      SELECT word, word_freq,
+             unnest(generate_series(1, length(word))) AS pos
+      FROM words
+    ),
+    prs AS (
+      SELECT word, word_freq, pos,
+             substr(word, CAST(pos AS INTEGER), 1) AS sym,
+             lead(substr(word, CAST(pos AS INTEGER), 1))
+               OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM chars
+    ),
+    pair_counts AS (
+      SELECT sym AS l, nxt AS r, sum(word_freq) AS cnt
+      FROM prs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    chosen AS (
+      SELECT l, r FROM pair_counts ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    m AS (
+      SELECT p.word, p.pos,
+             row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+      FROM prs p, chosen c
+      WHERE p.sym = c.l AND p.nxt = c.r
+    ),
+    isl AS (
+      SELECT word, pos - rn AS island, count(*) AS k
+      FROM m GROUP BY word, island
+    ),
+    mg AS (
+      SELECT word, CAST(sum((k + 1) // 2) AS BIGINT) AS n_merges
+      FROM isl GROUP BY word
+    )
+    SELECT w.word, w.word_freq,
+           CAST(length(w.word) AS BIGINT)             AS n_sym_before,
+           c.l                                        AS merge_left,
+           c.r                                        AS merge_right,
+           coalesce(mg.n_merges, 0)                   AS n_merges,
+           CAST(length(w.word) AS BIGINT)
+             - coalesce(mg.n_merges, 0)               AS n_sym_after
+    FROM words w CROSS JOIN chosen c LEFT JOIN mg USING (word)
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge round of byte-pair-encoding tokenizer training (VERDICT
+    r7 item 6; Sennrich et al. 2016): count adjacent character-pair
+    frequencies over the corpus vocabulary (weighted by word frequency),
+    pick the argmax pair (ties broken lexicographically), and APPLY the
+    merge greedily left-to-right to every word — emitting, per vocabulary
+    word, its frequency, symbol counts before/after, the chosen pair, and
+    how many merges landed in it. Iterating this round yields the full
+    BPE merge table; one round keeps the output oracle-checkable while
+    exercising the whole count + argmax + apply machinery.
+
+    Greedy-apply semantics, the subtle part: pair occurrences may overlap
+    when left==right ("aaaa" has 3 occurrences of "aa" but greedy merges
+    only 2). Handled without any sequential code via gaps-and-islands:
+    matched pair positions within a word form runs of consecutive
+    integers (pos - row_number is constant per run); a run of k matches
+    yields ceil(k/2) greedy merges — for left != right runs are always
+    length 1 (s[i+1]=right != left forbids a match at i+1), so every
+    occurrence merges, exactly the greedy result.
+
+    Scale shape: ONE fact-scale shuffle (the word-frequency groupBy, with
+    map-side partial agg); everything after runs at VOCABULARY grain —
+    char explode, lead window, pair count, islands are all per distinct
+    word. The argmax is a TakeOrdered(1) broadcast back as a 1-row
+    crossJoin; no UDF anywhere in the count or apply path."""
+    t = load(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+        .localCheckpoint()
+    )
+    chars = words.select(
+        "word",
+        "word_freq",
+        F.explode(
+            F.when(
+                F.length("word") >= 1, F.sequence(F.lit(1), F.length("word"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    prs = chars.withColumn(
+        "sym", F.expr("substr(word, pos, 1)")
+    ).withColumn("nxt", F.lead("sym").over(w_word))
+    chosen = (
+        prs.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+        .agg(F.sum("word_freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(1)
+        .select("l", "r")
+    )
+    m = (
+        prs.crossJoin(F.broadcast(chosen))
+        .filter((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r")))
+        .withColumn("rn", F.row_number().over(w_word))
+    )
+    mg = (
+        m.groupBy("word", (F.col("pos") - F.col("rn")).alias("island"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("word")
+        .agg(F.sum(F.expr("(k + 1) div 2")).cast("bigint").alias("n_merges"))
+    )
+    return (
+        words.crossJoin(F.broadcast(chosen))
+        .join(mg, "word", "left")
+        .select(
+            "word",
+            "word_freq",
+            F.length("word").cast("bigint").alias("n_sym_before"),
+            F.col("l").alias("merge_left"),
+            F.col("r").alias("merge_right"),
+            F.coalesce("n_merges", F.lit(0).cast("bigint")).alias("n_merges"),
+            (
+                F.length("word").cast("bigint")
+                - F.coalesce("n_merges", F.lit(0).cast("bigint"))
+            ).alias("n_sym_after"),
+        )
+    )

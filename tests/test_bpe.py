@@ -1,0 +1,33 @@
+"""q_bpe_merge greedy-apply semantics: the overlapping-pair corner
+(merge_left == merge_right) that the synthetic corpus never exercises —
+its argmax pair is ('e','r') — pinned on a toy corpus where the chosen
+pair is a double letter."""
+
+from __future__ import annotations
+
+from crypto_data_ingestion_script_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_bpe_merge_greedy_overlap(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "oooo oooo ooo zz")], "doc_id bigint, text string"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = {
+        r["word"]: r
+        for r in SPECS["q_bpe_merge"].fn(spark, sf_dir).collect()
+    }
+    # (o,o) dominates: 3 pairs x 2 "oooo" + 2 in "ooo" = 8 vs (z,z) = 1.
+    assert all(
+        (r["merge_left"], r["merge_right"]) == ("o", "o")
+        for r in rows.values()
+    )
+    # Greedy left-to-right: "oooo" merges twice (not its 3 overlapping
+    # pair occurrences), "ooo" once, "zz" never (wrong pair).
+    assert (rows["oooo"]["word_freq"], rows["oooo"]["n_merges"],
+            rows["oooo"]["n_sym_after"]) == (2, 2, 2)
+    assert (rows["ooo"]["n_merges"], rows["ooo"]["n_sym_after"]) == (1, 2)
+    assert (rows["zz"]["n_merges"], rows["zz"]["n_sym_after"]) == (0, 2)
