@@ -53,6 +53,8 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: two expensive oracles (triangles ~100 s, dedup_near ~40 s) run last —
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
+    "q_bpe_merge",
+    "q_substring_dup",
     "q_pagerank",
     "q_bfs",
     "q_weighted_median",
@@ -70,7 +72,9 @@ FULL = [
     "q_stream_stream_join",
     "q_stream_left_join",
     "q_stream_chained_stateful",
+    "q_dedup_incremental",
     "q_dedup_near",
+    "q_pipeline_pretrain",
     "q_triangles",
 ]
 
