@@ -804,3 +804,87 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bin"),
     )
+
+
+@query(
+    "q_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    big AS (
+      SELECT doc_id, tk[CAST(i AS INTEGER)] AS prev,
+             tk[CAST(i AS INTEGER) + 1] AS cur
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM tok WHERE len(tk) >= 2)
+    ),
+    c2 AS (SELECT prev, cur, count(*) AS n2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT prev, count(*) AS n1 FROM big GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(tk) AS w FROM tok))
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((n2 + 1.0) / (n1 + v))), 6) AS mean_logprob
+    FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+    GROUP BY big.doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality proxy (the CCNet shape, Wenzek et
+    al. 2020: score web text under a small LM trained on the corpus
+    itself and filter/bucket by perplexity): per document, the mean
+    ln P(w_i | w_{i-1}) under an add-1-smoothed bigram LM whose counts
+    come from the corpus — the next step up from q_unigram_logprob
+    (context-aware: word salad with plausible unigrams scores low here).
+    Documents with fewer than two tokens have no bigram events and are
+    excluded, as in the oracle.
+
+    Scale shape (the q_unigram_logprob pattern, one model-order up): the
+    bigram pair stream comes from a MAP-ONLY array zip (adjacent token
+    structs; no posexplode+lead window, which would shuffle the corpus
+    by doc just to pair neighbors); the bigram-count model c2 is ONE
+    fact-scale groupBy and the context model c1 folds from c2 at
+    vocabulary grain; both BROADCAST back onto the pair stream (at
+    web-crawl bigram-vocabulary sizes past the broadcast cap this join
+    degrades to a shuffle join keyed on the pair — the token_rank
+    guard's regime note applies); the vocabulary-size scalar rides as a
+    1-row broadcast crossJoin; the only other fact-scale exchange is the
+    final per-doc mean."""
+    t = load(spark, sf_dir)
+    tk = F.split(F.lower("text"), " ")
+    # Adjacent-pair structs, map-side: guard sequence(1, n-1) against the
+    # n=1 case (Spark's sequence(1, 0) is DESCENDING, not empty) with
+    # greatest(..., 1) + a null-cur filter — an out-of-range element_at
+    # yields NULL, so single-token docs emit zero pairs, like the oracle.
+    pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("prev"),
+                F.element_at(tk, i + 1).alias("cur"),
+            ),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    big = t.documents.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    v = t.documents.select(F.explode(tk).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    return (
+        big.join(F.broadcast(c2), ["prev", "cur"])
+        .join(F.broadcast(c1), "prev")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v")))), 6
+            ).alias("mean_logprob"),
+        )
+    )
