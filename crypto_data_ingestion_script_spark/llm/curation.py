@@ -842,11 +842,14 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded, as in the oracle.
 
     Scale shape (the q_unigram_logprob pattern, one model-order up): the
-    bigram pair stream comes from a MAP-ONLY array zip (adjacent token
-    structs; no posexplode+lead window, which would shuffle the corpus
-    by doc just to pair neighbors); the bigram-count model c2 is ONE
-    fact-scale groupBy and the context model c1 folds from c2 at
-    vocabulary grain; both BROADCAST back onto the pair stream (at
+    bigram pair stream comes from a MAP-ONLY native arrays_zip of two
+    token-array slices — no posexplode+lead window (which would shuffle
+    the corpus by doc just to pair neighbors) and no higher-order-function
+    lambda (interpreted, measured ~5x slower per corpus pass — see body
+    comment); the corpus is paired exactly twice (model pass + scoring
+    pass, the DSIR contract); the bigram-count model c2 is ONE fact-scale
+    groupBy materialized at vocabulary grain and the context model c1
+    folds from it; both BROADCAST back onto the pair stream (at
     web-crawl bigram-vocabulary sizes past the broadcast cap this join
     degrades to a shuffle join keyed on the pair — the token_rank
     guard's regime note applies); the vocabulary-size scalar rides as a
@@ -854,24 +857,30 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-doc mean."""
     t = load(spark, sf_dir)
     tk = F.split(F.lower("text"), " ")
-    # Adjacent-pair structs, map-side: guard sequence(1, n-1) against the
-    # n=1 case (Spark's sequence(1, 0) is DESCENDING, not empty) with
-    # greatest(..., 1) + a null-cur filter — an out-of-range element_at
-    # yields NULL, so single-token docs emit zero pairs, like the oracle.
-    pairs = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("prev"),
-                F.element_at(tk, i + 1).alias("cur"),
-            ),
-        ),
-        lambda s: s["cur"].isNotNull(),
+    n = F.size(tk)
+    # Bigram events from arrays_zip(slice, slice) — ALL native codegen
+    # expressions, no higher-order-function lambda: the element_at and
+    # shingle formulations run interpreted and measured 1.8 s per corpus
+    # pass at sf0.1 vs 0.4 s for this shape. slice length n-1 is 0 for
+    # single-token docs (empty zip, zero events), matching the oracle's
+    # len >= 2 gate, which the filter keeps explicit.
+    zipped = F.arrays_zip(F.slice(tk, 1, n - 1), F.slice(tk, 2, n - 1))
+    big = (
+        t.documents.filter(n >= 2)
+        .select("doc_id", F.explode(zipped).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.0").alias("prev"),
+            F.col("p.1").alias("cur"),
+        )
     )
-    big = t.documents.select(
-        "doc_id", F.explode(pairs).alias("p")
-    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
-    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    # Materialize the vocabulary-scale count model once: the pair stream
+    # would otherwise re-execute per consumer (c2 build, c1 fold).
+    c2 = (
+        big.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint()
+    )
     c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
     v = t.documents.select(F.explode(tk).alias("w")).agg(
         F.countDistinct("w").alias("v")
