@@ -897,3 +897,137 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+#: Span-corruption constants: a position starts a mask span when its
+#: 32-bit hash falls below floor(0.05 * 2^32); spans run SPAN_LEN tokens
+#: and overlapping spans union.
+SPAN_START_P32 = 214_748_364
+SPAN_LEN = 3
+
+
+@query(
+    "q_span_mask",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(1, CAST(n_tokens AS INTEGER))) AS pos
+      FROM d
+    ),
+    starts AS (
+      SELECT doc_id, pos
+      FROM pos
+      WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                 ':', CAST(pos AS VARCHAR))), 1, 8)) AS UBIGINT)
+            < {SPAN_START_P32}
+    ),
+    cov AS (
+      SELECT doc_id, pos,
+             least({SPAN_LEN},
+                   coalesce(lead(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) - pos,
+                            {SPAN_LEN})) AS covered
+      FROM starts
+    ),
+    perdoc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(covered) AS BIGINT) AS raw_masked,
+             CAST(sum(pos) AS BIGINT) AS span_pos_sum
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           coalesce(p.n_spans, 0) AS n_spans,
+           CAST(least(coalesce(p.raw_masked, 0),
+                      d.n_tokens) AS BIGINT) AS n_masked,
+           round(least(coalesce(p.raw_masked, 0), d.n_tokens)
+                 / CAST(d.n_tokens AS DOUBLE), 6) AS masked_frac,
+           coalesce(p.span_pos_sum, 0) AS span_pos_sum
+    FROM d LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=("llm", "curation", "masking"),
+)
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption mask layout (the T5 denoising /
+    BERT-MLM preprocessing step): each token position starts a mask span
+    with probability 5% — decided by an engine-neutral md5 hash of
+    (doc_id, position), the q_sample_hash derandomization — and spans
+    cover {SPAN_LEN} tokens with overlapping spans unioned (the
+    q_substring_dup interval sweep). Emits per document the span count,
+    masked-token count (clipped at doc length for end-of-doc spans),
+    masked fraction, and the span-start position sum that pins the EXACT
+    mask layout cross-engine — so a training-data build can be audited
+    and reproduced run-over-run, which partitioning-dependent RNG masks
+    cannot.
+
+    Scale shape: one position explode (native expressions only — the
+    md5 gate runs in codegen), the per-doc lead() sweep over only the
+    ~5% start positions, one groupBy(doc_id), and a map-side left join
+    back to the doc spine. Nothing quadratic, nothing driver-side, no
+    RNG state."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).localCheckpoint()
+    pos = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens").cast("int"))).alias(
+            "pos"
+        ),
+    )
+    starts = pos.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("pos").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        < SPAN_START_P32
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cov = starts.withColumn(
+        "covered",
+        F.least(
+            F.lit(SPAN_LEN),
+            F.coalesce(F.lead("pos").over(w_doc) - F.col("pos"), F.lit(SPAN_LEN)),
+        ),
+    )
+    perdoc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("covered").cast("bigint").alias("raw_masked"),
+        F.sum("pos").cast("bigint").alias("span_pos_sum"),
+    )
+    masked = F.least(
+        F.coalesce("raw_masked", F.lit(0).cast("bigint")), F.col("n_tokens")
+    )
+    return d.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        masked.cast("bigint").alias("n_masked"),
+        F.round(masked / F.col("n_tokens").cast("double"), 6).alias(
+            "masked_frac"
+        ),
+        F.coalesce("span_pos_sum", F.lit(0).cast("bigint")).alias(
+            "span_pos_sum"
+        ),
+    )
