@@ -782,3 +782,108 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+#: Deterministic k-means: seeds are the K lowest-vec_id embeddings.
+KMEANS_K = 8
+
+_SQDIST_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 65),
+        i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+             * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),
+      (acc, x) -> acc + x)"""
+
+
+@query(
+    "q_kmeans_iter",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS s
+      FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, seeds.seed_id,
+             round({_SQDIST_SQL.format(a='e.embedding', b='seeds.s')}, 8)
+               AS dist
+      FROM embeddings e CROSS JOIN seeds
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, seed_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    long AS (
+      SELECT seed_id AS cluster_id, pos,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM (SELECT seed_id, embedding,
+                   unnest(generate_series(1, 64)) AS pos
+            FROM assigned)
+    )
+    SELECT cluster_id, CAST(pos AS INTEGER) AS pos,
+           round(avg(v), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM long GROUP BY 1, 2
+    """,
+    tags=("llm", "similarity", "iterative"),
+)
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    centroid-training step an IVF index (q_ann_ivf) is built from, made
+    deterministic and oracle-checkable: seeds are the {KMEANS_K}
+    lowest-vec_id embeddings (no RNG), every vector assigns to the
+    nearest seed by squared L2 (distance rounded to 8 decimals with
+    seed_id tie-break — the ANN batch-invariance contract, so both
+    engines make identical assignments), and the new centroids emit in
+    long form (cluster, dimension, mean, member count) like
+    q_embed_centroid, because scalar doubles hash-check where float
+    arrays would need tolerance. Iterating = re-running with the output
+    as seeds; one iteration exercises the whole assign + reduce
+    machinery, like q_bpe_merge's single merge round.
+
+    Scale shape: the seed table is K rows — BROADCAST; assignment is a
+    map-side cross join + one groupBy(vec_id) keeping the argmin via a
+    struct-min aggregate (no fact-scale window sort); the centroid
+    reduce is the q_embed_centroid posexplode + grouped avg with
+    map-side partials (K × 64 output rows). Per iteration: two
+    fact-scale exchanges, nothing driver-side, nothing quadratic."""
+    t = load(spark, sf_dir)
+    seeds = (
+        t.embeddings.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            _as_double(F.col("embedding")).alias("s"),
+        )
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", F.round(sqdist(F.col("e"), F.col("s")), 8))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "seed_id")).alias("m"),
+            F.first("e").alias("e"),
+        )
+        .select("vec_id", F.col("m.seed_id").alias("cluster_id"), "e")
+    )
+    return (
+        assigned.select(
+            "cluster_id", F.posexplode("e").alias("pos0", "v")
+        )
+        .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
