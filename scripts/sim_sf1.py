@@ -54,6 +54,10 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
     "q_bpe_merge",
+    "q_winnowing",
+    "q_span_mask",
+    "q_kmeans_iter",
+    "q_bigram_logprob",
     "q_substring_dup",
     "q_pagerank",
     "q_bfs",
