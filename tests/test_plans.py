@@ -786,3 +786,59 @@ def test_pipeline_pretrain_one_dag_shape_and_semantics(spark, sf_dir):
     by_id = sorted(rows, key=lambda r: r["doc_id"])
     bins = [r["bin"] for r in by_id]
     assert bins == sorted(bins) and bins[0] == 0
+
+
+def test_winnowing_is_map_only_and_dense(spark, sf_dir):
+    """q_winnowing: zero exchanges downstream of the materialization
+    boundaries (map-only fingerprinting), and the selection density sits
+    near the theoretical 2/(W+1) = 0.4 expectation for random-ish
+    hashes, never above 1 per window bound."""
+    df = SPECS["q_winnowing"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    rows = [r for r in df.collect() if r["n_grams"] >= 20]
+    assert rows
+    dens = [r["fp_density"] for r in rows]
+    assert all(0.25 <= d <= 0.6 for d in dens), sorted(dens)[:5]
+
+
+def test_span_mask_rate_and_determinism(spark, sf_dir):
+    """q_span_mask: the realized masked fraction over the corpus sits
+    near p_start * SPAN_LEN = 15% (union overlap pulls it slightly
+    under), and two runs produce identical layouts (derandomized)."""
+    fn = SPECS["q_span_mask"].fn
+    rows = fn(spark, sf_dir).collect()
+    tot = sum(r["n_tokens"] for r in rows)
+    masked = sum(r["n_masked"] for r in rows)
+    assert 0.10 <= masked / tot <= 0.16, masked / tot
+    again = {r["doc_id"]: r["span_pos_sum"] for r in fn(spark, sf_dir).collect()}
+    assert {r["doc_id"]: r["span_pos_sum"] for r in rows} == again
+
+
+def test_kmeans_iter_broadcasts_seeds_and_partitions_all(spark, sf_dir):
+    """q_kmeans_iter: the seed table must broadcast (never a fact-scale
+    shuffle to pair vectors with seeds), no fact-scale window sort, and
+    the assignment must be total — member counts sum to the corpus."""
+    df = SPECS["q_kmeans_iter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # A no-condition crossJoin against K broadcast rows compiles to
+    # BroadcastNestedLoopJoin BuildRight — the K-row-broadcast class, not
+    # a CartesianProduct (which would mean neither side broadcast).
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    rows = df.collect()
+    n_vecs = load(spark, sf_dir).embeddings.count()
+    per_dim = {}
+    for r in rows:
+        per_dim.setdefault(r["pos"], 0)
+        per_dim[r["pos"]] += r["n_members"]
+    assert set(per_dim.values()) == {n_vecs}, per_dim
+
+
+def test_bigram_logprob_broadcasts_model(spark, sf_dir):
+    """q_bigram_logprob: the LM tables join back by BROADCAST (no
+    fact-scale shuffle for scoring), and no row-Python anywhere."""
+    df = SPECS["q_bigram_logprob"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
