@@ -887,3 +887,64 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@query(
+    "q_pca_power_iter",
+    oracle="""
+    WITH c AS (
+      SELECT embedding,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE))),
+               (a, x) -> a + x) / 8.0 AS c
+      FROM embeddings
+    ),
+    longf AS (
+      SELECT pos, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) * c AS wc
+      FROM (SELECT embedding, c, unnest(generate_series(1, 64)) AS pos
+            FROM c)
+    ),
+    w AS (SELECT pos, sum(wc) AS w FROM longf GROUP BY pos),
+    nrm AS (SELECT sqrt(sum(w * w)) AS nrm FROM w)
+    SELECT CAST(w.pos AS INTEGER) AS pos,
+           round(w.w / nrm.nrm, 6) AS loading,
+           round(nrm.nrm, 4) AS rayleigh
+    FROM w CROSS JOIN nrm
+    """,
+    tags=("llm", "similarity", "iterative"),
+)
+def q_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the embedding corpus's top
+    principal direction — matrix-free: starting from the fixed unit
+    vector v0 = 1/8·(1,…,1), compute w = Σ_e e·⟨e, v0⟩ (the Gram-matrix
+    product without ever forming the 64×64 covariance, the shape that
+    scales to billions of vectors) and emit the normalized loading per
+    dimension plus the Rayleigh-quotient estimate ‖w‖. Deterministic:
+    the fixed start vector removes the usual random-init sign/direction
+    ambiguity, so both engines produce the same loadings (float
+    summation-order drift absorbed by rounding + the comparator's double
+    tolerance, the q_embed_centroid precedent). Iterating = re-running
+    with the output as v0; one step exercises the whole machinery
+    (q_kmeans_iter / q_bpe_merge convention).
+
+    Scale shape: ⟨e, v0⟩ is a map-only per-row fold; the reduction is
+    ONE posexplode + groupBy(dimension) with map-side partials into 64
+    output rows; the norm is a window over that 64-row summary and the
+    scalar rides back as a 1-row broadcast crossJoin. One fact-scale
+    exchange total, nothing driver-side, no MLlib."""
+    t = load(spark, sf_dir)
+    e = _as_double(F.col("embedding"))
+    c = (
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x) / 8.0
+    )  # dot(e, v0), v0 = (1,…,1)/sqrt(64)
+    longf = t.embeddings.select(
+        c.alias("c"), F.posexplode(e).alias("pos0", "v")
+    ).select((F.col("pos0") + 1).alias("pos"), (F.col("v") * F.col("c")).alias("wc"))
+    w = longf.groupBy("pos").agg(F.sum("wc").alias("w"))
+    nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.crossJoin(F.broadcast(nrm)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+        F.round("nrm", 4).alias("rayleigh"),
+    )
