@@ -246,7 +246,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the per-doc mean. The corpus-total scalar rides along as a
     broadcast literal join."""
     t = load(spark, sf_dir)
-    tok = t.documents.select(
+    return unigram_doc_scores(t.documents)
+
+
+def unigram_doc_scores(documents: DataFrame) -> DataFrame:
+    """Per-document unigram-LM quality scores (doc_id, n_tokens,
+    mean_logprob) — factored out of q_unigram_logprob so
+    q_perplexity_buckets buckets the IDENTICAL values."""
+    tok = documents.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
@@ -1030,4 +1037,71 @@ def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("span_pos_sum", F.lit(0).cast("bigint")).alias(
             "span_pos_sum"
         ),
+    )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    total AS (SELECT sum(n) AS t FROM freq),
+    sc AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(freq.n / total.t)), 6) AS mean_logprob
+      FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN total
+      GROUP BY tok.doc_id
+    ),
+    thr AS (
+      SELECT quantile_cont(mean_logprob, 1.0/3) AS t1,
+             quantile_cont(mean_logprob, 2.0/3) AS t2
+      FROM sc
+    )
+    SELECT sc.doc_id, sc.n_tokens, sc.mean_logprob,
+           CASE WHEN sc.mean_logprob < thr.t1 THEN 'tail'
+                WHEN sc.mean_logprob < thr.t2 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM sc CROSS JOIN thr
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's final curation step (Wenzek et al. 2020): split the corpus
+    into head / middle / tail terciles by LM score — downstream recipes
+    keep head+middle for pretraining and route tail to filtering or
+    re-processing. Scores are q_unigram_logprob's values (shared
+    unigram_doc_scores core); thresholds are EXACT continuous terciles
+    over the per-document score distribution, so the bucket assignment
+    is fully deterministic and hash-checkable (Spark `percentile` and
+    DuckDB `quantile_cont` interpolate identically — the q_percentile
+    parity precedent).
+
+    Scale shape: the scoring plan is q_unigram_logprob's (vocabulary
+    broadcast, one per-doc fold); the threshold aggregate runs over
+    DOC-grain rows (corpus cardinality / ~1000 smaller than tokens) and
+    broadcasts back as one row; bucketing is a map-only CASE. At 100 TB
+    swap the exact percentile for approx_percentile's mergeable sketch
+    (q_approx_percentile) — thresholds move by <0.1% and the plan loses
+    its only doc-scale sort."""
+    t = load(spark, sf_dir)
+    # Doc-grain scores materialize once: both the threshold aggregate and
+    # the bucketing projection consume them, and an unmaterialized `sc`
+    # re-runs the whole token-scale scoring plan per consumer.
+    sc = unigram_doc_scores(t.documents).localCheckpoint()
+    thr = sc.agg(
+        F.percentile("mean_logprob", F.lit(1.0 / 3)).alias("t1"),
+        F.percentile("mean_logprob", F.lit(2.0 / 3)).alias("t2"),
+    )
+    return sc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+        F.when(F.col("mean_logprob") < F.col("t1"), F.lit("tail"))
+        .when(F.col("mean_logprob") < F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("ppl_bucket"),
     )
