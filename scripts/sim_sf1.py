@@ -54,6 +54,8 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
     "q_bpe_merge",
+    "q_pca_power_iter",
+    "q_perplexity_buckets",
     "q_winnowing",
     "q_span_mask",
     "q_kmeans_iter",
