@@ -2160,3 +2160,102 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc.bitwiseXOR(s["h"] + s["pos"]),
         ).alias("fp_xor"),
     )
+
+
+#: Bloom screen sizing: m bits, k hash probes. At the test corpus (~450
+#: distinct texts) fp ≈ (1 - e^(-kn/m))^k ≈ 4e-8; production sizes m per
+#: corpus cardinality the same way.
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+@query(
+    "q_bloom_screen",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % {BATCH_MOD} = {BATCH_REM}
+    ),
+    c AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % {BATCH_MOD} <> {BATCH_REM}
+    )
+    SELECT b.doc_id,
+           (c.h IS NOT NULL) AS in_corpus_exact,
+           TRUE AS no_false_negative
+    FROM b LEFT JOIN c ON b.h = c.h
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter exact-duplicate pre-screen of a new crawl batch
+    against the existing corpus — the constant-memory membership sketch
+    every recurring ingest runs BEFORE the expensive near-dup pass
+    (q_dedup_incremental): k={BLOOM_K} xxhash64 probes into an
+    m={BLOOM_M}-bit filter built from the corpus's content digests. The
+    filter is built DISTRIBUTIVELY as a distinct bit-position table
+    (bounded at m rows regardless of corpus size → broadcast; a
+    production variant packs positions into a bitmap with a
+    groupBy(word) bit-OR, same plan shape) — Spark's internal
+    bloom_filter_agg is not SQL-exposed in this build, and this
+    formulation is engine-deterministic rather than probabilistic.
+
+    Driver-checkable form (the sketch-family convention,
+    q_approx_count_distinct): the filter's raw hits are
+    implementation-defined, so the output carries the EXACT membership
+    flag next to the `no_false_negative` verdict — a Bloom filter may
+    false-positive but must NEVER miss a true member, so the verdict is
+    an invariant, literal TRUE in the oracle; a broken filter (wrong
+    probe seeds, truncated bit table) flips it and fails the hash.
+
+    Scale shape: corpus side is one digest projection + a ≤m-row
+    distinct (map-side partials collapse it); the probe explodes
+    {BLOOM_K} positions per batch doc and joins the BROADCAST bit table
+    map-side; exact membership is a broadcast-or-shuffle semi-join on
+    the digest. No fact-scale shuffle of the corpus beyond the bit-table
+    fold."""
+    t = load(spark, sf_dir)
+    batch = t.documents.filter(F.col("doc_id") % BATCH_MOD == BATCH_REM)
+    corpus = t.documents.filter(F.col("doc_id") % BATCH_MOD != BATCH_REM)
+
+    def positions(h):
+        return F.array_distinct(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(h, F.lit(seed)), F.lit(BLOOM_M))
+                    for seed in range(BLOOM_K)
+                ]
+            )
+        )
+
+    bits = (
+        corpus.select(F.explode(positions(F.md5("text"))).alias("bit"))
+        .distinct()
+    )
+    probe = batch.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        positions(F.md5("text")).alias("pos"),
+    )
+    matched = (
+        probe.select("doc_id", F.size("pos").alias("n_pos"), F.explode("pos").alias("bit"))
+        .join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .select("doc_id", (F.col("n_hit") == F.col("n_pos")).alias("bloom_hit"))
+    )
+    exact = corpus.select(F.md5("text").alias("h")).distinct().withColumn(
+        "_in", F.lit(True)
+    )
+    return (
+        probe.join(matched, "doc_id", "left")
+        .join(exact, "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_in", F.lit(False)).alias("in_corpus_exact"),
+            (
+                ~F.coalesce("_in", F.lit(False))
+                | F.coalesce("bloom_hit", F.lit(False))
+            ).alias("no_false_negative"),
+        )
+    )
