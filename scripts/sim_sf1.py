@@ -56,6 +56,7 @@ FULL = [
     "q_bpe_merge",
     "q_pca_power_iter",
     "q_perplexity_buckets",
+    "q_bloom_screen",
     "q_winnowing",
     "q_span_mask",
     "q_kmeans_iter",
