@@ -2259,3 +2259,109 @@ def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("no_false_negative"),
         )
     )
+
+
+#: Segment-dedup granularity: consecutive non-overlapping token windows of
+#: this many tokens (the CCNet/FineWeb "paragraph" unit, mapped onto this
+#: corpus's newline-free token soup).
+SEG_LEN = 8
+
+
+@query(
+    "q_segment_dedup",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             array_to_string(
+               list_slice(toks, i * {SEG_LEN} + 1, i * {SEG_LEN} + {SEG_LEN}),
+               ' ') AS seg_text
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(
+                     0, (len(toks) + {SEG_LEN} - 1) // {SEG_LEN} - 1)) AS i
+            FROM tl)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg_text,
+             row_number() OVER (PARTITION BY md5(seg_text)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           round(count(*) FILTER (WHERE rn = 1) * 1.0 / count(*), 6)
+             AS kept_frac,
+           coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE rn = 1), '') AS cleaned_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document segment-level exact dedup — the CCNet/FineWeb
+    paragraph-dedup stage: each document splits into consecutive
+    {SEG_LEN}-token segments, a segment duplicated ANYWHERE in the corpus
+    keeps only its globally-first occurrence (ordered by doc_id, then
+    position — the greedy keep-first policy q_dedup_near uses at document
+    grain), and every document re-assembles from its surviving segments.
+    This is the removal-granularity between q_dedup_exact (whole doc) and
+    q_substring_dup (overlapping windows, detection only): boilerplate is
+    actually CUT from otherwise-unique documents, and the output carries
+    the cleaned text plus per-doc retention stats.
+
+    Scale shape: segmentation is pure per-row array expressions (no
+    shuffle); the first-occurrence rank is a window PARTITIONED BY the
+    segment digest — key-partitioned shuffle, each hash group is tiny
+    (the duplicate multiplicity), no global sort funnel; reassembly is
+    one groupBy(doc_id) whose collect_list holds only the doc's own
+    ~n_tokens/{SEG_LEN} kept segments (bounded per-row state, like
+    q_pack_sequences). Two exchanges total at any corpus size; a 100 TB
+    run additionally range-partitions the digest space so hot boilerplate
+    segments (the skew risk) spread via AQE skew-split."""
+    return segment_dedup(load(spark, sf_dir).documents)
+
+
+def segment_dedup(docs: DataFrame, seg_len: int = SEG_LEN) -> DataFrame:
+    """Segment-level dedup of a ``(doc_id, text)`` corpus — the
+    composable form of :func:`q_segment_dedup` (semantics documented
+    there); exposed so tests can pin the keep-first policy on a toy
+    corpus and pipelines can run it on intermediate stages."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    nseg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * seg_len + 1, seg_len), " "
+                ),
+            )
+        ).alias("seg_idx", "seg_text"),
+    )
+    w = Window.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.round(
+            F.sum(kept.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("kept_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct("seg_idx", "seg_text"))
+                    )
+                ),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -3,6 +3,7 @@ batch-size invariance and the bucketed-not-all-pairs plan shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_data_ingestion_script_spark.catalog import load
@@ -67,3 +68,54 @@ def test_incremental_dedup_is_bucketed_not_all_pairs(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segment_dedup_keep_first_policy(spark):
+    """Toy-corpus pin of the CCNet paragraph-dedup semantics: a segment
+    duplicated across (or within) documents survives only at its
+    globally-first (doc_id, position) occurrence, and each document's
+    cleaned text re-assembles its surviving segments in original order."""
+    from crypto_data_ingestion_script_spark.llm.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: two segments A B — both first occurrences.
+            (1, "a b c d"),
+            # doc 2: segment A again (dropped) then unique E (kept).
+            (2, "a b e f"),
+            # doc 3: E again (dropped), then the SAME segment twice
+            # intra-doc: first copy kept, second dropped.
+            (3, "e f g h g h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_len=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == "a b c d"
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["cleaned_text"] == "e f"
+    assert out[3]["n_segments"] == 3 and out[3]["n_kept"] == 1
+    assert out[3]["cleaned_text"] == "g h"
+    assert out[3]["kept_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_segment_dedup_last_partial_segment_and_plan(spark):
+    """The trailing sub-seg_len segment is a first-class unit (kept or
+    deduped like any other), and the plan is the two-exchange shape: one
+    hash-partition on the digest for the rank, one on doc_id for the
+    re-assembly — never a single-partition global sort."""
+    from crypto_data_ingestion_script_spark.llm.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y c")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_len=2).collect()}
+    # doc 1 -> segments "a b", "c"; doc 2 -> "x y", "c" (dup, dropped).
+    assert out[1]["cleaned_text"] == "a b c"
+    assert out[2]["cleaned_text"] == "x y"
+    plan = segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
