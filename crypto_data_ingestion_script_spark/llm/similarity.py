@@ -948,3 +948,147 @@ def q_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
         F.round("nrm", 4).alias("rayleigh"),
     )
+
+
+#: Multi-round Lloyd: enough iterations to move centroids off the seeds
+#: and demonstrate the per-iteration checkpoint cadence, small enough to
+#: keep the oracle's unrolled CTE chain readable.
+KMEANS_ITERS = 3
+
+
+def _kmeans_multi_oracle() -> str:
+    """Unrolled {KMEANS_ITERS}-iteration Lloyd chain in long (vec, dim)
+    form: dist_i joins the fact to the previous rounded centroids by
+    dimension, asg_i argmins with the (dist, cluster_id) tie-break,
+    cent_i re-averages rounded to 6 decimals. Rounding at every
+    engine-visible boundary (dist 8dp, centroid 6dp) absorbs float
+    summation-order drift so both engines iterate in lockstep."""
+    parts = [
+        f"""
+    WITH longe AS (
+      SELECT vec_id, pos, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM embeddings)
+    ),
+    cent0 AS (
+      SELECT seed_id AS cluster_id, pos,
+             CAST(s[CAST(pos AS INTEGER)] AS DOUBLE) AS cv
+      FROM (SELECT vec_id AS seed_id, embedding AS s,
+                   unnest(generate_series(1, 64)) AS pos
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}))
+    )"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+    dist{i} AS (
+      SELECT l.vec_id, c.cluster_id,
+             round(sum((l.v - c.cv) * (l.v - c.cv)), 8) AS dist
+      FROM longe l JOIN cent{i - 1} c USING (pos)
+      GROUP BY l.vec_id, c.cluster_id
+    ),
+    asg{i} AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster_id) AS rn
+        FROM dist{i}) WHERE rn = 1
+    ),
+    cent{i} AS (
+      SELECT a.cluster_id, l.pos, round(avg(l.v), 6) AS cv,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM asg{i} a JOIN longe l USING (vec_id)
+      GROUP BY a.cluster_id, l.pos
+    )""")
+    parts.append(f"""
+    SELECT cluster_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_val,
+           n_members
+    FROM cent{KMEANS_ITERS}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q_kmeans_multi",
+    oracle=_kmeans_multi_oracle(),
+    tags=("llm", "similarity", "iterative"),
+)
+def q_kmeans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KMEANS_ITERS} full Lloyd iterations of k-means — q_kmeans_iter
+    driven to convergence-shape: each round re-assigns every vector to
+    the nearest CURRENT centroid (rounded-L2 8dp + cluster_id tie-break,
+    the engine-lockstep contract) and re-averages centroids rounded to
+    6dp, so both engines follow the identical trajectory and the oracle
+    unrolls the same chain as CTEs. Emits the final long-form centroids
+    with member counts.
+
+    Scale shape — the iterative-operator checkpoint cadence
+    (connected_components lesson, SKILL.md r3): each round's centroid
+    table (K rows after the array re-assembly) is localCheckpoint'ed, so
+    round i's plan starts from a materialized K-row table instead of
+    re-deriving rounds 1..i-1's fact-scale assignment lineage inside
+    every stage; the checkpoint is summary-scale (K×64 doubles), never
+    the fact. Per round: one broadcast crossJoin assignment (map-side) +
+    one groupBy(vec_id) argmin + one posexplode reduce — 2 fact-scale
+    exchanges × {KMEANS_ITERS} rounds, nothing driver-side."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cent = (
+        t.embeddings.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            _as_double(F.col("embedding")).alias("c"),
+        )
+    )
+    return kmeans_lloyd(emb, cent, KMEANS_ITERS)
+
+
+def kmeans_lloyd(emb: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
+    """Composable Lloyd loop over ``emb(vec_id, e: array<double>)`` with
+    initial centroids ``cent(cluster_id, c: array<double>)`` — the body
+    of :func:`q_kmeans_multi` (semantics + scale notes there); exposed so
+    tests can pin convergence on a toy corpus with chosen seeds."""
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    last_long = None
+    for _ in range(iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("dist", F.round(sqdist(F.col("e"), F.col("c")), 8))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cluster_id")).alias("m"),
+                F.first("e").alias("e"),
+            )
+            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), "e")
+        )
+        last_long = (
+            assigned.select("cluster_id", F.posexplode("e").alias("pos0", "v"))
+            .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                F.round(F.avg("v"), 6).alias("cv"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        # Summary-scale checkpoint: K×64 rows cut the next round's
+        # lineage back to a materialized table.
+        last_long = last_long.localCheckpoint()
+        cent = last_long.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+    return last_long.select(
+        "cluster_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("cv").alias("centroid_val"),
+        "n_members",
+    )

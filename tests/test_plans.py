@@ -842,3 +842,39 @@ def test_bigram_logprob_broadcasts_model(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert uses_broadcast_join(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_multi_converges_on_separable_toy(spark, sf_dir):
+    """kmeans_lloyd: on two tight, well-separated groups with one seed in
+    each, three rounds land the centroids on the exact group means with a
+    3/3 membership split — and the full-query assignment stays total
+    (member counts sum to the corpus at every dimension)."""
+    from crypto_data_ingestion_script_spark.llm.similarity import kmeans_lloyd
+
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.0, 0.2]),   # group A
+        (4, [10.0, 10.0]), (5, [10.2, 10.0]), (6, [10.0, 10.2]),  # group B
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in pts], "vec_id bigint, e array<double>"
+    )
+    # Seeds NOT at the means: one interior point of each group.
+    cent = spark.createDataFrame(
+        [(1, [0.2, 0.0]), (2, [10.0, 10.2])],
+        "cluster_id bigint, c array<double>",
+    )
+    out = kmeans_lloyd(emb, cent, iters=3).collect()
+    got = {(r["cluster_id"], r["pos"]): (r["centroid_val"], r["n_members"]) for r in out}
+    a = round((0.0 + 0.2 + 0.0) / 3, 6)
+    assert got[(1, 1)] == (a, 3) and got[(1, 2)] == (a, 3)
+    b1 = round((10.0 + 10.2 + 10.0) / 3, 6)
+    assert got[(2, 1)] == (b1, 3) and got[(2, 2)] == (b1, 3)
+
+    df = SPECS["q_kmeans_multi"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    per_dim = {}
+    for r in df.collect():
+        per_dim[r["pos"]] = per_dim.get(r["pos"], 0) + r["n_members"]
+    n_vecs = load(spark, sf_dir).embeddings.count()
+    assert set(per_dim.values()) == {n_vecs}, per_dim
