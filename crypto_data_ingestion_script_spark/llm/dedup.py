@@ -2365,3 +2365,115 @@ def segment_dedup(docs: DataFrame, seg_len: int = SEG_LEN) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+@query(
+    "q_bloom_bitmap",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % {BATCH_MOD} = {BATCH_REM}
+    ),
+    c AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % {BATCH_MOD} <> {BATCH_REM}
+    )
+    SELECT b.doc_id,
+           (c.h IS NOT NULL) AS in_corpus_exact,
+           TRUE AS no_false_negative
+    FROM b LEFT JOIN c ON b.h = c.h
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def q_bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED-bitmap Bloom pre-screen — q_bloom_screen's production
+    layout: instead of a distinct bit-position table, the m={BLOOM_M}-bit
+    filter packs into m/64 64-bit words via ``groupBy(word)
+    bit_or(shiftleft(1, bit))`` (map-side partial ORs collapse the
+    fact before the exchange — the filter build shuffles at most m/64
+    rows per map partition regardless of corpus size), and the probe
+    tests membership with ``(word >>> bit) & 1`` against the ≤{BLOOM_M}/64-row
+    BROADCAST word table. Same verdict contract as q_bloom_screen (the
+    sketch-family convention): raw Bloom hits are implementation-defined
+    (xxhash64 probes), so the output carries the EXACT membership flag
+    plus the may-false-positive-never-miss invariant, literal TRUE in
+    the oracle — a wrong shift direction, a signed >> on bit 63, or a
+    dropped word row flips it.
+
+    ANSI note (verify-skill r2 lesson): bit packing uses shiftleft /
+    bitwiseOR / shiftrightunsigned — bitwise ops wrap where `*`/`+`
+    packing would raise under ansi.enabled; bit 63's set word is
+    negative as a signed long and harmless."""
+    t = load(spark, sf_dir)
+    batch = t.documents.filter(F.col("doc_id") % BATCH_MOD == BATCH_REM)
+    corpus = t.documents.filter(F.col("doc_id") % BATCH_MOD != BATCH_REM)
+    return bloom_bitmap_screen(batch, corpus)
+
+
+def bloom_bitmap_screen(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Packed-bitmap Bloom screen of ``batch(doc_id, text)`` against
+    ``corpus(doc_id, text)`` — the body of :func:`q_bloom_bitmap`
+    (semantics + ANSI notes there); exposed so tests can exercise the
+    positive (true-member) probe path on a corpus with known
+    duplicates."""
+
+    def positions(h):
+        return F.array_distinct(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(h, F.lit(seed)), F.lit(BLOOM_M))
+                    for seed in range(BLOOM_K)
+                ]
+            )
+        )
+
+    pos = F.col("pos")
+    words = (
+        corpus.select(F.explode(positions(F.md5("text"))).alias("pos"))
+        .select(
+            (pos / 64).cast("bigint").alias("word"),
+            # F.shiftleft only takes a literal shift — the SQL form takes
+            # a column.
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    probe = batch.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        positions(F.md5("text")).alias("ps"),
+    )
+    hit = (
+        probe.select("doc_id", F.explode("ps").alias("pos"))
+        .select(
+            "doc_id",
+            (pos / 64).cast("bigint").alias("word"),
+            (pos % 64).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(words), "word", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("mask").isNotNull()
+                & (F.expr("shiftrightunsigned(mask, bit) & CAST(1 AS BIGINT)") == 1)
+            ).alias("bit_set"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("bit_set").alias("bloom_hit"))
+    )
+    exact = corpus.select(F.md5("text").alias("h")).distinct().withColumn(
+        "_in", F.lit(True)
+    )
+    return (
+        probe.join(hit, "doc_id", "left")
+        .join(exact, "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_in", F.lit(False)).alias("in_corpus_exact"),
+            (
+                ~F.coalesce("_in", F.lit(False))
+                | F.coalesce("bloom_hit", F.lit(False))
+            ).alias("no_false_negative"),
+        )
+    )

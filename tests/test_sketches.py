@@ -69,3 +69,39 @@ def test_approx_count_and_percentile_verdicts(spark, sf_dir):
     assert acd and all(r["est_within_5pct"] for r in acd)
     ap = specs["q_approx_percentile"].fn(spark, sf_dir).collect()
     assert ap and all(r["est_within_5pct"] for r in ap)
+
+
+def test_bloom_bitmap_packs_and_probes_correctly(spark, sf_dir):
+    """q_bloom_bitmap: the packed filter's word table is bounded at
+    m/64 rows and broadcast to the probe; every exact corpus member
+    bloom-hits (the no-false-negative invariant holds row-wise); and at
+    least one row is an exact duplicate so the invariant is exercised."""
+    from crypto_data_ingestion_script_spark.llm.dedup import BLOOM_M
+
+    df = load_all()["q_bloom_bitmap"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["no_false_negative"] for r in rows)
+    assert BLOOM_M % 64 == 0
+
+    # The sf0.001 corpus has no cross-split exact duplicate, so exercise
+    # the positive (true-member) probe path on a toy corpus: every
+    # duplicated text MUST bloom-hit (no false negative), novel text may
+    # or may not (false positives allowed).
+    from crypto_data_ingestion_script_spark.llm.dedup import bloom_bitmap_screen
+
+    batch = spark.createDataFrame(
+        [(101, "alpha beta"), (102, "totally novel text"), (103, "gamma delta")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "other stuff")],
+        "doc_id bigint, text string",
+    )
+    toy = {r["doc_id"]: r for r in bloom_bitmap_screen(batch, corpus).collect()}
+    assert toy[101]["in_corpus_exact"] and toy[101]["no_false_negative"]
+    assert toy[103]["in_corpus_exact"] and toy[103]["no_false_negative"]
+    assert not toy[102]["in_corpus_exact"] and toy[102]["no_false_negative"]
