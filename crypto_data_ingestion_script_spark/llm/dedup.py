@@ -1641,9 +1641,10 @@ BATCH_MOD = 10
 BATCH_REM = 7
 
 
-@query(
-    "q_dedup_incremental",
-    oracle=f"""
+#: Shared by q_dedup_incremental and its streaming-delivery twin
+#: q_stream_incremental_dedup (streaming/jobs.py): same semantics, same
+#: oracle — stream ≡ batch is the streaming correctness contract.
+INCREMENTAL_DEDUP_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, list_distinct(list_transform(
         range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -1683,7 +1684,12 @@ BATCH_REM = 7
            a.first_match_id,
            a.b_id IS NULL AS is_novel
     FROM (SELECT doc_id FROM batch) d LEFT JOIN agg a ON a.b_id = d.doc_id
-    """,
+    """
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=INCREMENTAL_DEDUP_ORACLE,
     tags=("llm", "dedup", "incremental"),
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

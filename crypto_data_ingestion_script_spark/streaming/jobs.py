@@ -541,3 +541,99 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the sf_dir documents parquet — schema
+    probed from the batch footer (documents has no encoding drift to
+    normalize, unlike events.ts). Handles both the single-file and the
+    directory layout like _events_stream."""
+    probe = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(probe).schema
+    if os.path.isdir(probe):
+        return spark.readStream.schema(schema).parquet(probe)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "q_stream_incremental_dedup",
+    # Shares q_dedup_incremental's oracle verbatim: streaming delivery
+    # must not change a single verdict (stream ≡ batch).
+    oracle=None,  # set below after import to avoid a module cycle at def time
+    tags=("streaming", "llm", "dedup", "incremental"),
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental cross-corpus near-dedup — the recurring-crawl
+    loop as a LIVE pipeline: new-batch documents arrive as files on a
+    stream and every micro-batch is screened against the STATIC existing
+    corpus with the full batch machinery (MinHash 32 → 16×2 LSH bands,
+    band equi-join, exact Jaccard ≥ 0.8 verify) via ``foreachBatch`` —
+    the production pattern when per-batch logic needs batch-only
+    operators (localCheckpoint, multi-stage self-joins) that the
+    continuous planner can't host. Verdicts append to a parquet sink;
+    because q_dedup_incremental is batch-size-invariant (pinned in
+    tests/test_dedup.py), one availableNow batch or many micro-batches
+    emit the IDENTICAL per-doc rows, and the query shares the batch
+    oracle verbatim.
+
+    Scale shape: the corpus's shingle-set collapse + signatures build
+    ONCE per run (in production: precomputed and stored per crawl) and
+    re-broadcast per micro-batch; each batch pays only its own banding +
+    the band-keyed shuffle join. State lives in the sink (appended
+    verdicts), not the state store — restart resumes from the file-source
+    offset log exactly-once."""
+    from ..llm.dedup import BATCH_MOD, BATCH_REM
+
+    t = load(spark, sf_dir)
+    corpus = t.documents.filter(
+        F.col("doc_id") % BATCH_MOD != BATCH_REM
+    ).localCheckpoint()
+    stream = _documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % BATCH_MOD == BATCH_REM
+    )
+    return stream_incremental_dedup(stream, corpus)
+
+
+def stream_incremental_dedup(stream: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Drive a documents-shaped STREAM through the batch incremental
+    near-dedup against a static ``corpus``, appending per-doc verdicts to
+    a parquet sink; returns the read-back verdicts. Exposed so tests can
+    deliver the same batch as ONE availableNow batch or several
+    maxFilesPerTrigger micro-batches and pin that the rows are
+    identical."""
+    from ..llm.dedup import incremental_near_dedup
+
+    spark = corpus.sparkSession
+    outdir = tempfile.mkdtemp(prefix="stream_inc_dedup_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_near_dedup(batch_df, corpus).write.mode("append").parquet(
+            outdir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    global LAST_QUERY_PROGRESS
+    LAST_QUERY_PROGRESS = [p.json for p in q.recentProgress]
+    return spark.read.parquet(outdir)
+
+
+# Late-bind the shared oracle (llm.dedup imports nothing from streaming,
+# so importing it here is cycle-free at call time but kept out of the
+# decorator line for symmetry with the lazy import inside the fn).
+from ..llm.dedup import INCREMENTAL_DEDUP_ORACLE as _INC_ORACLE  # noqa: E402
+from ..registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["q_stream_incremental_dedup"].oracle = _INC_ORACLE

@@ -119,3 +119,37 @@ def test_segment_dedup_last_partial_segment_and_plan(spark):
     assert out[2]["cleaned_text"] == "x y"
     plan = segment_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_stream_incremental_dedup_multi_batch_equals_single(spark, sf_dir, tmp_path):
+    """Streaming delivery contract: the same new-doc batch delivered as
+    TWO micro-batches (maxFilesPerTrigger=1 over two files) must append
+    exactly the rows of the one-batch run — which themselves equal the
+    batch operator's verdicts (shared oracle)."""
+    from crypto_data_ingestion_script_spark.streaming.jobs import (
+        stream_incremental_dedup,
+    )
+
+    docs = load(spark, sf_dir).documents
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD == BATCH_REM)
+    corpus = docs.filter(F.col("doc_id") % BATCH_MOD != BATCH_REM).localCheckpoint()
+    expected = _rows(incremental_near_dedup(batch, corpus))
+    assert len(expected) > 0
+
+    ids = sorted(r["doc_id"] for r in batch.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    indir = str(tmp_path / "in")
+    batch.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(
+        indir + "/a.parquet"
+    )
+    batch.filter(F.col("doc_id") >= cut).coalesce(1).write.parquet(
+        indir + "/b.parquet"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(indir)
+    )
+    got = _rows(stream_incremental_dedup(stream, corpus))
+    assert got == expected
