@@ -1092,3 +1092,120 @@ def kmeans_lloyd(emb: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
         F.col("cv").alias("centroid_val"),
         "n_members",
     )
+
+
+#: Product quantization layout: 64 dims → PQ_M subspaces × 64/PQ_M dims,
+#: PQ_K codewords per subspace (seeded from the PQ_K lowest-vec_id
+#: vectors' subvectors — deterministic, no RNG, the q_kmeans_iter seed
+#: convention).
+PQ_M = 8
+PQ_K = 4
+
+
+@query(
+    "q_pq_quantize",
+    oracle=f"""
+    WITH longe AS (
+      SELECT vec_id, pos,
+             CAST((pos - 1) // {64 // PQ_M} AS INTEGER) AS sub_id,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM embeddings)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    longs AS (
+      SELECT code_id, pos,
+             CAST((pos - 1) // {64 // PQ_M} AS INTEGER) AS sub_id,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS cv
+      FROM (SELECT code_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM seeds)
+    ),
+    dist AS (
+      SELECT e.vec_id, e.sub_id, s.code_id,
+             round(sum((e.v - s.cv) * (e.v - s.cv)), 8) AS d
+      FROM longe e JOIN longs s ON e.pos = s.pos
+      GROUP BY e.vec_id, e.sub_id, s.code_id
+    )
+    SELECT vec_id, sub_id, CAST(code_id AS INTEGER) AS code, d AS sq_err
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                       ORDER BY d, code_id) AS rn
+          FROM dist) WHERE rn = 1
+    """,
+    tags=("llm", "similarity", "compression"),
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus — the compression
+    stage of an IVF-PQ ANN index (Jégou et al. 2011): each 64-dim vector
+    splits into {PQ_M} contiguous 8-dim subvectors and each subvector is
+    coded as its nearest of {PQ_K} codewords (here the codebook is the
+    {PQ_K} lowest-vec_id vectors' subvectors — deterministic stand-in
+    for the k-means codebook q_kmeans_multi would train). Emits the long
+    (vec_id, sub_id, code) code table plus the per-subspace squared
+    quantization error — 8 small ints per vector replacing 64 floats,
+    the 32× memory cut that lets a 100 TB embedding corpus fit an
+    in-RAM ANN index. Rounded-distance 8dp + code_id tie-break keeps
+    both engines' argmin identical (the ANN-family contract).
+
+    Scale shape: the codebook is {PQ_M}×{PQ_K} tiny rows — BROADCAST;
+    coding is one map-side nested-loop against it plus one
+    groupBy(vec_id, sub_id) struct-min argmin; no fact×fact join, one
+    fact-scale exchange. The posexplode emits {PQ_M} rows per vector
+    (not 64): subvectors slice ONCE per subspace."""
+    t = load(spark, sf_dir)
+    d_sub = 64 // PQ_M
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice("e", m * d_sub + 1, d_sub),
+            )
+        ).alias("sub_id", "sv"),
+    )
+    from pyspark.sql import Window
+
+    seeds = (
+        t.embeddings.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("code_id"),
+            _as_double(F.col("embedding")).alias("c"),
+        )
+    )
+    codebook = seeds.select(
+        "code_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice("c", m * d_sub + 1, d_sub),
+            )
+        ).alias("sub_id", "cv"),
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        subs.join(F.broadcast(codebook), "sub_id")
+        .withColumn("d", F.round(sqdist(F.col("sv"), F.col("cv")), 8))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d", "code_id")).alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.code_id").cast("int").alias("code"),
+            F.col("m.d").alias("sq_err"),
+        )
+    )

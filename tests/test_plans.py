@@ -878,3 +878,31 @@ def test_kmeans_multi_converges_on_separable_toy(spark, sf_dir):
         per_dim[r["pos"]] = per_dim.get(r["pos"], 0) + r["n_members"]
     n_vecs = load(spark, sf_dir).embeddings.count()
     assert set(per_dim.values()) == {n_vecs}, per_dim
+
+
+def test_pq_quantize_self_coding_and_coverage(spark, sf_dir):
+    """q_pq_quantize: a codebook seed vector codes every one of its own
+    subspaces to itself with zero error; the code table is total
+    (n_vecs × PQ_M rows, codes within [0, PQ_K)); the codebook joins by
+    broadcast."""
+    from crypto_data_ingestion_script_spark.llm.similarity import PQ_K, PQ_M
+
+    df = SPECS["q_pq_quantize"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "CartesianProduct" not in plan
+    rows = df.collect()
+    t = load(spark, sf_dir)
+    n_vecs = t.embeddings.count()
+    assert len(rows) == n_vecs * PQ_M
+    assert all(0 <= r["code"] < PQ_K and r["sq_err"] >= 0.0 for r in rows)
+    seed_ids = [
+        r["vec_id"]
+        for r in t.embeddings.orderBy("vec_id").limit(PQ_K).collect()
+    ]
+    for i, vid in enumerate(seed_ids):
+        mine = [r for r in rows if r["vec_id"] == vid]
+        assert len(mine) == PQ_M
+        assert all(r["code"] == i and r["sq_err"] == 0.0 for r in mine), (
+            vid,
+            mine,
+        )
