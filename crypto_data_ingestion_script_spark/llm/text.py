@@ -1008,3 +1008,218 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_sym_after"),
         )
     )
+
+
+#: Full-BPE training rounds: enough to chain merges through rewritten
+#: multi-char symbols (round 2+ operates on round 1's output symbols),
+#: few enough to keep the unrolled oracle readable.
+BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled {BPE_ROUNDS}-round BPE chain. Each round: adjacent-pair
+    counts over the CURRENT symbol sequences → lexicographic-tie argmax →
+    greedy rewrite (odd-rank members of each matched-position island
+    merge; the position after a merge is consumed) → re-number. The
+    greedy selection generalizes q_bpe_merge's ceil(k/2) counting to an
+    actual rewrite."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT w AS word, count(*) AS word_freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    syms0 AS (
+      SELECT word, word_freq, pos,
+             substr(word, CAST(pos AS INTEGER), 1) AS sym
+      FROM (SELECT word, word_freq,
+                   unnest(generate_series(1, length(word))) AS pos
+            FROM words)
+    )"""
+    ]
+    for i in range(1, BPE_ROUNDS + 1):
+        parts.append(f""",
+    prs{i} AS (
+      SELECT word, word_freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM syms{i - 1}
+    ),
+    ch{i} AS (
+      SELECT l, r FROM (
+        SELECT sym AS l, nxt AS r, sum(word_freq) AS cnt
+        FROM prs{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    m{i} AS (
+      SELECT p.word, p.pos,
+             row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+      FROM prs{i} p, ch{i} c WHERE p.sym = c.l AND p.nxt = c.r
+    ),
+    g{i} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, pos - rn
+                                  ORDER BY pos) AS rn2
+        FROM m{i}) WHERE rn2 % 2 = 1
+    ),
+    syms{i} AS (
+      SELECT p.word, p.word_freq,
+             row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS pos,
+             CASE WHEN g.pos IS NOT NULL THEN p.sym || p.nxt
+                  ELSE p.sym END AS sym
+      FROM prs{i} p
+      LEFT JOIN g{i} g ON g.word = p.word AND g.pos = p.pos
+      LEFT JOIN g{i} h ON h.word = p.word AND h.pos = p.pos - 1
+      WHERE h.pos IS NULL
+    )""")
+    merge_str = " || ',' || ".join(
+        f"c{i}.l || '+' || c{i}.r" for i in range(1, BPE_ROUNDS + 1)
+    )
+    crosses = " ".join(
+        f"CROSS JOIN ch{i} c{i}" for i in range(1, BPE_ROUNDS + 1)
+    )
+    parts.append(f""",
+    seg AS (
+      SELECT word, word_freq,
+             string_agg(sym, ' ' ORDER BY pos) AS seg,
+             CAST(count(*) AS BIGINT) AS n_syms
+      FROM syms{BPE_ROUNDS} GROUP BY word, word_freq
+    )
+    SELECT s.word, s.word_freq, s.seg, s.n_syms,
+           {merge_str} AS merges
+    FROM seg s {crosses}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(),
+    tags=("llm", "text", "tokenizer", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_ROUNDS} chained merge rounds of BPE tokenizer training —
+    q_bpe_merge driven through REAL sequence rewriting: after round 1
+    the vocabulary's words are sequences of multi-character symbols, so
+    round 2's pair statistics and merges operate on merged symbols (the
+    part a single counting round can't exercise). Per round: adjacent
+    pair counts weighted by word frequency → argmax (count DESC,
+    lexicographic tie-break — engine-identical) → GREEDY left-to-right
+    apply via gaps-and-islands, generalized from counting to rewriting:
+    within each island (run) of matched positions the odd-ranked members
+    merge and the position following each merge is consumed; for l≠r
+    islands are provably length-1 (see q_bpe_merge), for l==r this is
+    exactly the overlap rule ("aaaa" → "aa aa", "aaa" → "aa a"). Emits
+    each word's final segmentation, symbol count, and the ordered merge
+    table — the actual artifacts a tokenizer trainer persists.
+
+    Scale shape: ONE fact-scale shuffle total (the word-frequency
+    groupBy); all {BPE_ROUNDS} rounds run at VOCABULARY grain — windows
+    partitioned by word, 1-row argmax broadcast back, greedy-position
+    tables joined per word. Per-round localCheckpoint (vocab-grain,
+    tiny) cuts the iterative lineage like q_kmeans_multi; no UDF
+    anywhere."""
+    return bpe_train(load(spark, sf_dir).documents, BPE_ROUNDS)
+
+
+def bpe_train(docs: DataFrame, rounds: int) -> DataFrame:
+    """Composable BPE trainer over a ``(doc_id, text)`` corpus — the body
+    of :func:`q_bpe_train` (semantics there); exposed so tests can pin
+    the chained-rewrite corners (multi-char round-2 merges, l==r overlap)
+    on a toy corpus."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+        .localCheckpoint()
+    )
+    syms = (
+        words.select(
+            "word",
+            "word_freq",
+            # Java split keeps a trailing empty field for the end-of-string
+            # lookahead match — drop it.
+            F.posexplode(F.split("word", "(?!^)")).alias("pos0", "sym"),
+        )
+        .filter(F.col("sym") != "")
+        .select("word", "word_freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    )
+    w_word = Window.partitionBy("word").orderBy("pos")
+    chosens = []
+    for _ in range(rounds):
+        prs = syms.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint()
+        chosen = (
+            prs.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("word_freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .select("l", "r")
+            .localCheckpoint()
+        )
+        chosens.append(chosen)
+        g = (
+            prs.crossJoin(F.broadcast(chosen))
+            .filter((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r")))
+            .withColumn("rn", F.row_number().over(w_word))
+            .withColumn(
+                "rn2",
+                F.row_number().over(
+                    Window.partitionBy(
+                        "word", (F.col("pos") - F.col("rn"))
+                    ).orderBy("pos")
+                ),
+            )
+            .filter(F.col("rn2") % 2 == 1)
+            .select("word", "pos")
+        )
+        syms = (
+            prs.join(
+                g.withColumn("is_g", F.lit(True)), ["word", "pos"], "left"
+            )
+            .join(
+                g.select(
+                    "word",
+                    (F.col("pos") + 1).alias("pos"),
+                    F.lit(True).alias("is_c"),
+                ),
+                ["word", "pos"],
+                "left",
+            )
+            .filter(F.col("is_c").isNull())
+            .select(
+                "word",
+                "word_freq",
+                F.row_number().over(w_word).alias("pos"),
+                F.when(
+                    F.col("is_g").isNotNull(), F.concat("sym", "nxt")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+    out = syms.groupBy("word", "word_freq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+            " ",
+        ).alias("seg"),
+        F.count(F.lit(1)).alias("n_syms"),
+    )
+    merges = None
+    for i, c in enumerate(chosens):
+        c = c.select(
+            F.concat_ws("+", "l", "r").alias(f"m{i}")
+        )
+        merges = c if merges is None else merges.crossJoin(c)
+    merges = merges.select(
+        F.concat_ws(",", *[f"m{i}" for i in range(rounds)]).alias("merges")
+    )
+    return out.crossJoin(F.broadcast(merges))

@@ -31,3 +31,28 @@ def test_bpe_merge_greedy_overlap(spark, tmp_path):
             rows["oooo"]["n_sym_after"]) == (2, 2, 2)
     assert (rows["ooo"]["n_merges"], rows["ooo"]["n_sym_after"]) == (1, 2)
     assert (rows["zz"]["n_merges"], rows["zz"]["n_sym_after"]) == (0, 2)
+
+
+def test_bpe_train_chains_multichar_merges(spark):
+    """bpe_train: round 2+ must merge MULTI-CHARACTER symbols produced by
+    earlier rounds, and the l==r overlap rule must hold through a rewrite.
+    Corpus: 'abab' x3 and 'aaaa' x1.
+      round 1: pairs ab:6(in abab)+?, ba:3, aa:3 -> 'a'+'b' wins (cnt 6).
+        rewrite: abab -> 'ab ab', aaaa -> 'aaaa' (untouched).
+      round 2: pairs: ab+ab (3), a+a (3 matches in aaaa but greedy 2).
+        counts: (ab,ab): 3, (a,a): 3 -> tie, lexicographic: 'a'+'a' wins.
+        rewrite: aaaa -> 'aa aa'.
+      round 3: (ab,ab): 3, (aa,aa): 1 -> 'ab'+'ab' wins; abab -> 'abab'.
+    """
+    from crypto_data_ingestion_script_spark.llm.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab aaaa")],
+        "doc_id bigint, text string",
+    )
+    out = {r["word"]: r for r in bpe_train(docs, rounds=3).collect()}
+    assert set(out) == {"abab", "aaaa"}
+    assert out["abab"]["merges"] == "a+b,a+a,ab+ab"
+    assert out["abab"]["seg"] == "abab" and out["abab"]["n_syms"] == 1
+    assert out["aaaa"]["seg"] == "aa aa" and out["aaaa"]["n_syms"] == 2
+    assert out["abab"]["word_freq"] == 3 and out["aaaa"]["word_freq"] == 1
