@@ -1209,3 +1209,109 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.d").alias("sq_err"),
         )
     )
+
+
+#: Power-method rounds for q_pca_power_multi — like KMEANS_ITERS, enough
+#: to demonstrate the re-normalized iteration, small enough to unroll.
+POWER_ITERS = 3
+
+
+def _pca_power_multi_oracle() -> str:
+    """Unrolled {POWER_ITERS}-round power method in long (vec, dim)
+    form: c_i = <e, v_{{i-1}}>, w_i = Σ c_i·e, v_i = round(w_i/‖w_i‖, 6).
+    Rounding v at every iteration boundary keeps both engines' trajectories
+    identical (the q_kmeans_multi lockstep convention)."""
+    parts = [
+        """
+    WITH longe AS (
+      SELECT vec_id, pos, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM embeddings)
+    ),
+    v0 AS (
+      SELECT unnest(generate_series(1, 64)) AS pos, 0.125 AS val
+    )"""
+    ]
+    for i in range(1, POWER_ITERS + 1):
+        parts.append(f""",
+    c{i} AS (
+      SELECT l.vec_id, sum(l.v * p.val) AS c
+      FROM longe l JOIN v{i - 1} p USING (pos) GROUP BY l.vec_id
+    ),
+    w{i} AS (
+      SELECT l.pos, sum(l.v * c.c) AS w
+      FROM longe l JOIN c{i} c USING (vec_id) GROUP BY l.pos
+    ),
+    n{i} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{i}),
+    v{i} AS (
+      SELECT pos, round(w / nrm, 6) AS val FROM w{i} CROSS JOIN n{i}
+    )""")
+    parts.append(f"""
+    SELECT CAST(v.pos AS INTEGER) AS pos, v.val AS loading,
+           round(n.nrm, 4) AS rayleigh
+    FROM v{POWER_ITERS} v CROSS JOIN n{POWER_ITERS} n
+    """)
+    return "".join(parts)
+
+
+@query(
+    "q_pca_power_multi",
+    oracle=_pca_power_multi_oracle(),
+    tags=("llm", "similarity", "iterative"),
+)
+def q_pca_power_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{POWER_ITERS} re-normalized power-method rounds toward the top
+    principal direction — q_pca_power_iter driven to convergence-shape
+    (the matrix-free A·(Aᵀv) iteration over the embedding corpus), with
+    the direction vector ROUNDED to 6 decimals at every normalize so
+    both engines follow the identical trajectory (q_kmeans_multi's
+    lockstep contract); the final Rayleigh estimate ‖w‖ converges to the
+    top eigenvalue of the (uncentered) second-moment matrix.
+
+    Scale shape: per round the direction rides as a 1-row BROADCAST
+    array (⟨e, v⟩ is a map-side fold — no 64× row explosion for the
+    dot), the reduction is one posexplode + groupBy(dim) into 64 rows
+    with map-side partials, and the new direction localCheckpoints
+    (64 rows — summary-scale iterative cadence). One fact-scale exchange
+    per round; the fact is SCANNED per round but never shuffled wide —
+    at 100 TB a production run would cache/checkpoint the projected
+    (vec_id, e) columns once and reuse across rounds."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).localCheckpoint()
+    varr = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), 64).alias("va")
+    )
+    v_long, nrm = None, None
+    for _ in range(POWER_ITERS):
+        c = emb.crossJoin(F.broadcast(varr)).select(
+            "e",
+            F.aggregate(
+                F.zip_with("e", "va", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("c"),
+        )
+        w = (
+            c.select(F.posexplode("e").alias("pos0", "v"), "c")
+            .groupBy((F.col("pos0") + 1).alias("pos"))
+            .agg(F.sum(F.col("v") * F.col("c")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v_long = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("w") / F.col("nrm"), 6).alias("val"))
+            .localCheckpoint()
+        )
+        varr = v_long.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("va")
+        )
+    return v_long.crossJoin(F.broadcast(nrm)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("val").alias("loading"),
+        F.round("nrm", 4).alias("rayleigh"),
+    )

@@ -906,3 +906,21 @@ def test_pq_quantize_self_coding_and_coverage(spark, sf_dir):
             vid,
             mine,
         )
+
+
+def test_pca_power_multi_converges_monotonically(spark, sf_dir):
+    """q_pca_power_multi: the final direction is unit-norm (up to the 6dp
+    rounding), and the 3-round Rayleigh estimate dominates the 1-round one
+    (power iteration on a PSD second-moment matrix improves monotonically
+    toward the top eigenvalue). The direction rides as a broadcast — no
+    fact-scale cartesian."""
+    multi = SPECS["q_pca_power_multi"].fn(spark, sf_dir)
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = multi.collect()
+    assert len(rows) == 64
+    norm2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3, norm2
+    r3 = rows[0]["rayleigh"]
+    r1 = SPECS["q_pca_power_iter"].fn(spark, sf_dir).collect()[0]["rayleigh"]
+    assert r3 >= r1 - 1e-6, (r1, r3)
