@@ -1102,6 +1102,70 @@ PQ_M = 8
 PQ_K = 4
 
 
+def _pq_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(vecs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Explode ``(id, array<double>[64])`` into PQ_M rows of contiguous
+    64/PQ_M-dim subvectors: (id, sub_id, sv)."""
+    d_sub = 64 // PQ_M
+    return vecs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(vec_col, m * d_sub + 1, d_sub),
+            )
+        ).alias("sub_id", "sv"),
+    )
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """The deterministic codebook: (code_id, sub_id, cv) from the PQ_K
+    lowest-vec_id vectors' subvectors."""
+    from pyspark.sql import Window
+
+    seeds = (
+        embeddings.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "code_id"
+            ),
+            _as_double(F.col("embedding")).alias("c"),
+        )
+    )
+    return _pq_subvectors(seeds, "code_id", "c").withColumnRenamed("sv", "cv")
+
+
+def pq_code_table(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Assign every vector's every subspace to its nearest codeword:
+    (vec_id, sub_id, code, sq_err) — rounded-L2 8dp + code_id tie-break
+    (the ANN-family lockstep contract)."""
+    subs = _pq_subvectors(
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e")),
+        "vec_id",
+        "e",
+    )
+    return (
+        subs.join(F.broadcast(codebook), "sub_id")
+        .withColumn("d", F.round(_pq_sqdist(F.col("sv"), F.col("cv")), 8))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d", "code_id")).alias("m"))
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.code_id").cast("int").alias("code"),
+            F.col("m.d").alias("sq_err"),
+        )
+    )
+
+
 @query(
     "q_pq_quantize",
     oracle=f"""
@@ -1155,60 +1219,7 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-scale exchange. The posexplode emits {PQ_M} rows per vector
     (not 64): subvectors slice ONCE per subspace."""
     t = load(spark, sf_dir)
-    d_sub = 64 // PQ_M
-    emb = t.embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
-    subs = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.slice("e", m * d_sub + 1, d_sub),
-            )
-        ).alias("sub_id", "sv"),
-    )
-    from pyspark.sql import Window
-
-    seeds = (
-        t.embeddings.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
-            (
-                F.row_number().over(Window.orderBy("vec_id")) - 1
-            ).alias("code_id"),
-            _as_double(F.col("embedding")).alias("c"),
-        )
-    )
-    codebook = seeds.select(
-        "code_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.slice("c", m * d_sub + 1, d_sub),
-            )
-        ).alias("sub_id", "cv"),
-    )
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return (
-        subs.join(F.broadcast(codebook), "sub_id")
-        .withColumn("d", F.round(sqdist(F.col("sv"), F.col("cv")), 8))
-        .groupBy("vec_id", "sub_id")
-        .agg(F.min(F.struct("d", "code_id")).alias("m"))
-        .select(
-            "vec_id",
-            "sub_id",
-            F.col("m.code_id").cast("int").alias("code"),
-            F.col("m.d").alias("sq_err"),
-        )
-    )
+    return pq_code_table(t.embeddings, pq_codebook(t.embeddings))
 
 
 #: Power-method rounds for q_pca_power_multi — like KMEANS_ITERS, enough
@@ -1314,4 +1325,118 @@ def q_pca_power_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.col("val").alias("loading"),
         F.round("nrm", 4).alias("rayleigh"),
+    )
+
+
+#: ADC search: this many query vectors (the highest vec_ids — disjoint
+#: from the lowest-id codebook seeds), top-k results each.
+PQ_NQ = 4
+PQ_TOPK = 3
+
+
+@query(
+    "q_pq_search",
+    oracle=f"""
+    WITH longe AS (
+      SELECT vec_id, pos,
+             CAST((pos - 1) // {64 // PQ_M} AS INTEGER) AS sub_id,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM embeddings)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    longs AS (
+      SELECT code_id, pos,
+             CAST((pos - 1) // {64 // PQ_M} AS INTEGER) AS sub_id,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS cv
+      FROM (SELECT code_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM seeds)
+    ),
+    dist AS (
+      SELECT e.vec_id, e.sub_id, s.code_id,
+             round(sum((e.v - s.cv) * (e.v - s.cv)), 8) AS d
+      FROM longe e JOIN longs s ON e.pos = s.pos
+      GROUP BY e.vec_id, e.sub_id, s.code_id
+    ),
+    codes AS (
+      SELECT vec_id, sub_id, code_id AS code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                         ORDER BY d, code_id) AS rn
+            FROM dist) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id FROM embeddings
+      ORDER BY vec_id DESC LIMIT {PQ_NQ}
+    ),
+    lut AS (
+      SELECT l.vec_id AS q_id, l.sub_id, s.code_id,
+             round(sum((l.v - s.cv) * (l.v - s.cv)), 8) AS d
+      FROM longe l JOIN q ON l.vec_id = q.q_id
+                  JOIN longs s ON l.pos = s.pos
+      GROUP BY l.vec_id, l.sub_id, s.code_id
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id, round(sum(l.d), 6) AS adc
+      FROM codes c JOIN lut l ON l.sub_id = c.sub_id AND l.code_id = c.code
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, CAST(rn AS INTEGER) AS rank, vec_id, adc
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc, vec_id) AS rn
+          FROM adc) WHERE rn <= {PQ_TOPK}
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-{PQ_TOPK} search over the PQ-coded
+    corpus — the query half of IVF-PQ (Jégou et al. 2011): per query, a
+    {PQ_M}×{PQ_K} lookup table of exact query-subvector ↔ codeword
+    distances is built once (rounded 8dp), and every database vector's
+    approximate distance is just {PQ_M} LUT adds keyed by its stored
+    codes — no float vector math against the corpus at query time. ADC
+    rounded 6dp + vec_id tie-break keeps the ranking engine-identical.
+    Queries are the {PQ_NQ} highest-vec_id vectors (disjoint from the
+    lowest-id codebook seeds).
+
+    Scale shape: codebook and LUT ({PQ_NQ}×{PQ_M}×{PQ_K} rows) are
+    BROADCAST; the scoring join touches the codes table ({PQ_M} small
+    ints per vector — the 32× compressed representation) map-side, one
+    groupBy(q_id, vec_id) with map-side partials, and the final top-k is
+    a rank-filter window that compiles to WindowGroupLimit (partial
+    per-partition top-k BEFORE the exchange — the q_domain_cap shape),
+    so no fact-scale sort funnel."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    codebook = pq_codebook(t.embeddings)
+    codes = pq_code_table(t.embeddings, codebook).select(
+        "vec_id", "sub_id", "code"
+    )
+    queries = t.embeddings.orderBy(F.desc("vec_id")).limit(PQ_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+    )
+    lut = (
+        _pq_subvectors(queries, "q_id", "qe")
+        .join(F.broadcast(codebook), "sub_id")
+        .select(
+            "q_id",
+            "sub_id",
+            F.col("code_id").alias("code"),
+            F.round(_pq_sqdist(F.col("sv"), F.col("cv")), 8).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc")
     )

@@ -924,3 +924,30 @@ def test_pca_power_multi_converges_monotonically(spark, sf_dir):
     r3 = rows[0]["rayleigh"]
     r1 = SPECS["q_pca_power_iter"].fn(spark, sf_dir).collect()[0]["rayleigh"]
     assert r3 >= r1 - 1e-6, (r1, r3)
+
+
+def test_pq_search_self_adc_equals_quantization_error(spark, sf_dir):
+    """q_pq_search: ADC(q, q) must equal q's own total quantization error
+    (the defining identity of asymmetric distance: the query side is
+    exact, the database side is its codes), and the top-k window must
+    compile to WindowGroupLimit (partial top-k before the exchange)."""
+    df = SPECS["q_pq_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    from crypto_data_ingestion_script_spark.llm.similarity import PQ_TOPK
+
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert all(len(v) == PQ_TOPK for v in by_q.values())
+    # sq_err rows arrive one per (vec, subspace): re-sum per vec.
+    tot = {}
+    for r in SPECS["q_pq_quantize"].fn(spark, sf_dir).collect():
+        if r["vec_id"] in by_q:
+            tot[r["vec_id"]] = tot.get(r["vec_id"], 0.0) + r["sq_err"]
+    for q_id, res in by_q.items():
+        mine = [r for r in res if r["vec_id"] == q_id]
+        if mine:  # self made the top-k
+            assert abs(mine[0]["adc"] - round(tot[q_id], 6)) <= 1e-6
