@@ -343,7 +343,7 @@ def closing_probe(
     n_edges, n_rows = adj.agg(
         F.sum(F.size("nbrs")), F.count(F.lit(1))
     ).collect()[0]
-    est_bytes = 8 * (n_edges or 0) + 48 * (n_rows or 0)
+    est_bytes = 8 * (n_edges or 0) + EDGE_ROW_EST_BYTES * (n_rows or 0)
     closing = adj.select(F.col("src").alias("b1"), F.col("nbrs").alias("nbrs_v"))
     if est_bytes <= broadcast_adj_cap_bytes:
         closing = F.broadcast(closing)
