@@ -54,6 +54,14 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
     "q_bpe_merge",
+    "q_bpe_train",
+    "q_segment_dedup",
+    "q_kmeans_multi",
+    "q_bloom_bitmap",
+    "q_pq_quantize",
+    "q_pq_search",
+    "q_pca_power_multi",
+    "q_stream_incremental_dedup",
     "q_pca_power_iter",
     "q_perplexity_buckets",
     "q_bloom_screen",
