@@ -1016,13 +1016,14 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled {BPE_ROUNDS}-round BPE chain. Each round: adjacent-pair
-    counts over the CURRENT symbol sequences → lexicographic-tie argmax →
-    greedy rewrite (odd-rank members of each matched-position island
-    merge; the position after a merge is consumed) → re-number. The
-    greedy selection generalizes q_bpe_merge's ceil(k/2) counting to an
-    actual rewrite."""
+def _bpe_chain_ctes() -> list:
+    """Unrolled {BPE_ROUNDS}-round BPE chain (shared by q_bpe_train and
+    q_bpe_encode, which differ only in their final SELECT). Each round:
+    adjacent-pair counts over the CURRENT symbol sequences →
+    lexicographic-tie argmax → greedy rewrite (odd-rank members of each
+    matched-position island merge; the position after a merge is
+    consumed) → re-number. The greedy selection generalizes
+    q_bpe_merge's ceil(k/2) counting to an actual rewrite."""
     parts = [
         """
     WITH words AS (
@@ -1074,24 +1075,49 @@ def _bpe_train_oracle() -> str:
       LEFT JOIN g{i} h ON h.word = p.word AND h.pos = p.pos - 1
       WHERE h.pos IS NULL
     )""")
-    merge_str = " || ',' || ".join(
-        f"c{i}.l || '+' || c{i}.r" for i in range(1, BPE_ROUNDS + 1)
-    )
-    crosses = " ".join(
-        f"CROSS JOIN ch{i} c{i}" for i in range(1, BPE_ROUNDS + 1)
-    )
     parts.append(f""",
     seg AS (
       SELECT word, word_freq,
              string_agg(sym, ' ' ORDER BY pos) AS seg,
              CAST(count(*) AS BIGINT) AS n_syms
       FROM syms{BPE_ROUNDS} GROUP BY word, word_freq
+    )""")
+    return parts
+
+
+def _bpe_train_oracle() -> str:
+    merge_str = " || ',' || ".join(
+        f"c{i}.l || '+' || c{i}.r" for i in range(1, BPE_ROUNDS + 1)
     )
+    crosses = " ".join(
+        f"CROSS JOIN ch{i} c{i}" for i in range(1, BPE_ROUNDS + 1)
+    )
+    return "".join(
+        _bpe_chain_ctes()
+        + [f"""
     SELECT s.word, s.word_freq, s.seg, s.n_syms,
            {merge_str} AS merges
     FROM seg s {crosses}
-    """)
-    return "".join(parts)
+    """]
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    return "".join(
+        _bpe_chain_ctes()
+        + ["""
+    , doc_tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.n_syms) AS BIGINT) AS n_bpe_tokens,
+           round(sum(s.n_syms) * 1.0 / count(*), 6) AS avg_syms_per_word
+    FROM doc_tok d JOIN seg s USING (word)
+    GROUP BY d.doc_id
+    """]
+    )
 
 
 @query(
@@ -1223,3 +1249,43 @@ def bpe_train(docs: DataFrame, rounds: int) -> DataFrame:
         F.concat_ws(",", *[f"m{i}" for i in range(rounds)]).alias("merges")
     )
     return out.crossJoin(F.broadcast(merges))
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("llm", "text", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the tokenizer q_bpe_train just trained —
+    the apply half of tokenizer training, and the exact-token-count
+    surface q_token_count only approximates (chars/4): per document, its
+    whitespace word count, its post-BPE token count under the
+    {BPE_ROUNDS}-merge vocabulary, and the mean symbols-per-word
+    compression. Because BPE segmentation is a pure per-WORD function,
+    encoding = the trained per-word segment table joined back to the
+    corpus's exploded words — no per-document re-derivation.
+
+    Scale shape: the segment table is VOCABULARY-grain (distinct words ×
+    n_syms — summary-scale even for web corpora) and joins the exploded
+    fact by BROADCAST below the cap; the only fact-scale exchanges are
+    the word explode's groupBy(doc_id) re-aggregation and the train
+    chain's one vocabulary groupBy. At 100 TB the segment table is
+    computed once per tokenizer release and persisted; here it rides the
+    same DAG (localCheckpoint'ed per round by bpe_train)."""
+    t = load(spark, sf_dir)
+    seg = bpe_train(t.documents, BPE_ROUNDS).select("word", "n_syms")
+    words = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_syms_per_word"),
+        )
+    )

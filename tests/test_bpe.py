@@ -5,6 +5,7 @@ pair is a double letter."""
 
 from __future__ import annotations
 
+from crypto_data_ingestion_script_spark.catalog import load
 from crypto_data_ingestion_script_spark.registry import load_all
 
 SPECS = load_all()
@@ -56,3 +57,21 @@ def test_bpe_train_chains_multichar_merges(spark):
     assert out["abab"]["seg"] == "abab" and out["abab"]["n_syms"] == 1
     assert out["aaaa"]["seg"] == "aa aa" and out["aaaa"]["n_syms"] == 2
     assert out["abab"]["word_freq"] == 3 and out["aaaa"]["word_freq"] == 1
+
+
+def test_bpe_encode_consistent_with_train(spark, sf_dir):
+    """q_bpe_encode: corpus-total post-BPE tokens must equal
+    Σ_vocab word_freq × n_syms from the SAME trained segmentation
+    (encode is the train table applied, nothing re-derived), with
+    n_words ≤ n_bpe_tokens ≤ n_chars per doc."""
+    enc = SPECS["q_bpe_encode"].fn(spark, sf_dir).collect()
+    trn = SPECS["q_bpe_train"].fn(spark, sf_dir).collect()
+    assert sum(r["n_bpe_tokens"] for r in enc) == sum(
+        r["word_freq"] * r["n_syms"] for r in trn
+    )
+    docs = {
+        r["doc_id"]: len(r["text"].replace(" ", ""))
+        for r in load(spark, sf_dir).documents.collect()
+    }
+    for r in enc:
+        assert r["n_words"] <= r["n_bpe_tokens"] <= docs[r["doc_id"]]
