@@ -1289,3 +1289,74 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_syms_per_word"),
         )
     )
+
+
+#: Count-Min sketch sizing: d hash rows × w counters. At the test vocab
+#: (~31 tokens) collisions are absent; production sizes w ≈ e/ε for the
+#: tolerated overcount ε·N.
+CMS_D = 4
+CMS_W = 1024
+
+
+@query(
+    "q_cms_heavy",
+    oracle="""
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_true,
+           TRUE AS no_underestimate
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over corpus token frequencies — the fixed-memory
+    frequency summary a streaming ingest keeps when the vocabulary is
+    too large to count exactly ({CMS_D} xxhash64 rows × {CMS_W}
+    counters; point estimate = min over rows). Driver-checkable form
+    (the q_bloom_screen sketch convention): raw estimates are
+    implementation-defined (hash layout), so the output carries the
+    EXACT count beside the structural invariant a Count-Min sketch can
+    never violate — estimates NEVER undercount (every occurrence of a
+    token increments all {CMS_D} of its counters; collisions only add).
+    A broken sketch (wrong probe row, dropped counter cell, min over
+    the wrong axis) flips the literal-TRUE verdict and fails the hash.
+
+    Scale shape: ONE fact-scale exchange (the token count groupBy, with
+    map-side partials); the sketch build and the probe both run at
+    VOCAB × {CMS_D} grain against the ≤{CMS_D}×{CMS_W}-row BROADCAST
+    counter table — the sketch is by construction bounded memory
+    regardless of corpus size."""
+    return cms_token_sketch(load(spark, sf_dir).documents).select(
+        "token",
+        "n_true",
+        (F.col("est") >= F.col("n_true")).alias("no_underestimate"),
+    )
+
+
+def cms_token_sketch(
+    docs: DataFrame, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Count-Min token-frequency sketch over a ``(doc_id, text)`` corpus:
+    (token, n_true, est) — the body of :func:`q_cms_heavy` (semantics
+    there); exposed with tunable (d, w) so tests can force collisions on
+    a tiny sketch and pin the never-undercount invariant under real
+    overestimation."""
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .localCheckpoint()
+    )
+    pairs = vocab.select(
+        "token",
+        "n_true",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    ).withColumn("col", F.pmod(F.xxhash64("token", F.col("row")), F.lit(w)))
+    counters = pairs.groupBy("row", "col").agg(F.sum("n_true").alias("c"))
+    return (
+        pairs.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est"), F.first("n_true").alias("n_true"))
+        .select("token", "n_true", "est")
+    )

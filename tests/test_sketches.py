@@ -105,3 +105,22 @@ def test_bloom_bitmap_packs_and_probes_correctly(spark, sf_dir):
     assert toy[101]["in_corpus_exact"] and toy[101]["no_false_negative"]
     assert toy[103]["in_corpus_exact"] and toy[103]["no_false_negative"]
     assert not toy[102]["in_corpus_exact"] and toy[102]["no_false_negative"]
+
+
+def test_cms_never_undercounts_even_with_collisions(spark):
+    """cms_token_sketch on a 1-column-wide sketch: EVERY token's estimate
+    collapses to the total token count (all collisions) — a real
+    overestimate — and still never undercounts; at width 2 estimates can
+    only shrink toward truth, never below it."""
+    from crypto_data_ingestion_script_spark.llm.text import cms_token_sketch
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d")],
+        "doc_id bigint, text string",
+    )
+    one = {r["token"]: r for r in cms_token_sketch(docs, d=2, w=1).collect()}
+    assert set(one) == {"a", "b", "c", "d"}
+    assert all(r["est"] == 7 for r in one.values())  # N = 7 tokens total
+    assert one["a"]["n_true"] == 3 and one["c"]["n_true"] == 1
+    two = cms_token_sketch(docs, d=2, w=2).collect()
+    assert all(r["n_true"] <= r["est"] <= 7 for r in two)
