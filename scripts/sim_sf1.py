@@ -55,6 +55,8 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 FULL = [
     "q_bpe_merge",
     "q_bpe_train",
+    "q_bpe_encode",
+    "q_cms_heavy",
     "q_segment_dedup",
     "q_kmeans_multi",
     "q_bloom_bitmap",
