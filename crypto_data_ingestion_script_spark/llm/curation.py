@@ -1105,3 +1105,132 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("head"))
         .alias("ppl_bucket"),
     )
+
+
+#: Kneser-Ney absolute-discount parameter (the standard 0.75 of Chen &
+#: Goodman 1999's fixed-discount interpolated KN).
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "q_kn_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    big AS (
+      SELECT doc_id, tk[CAST(i AS INTEGER)] AS prev,
+             tk[CAST(i AS INTEGER) + 1] AS cur
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM tok WHERE len(tk) >= 2)
+    ),
+    c2 AS (SELECT prev, cur, count(*) AS n2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT prev, sum(n2) AS n1 FROM c2 GROUP BY 1),
+    nf AS (SELECT prev, count(*) AS nf FROM c2 GROUP BY 1),
+    nb AS (SELECT cur, count(*) AS nb FROM c2 GROUP BY 1),
+    np AS (SELECT count(*) AS np FROM c2),
+    m AS (
+      SELECT prev, cur,
+             ln((n2 - {KN_DISCOUNT}) / n1
+                + ({KN_DISCOUNT} * nf / n1) * (nb / CAST(np AS DOUBLE)))
+               AS logp
+      FROM c2 JOIN c1 USING (prev) JOIN nf USING (prev)
+              JOIN nb USING (cur) CROSS JOIN np
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp), 6) AS mean_kn_logprob
+    FROM big JOIN m USING (prev, cur)
+    GROUP BY big.doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Chen & Goodman 1999, fixed
+    discount d={KN_DISCOUNT}) — the LM quality proxy one smoothing class
+    above q_bigram_logprob's add-1: probability mass discounted from
+    observed bigrams is redistributed by CONTINUATION counts (how many
+    distinct contexts a word follows), the property that makes KN the
+    default for count-based LM filtering ("francisco" is frequent but
+    follows only "san", so its unseen-context probability is low).
+
+      P(cur|prev) = (c(prev,cur) - d)/c(prev)
+                    + (d * N1+(prev,*)/c(prev)) * (N1+(*,cur)/N_pairs)
+
+    Scoring the corpus under itself means every scored bigram was
+    observed (c2 >= 1 > d), so the max(c-d, 0) clamp is vacuous and the
+    log argument is strictly positive. Docs under two tokens have no
+    bigram events and are excluded, as in the oracle.
+
+    Scale shape (q_bigram_logprob's contract, one extra fold): the pair
+    stream is the same map-only arrays_zip(slice, slice) shape; c2
+    materializes ONCE at bigram-vocabulary grain and every KN statistic
+    — context totals c1, forward continuation counts N1+(prev,*),
+    backward continuation counts N1+(*,cur), and the distinct-pair
+    scalar — folds from that checkpoint without touching the corpus
+    again; all model algebra happens at vocab grain BEFORE the single
+    broadcast join back onto the pair stream (one joined column, logp,
+    instead of four model tables joined at fact scale); the corpus is
+    paired exactly twice (model pass + scoring pass) and the only other
+    fact-scale exchange is the final per-doc mean. Per-pair logp is one
+    fixed arithmetic expression evaluated identically in both engines,
+    so values hash-match exactly."""
+    t = load(spark, sf_dir)
+    big = bigram_events(t.documents)
+    m = kn_bigram_model(big)
+    return (
+        big.join(F.broadcast(m), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("mean_kn_logprob"),
+        )
+    )
+
+
+def bigram_events(documents: DataFrame) -> DataFrame:
+    """Bigram event stream ``(doc_id, prev, cur)`` — the map-only
+    arrays_zip(slice, slice) shape q_bigram_logprob documents; factored
+    so q_kn_logprob's model and scorer share one construction and tests
+    can run the KN algebra on toy corpora."""
+    tk = F.split(F.lower("text"), " ")
+    n = F.size(tk)
+    zipped = F.arrays_zip(F.slice(tk, 1, n - 1), F.slice(tk, 2, n - 1))
+    return (
+        documents.filter(n >= 2)
+        .select("doc_id", F.explode(zipped).alias("p"))
+        .select("doc_id", F.col("p.0").alias("prev"), F.col("p.1").alias("cur"))
+    )
+
+
+def kn_bigram_model(big: DataFrame) -> DataFrame:
+    """Interpolated-KN bigram model ``(prev, cur, logp)`` from a bigram
+    event stream — all statistics fold from one checkpointed
+    vocabulary-grain count table (semantics in :func:`q_kn_logprob`)."""
+    c2 = (
+        big.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint()
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    nf = c2.groupBy("prev").agg(F.count(F.lit(1)).alias("nf"))
+    nb = c2.groupBy("cur").agg(F.count(F.lit(1)).alias("nb"))
+    np_ = c2.agg(F.count(F.lit(1)).alias("np"))
+    # Model algebra at vocabulary grain: one logp column per (prev, cur),
+    # mirroring the oracle's parenthesization exactly (IEEE-identical).
+    return (
+        c2.join(c1, "prev")
+        .join(nf, "prev")
+        .join(nb, "cur")
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "prev",
+            "cur",
+            F.log(
+                (F.col("n2") - KN_DISCOUNT) / F.col("n1")
+                + (KN_DISCOUNT * F.col("nf") / F.col("n1"))
+                * (F.col("nb") / F.col("np").cast("double"))
+            ).alias("logp"),
+        )
+    )

@@ -142,3 +142,29 @@ def test_windowed_funnel_fixture(spark):
     assert set(got) == {1, 4}, got
     assert got[1] == (1, T(2024, 1, 1, 11, 15)), got[1]
     assert got[4] == (2, T(2024, 1, 1, 8, 20)), got[4]
+
+
+def test_kn_model_discount_mass_and_continuation(spark):
+    """kn_bigram_model on a hand-built corpus: (1) per-context observed
+    probability mass stays <= 1 (absolute discounting never over-
+    allocates), and (2) the continuation effect — two words with the SAME
+    bigram count after the same context, where one follows more distinct
+    contexts corpus-wide, ranks the richer-context word higher (the
+    property that distinguishes KN from add-k smoothing)."""
+    from crypto_data_ingestion_script_spark.llm.curation import (
+        bigram_events,
+        kn_bigram_model,
+    )
+
+    # "m" follows only "q" (1 distinct left context); "n" follows both
+    # "q" and "r" (2 distinct left contexts); c(q,m) = c(q,n) = 2.
+    docs = spark.createDataFrame(
+        [(1, "q m q m q n q n r n")], "doc_id bigint, text string"
+    )
+    m = kn_bigram_model(bigram_events(docs)).collect()
+    p = {(r["prev"], r["cur"]): math.exp(r["logp"]) for r in m}
+    assert p[("q", "n")] > p[("q", "m")], p
+    mass = {}
+    for (prev, _), prob in p.items():
+        mass[prev] = mass.get(prev, 0.0) + prob
+    assert all(v <= 1.0 + 1e-9 for v in mass.values()), mass

@@ -951,3 +951,12 @@ def test_pq_search_self_adc_equals_quantization_error(spark, sf_dir):
         mine = [r for r in res if r["vec_id"] == q_id]
         if mine:  # self made the top-k
             assert abs(mine[0]["adc"] - round(tot[q_id], 6)) <= 1e-6
+
+
+def test_kn_logprob_broadcasts_model(spark, sf_dir):
+    """q_kn_logprob: the vocab-grain KN model joins back by BROADCAST
+    (no fact-scale shuffle for scoring), and no row-Python anywhere."""
+    df = SPECS["q_kn_logprob"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
