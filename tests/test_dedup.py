@@ -153,3 +153,38 @@ def test_stream_incremental_dedup_multi_batch_equals_single(spark, sf_dir, tmp_p
     )
     got = _rows(stream_incremental_dedup(stream, corpus))
     assert got == expected
+
+
+def test_simhash_join_banding_equals_all_pairs(spark):
+    """q_simhash_join's pigeonhole guarantee, proven on real data: the
+    4x16-bit banded candidate join returns EXACTLY the pairs an
+    unblocked all-pairs Hamming scan finds at radius 3 (banding is a
+    recall-lossless blocking, not an approximation)."""
+    from crypto_data_ingestion_script_spark.llm.dedup import (
+        SIMHASH_HAM_MAX,
+        simhash64,
+    )
+    from crypto_data_ingestion_script_spark.registry import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in load_all()["q_simhash_join"].fn(spark, sf_dir).collect()
+    }
+    sh = simhash64(load(spark, sf_dir).documents)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo"))) + F.bit_count(
+        F.col("a.hi").bitwiseXOR(F.col("b.hi"))
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= SIMHASH_HAM_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0

@@ -960,3 +960,12 @@ def test_kn_logprob_broadcasts_model(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert uses_broadcast_join(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_join_no_cartesian_no_python(spark, sf_dir):
+    """q_simhash_join: the candidate join is an equi-join on (band, value)
+    — never a cartesian/nested-loop — and the whole plan stays JVM-side."""
+    df = SPECS["q_simhash_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
