@@ -1440,3 +1440,182 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOPK)
         .select("q_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc")
     )
+
+
+#: q_crosslingual_mine: margin kNN depth (the k=4 of Artetxe & Schwenk's
+#: ratio margin) and the deterministic probe cohort (vec_id bound).
+MARGIN_K = 4
+MINE_PROBE_LIM = 128
+
+
+@query(
+    "q_crosslingual_mine",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb FROM embeddings
+               WHERE label < 5 AND vec_id < {MINE_PROBE_LIM}),
+    b AS (SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+          WHERE label >= 5),
+    pairs AS (
+      SELECT a_id, b_id,
+             round({_DOT_SQL.format(a='a_emb', b='b_emb')}
+             / (sqrt({_DOT_SQL.format(a='a_emb', b='a_emb')})
+                * sqrt({_DOT_SQL.format(a='b_emb', b='b_emb')})), 8) AS cos
+      FROM a CROSS JOIN b
+    ),
+    ma AS (
+      SELECT a_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_slice(list(cos ORDER BY cos DESC), 1, {MARGIN_K})),
+               (acc, x) -> acc + x) / {MARGIN_K} AS ma
+      FROM pairs GROUP BY 1
+    ),
+    mb AS (
+      SELECT b_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_slice(list(cos ORDER BY cos DESC), 1, {MARGIN_K})),
+               (acc, x) -> acc + x) / {MARGIN_K} AS mb
+      FROM pairs GROUP BY 1
+    ),
+    m AS (
+      SELECT a_id, b_id, round(cos * 2 / (ma + mb), 6) AS margin
+      FROM pairs JOIN ma USING (a_id) JOIN mb USING (b_id)
+    ),
+    ba AS (
+      SELECT a_id, b_id, margin,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY margin DESC, b_id) AS ra
+      FROM m
+    ),
+    bb AS (
+      SELECT a_id, b_id,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY margin DESC, a_id) AS rb
+      FROM m
+    )
+    SELECT ba.a_id, ba.b_id, ba.margin, (bb.rb = 1) AS mutual
+    FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+    WHERE ba.ra = 1
+    """,
+    tags=("llm", "similarity"),
+)
+def q_crosslingual_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix alignment rule): a probe cohort of "source-language"
+    embeddings (label < 5, vec_id < {MINE_PROBE_LIM} — the new shipment
+    to align) scores against the full "target-language" side (label >=
+    5); each pair's RATIO MARGIN divides its cosine by the mean of the
+    {MARGIN_K} strongest cosines of both endpoints — the normalization
+    that kills hub vectors plain cosine thresholds mis-mine; a pair is
+    emitted per probe with its best-margin target and whether the match
+    is MUTUAL (the target's own best margin points back). Downstream
+    keeps mutual rows as sentence pairs.
+
+    Scale shape: the target corpus is scanned ONCE by an Arrow-batched
+    mapInPandas whose closure carries the (<= {MINE_PROBE_LIM})-row probe
+    matrix (the q_cosine_topk broadcast-dim pattern) — one numpy matmul
+    per batch, no shuffle of the corpus; only the |probes| x |targets|
+    scored pairs (linear in the corpus) reach the ranking exchanges. The
+    pair table checkpoints once (three consumers: both top-k folds and
+    the margin join); per-side top-{MARGIN_K} means fold SEQUENTIALLY
+    over the value-sorted list so both engines sum in one order
+    (bit-identical margins, the established float contract); ranking
+    runs on ROUNDED margins with id tie-breaks. At full mining scale
+    (both sides fact-sized) the probe side shards into
+    broadcastable chunks and q_ann_ivf prefilters candidates — this
+    operator is the exact per-chunk kernel."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    t = load(spark, sf_dir)
+    pdf = None
+    if os.path.isdir(sf_dir):
+        try:
+            import pyarrow.parquet as pq
+
+            pdf = pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "<", MINE_PROBE_LIM), ("label", "<", 5)],
+            ).to_pandas()
+        except Exception:
+            pdf = None
+    if pdf is None:
+        pdf = (
+            t.embeddings.filter(
+                (F.col("vec_id") < MINE_PROBE_LIM) & (F.col("label") < 5)
+            )
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+    pdf = pdf.sort_values("vec_id")
+    a_ids = pdf["vec_id"].to_numpy(dtype="int64")
+    A = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    a_norms = np.sqrt((A * A).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bdf in batches:
+            E = np.stack(bdf["embedding"].to_numpy()).astype("float64")
+            sims = (A @ E.T) / (
+                a_norms[:, None] * np.sqrt((E * E).sum(axis=1))[None, :]
+            )  # (|A|, n)
+            n = E.shape[0]
+            yield pd.DataFrame(
+                {
+                    "a_id": np.repeat(a_ids, n),
+                    "b_id": np.tile(bdf["vec_id"].to_numpy(), len(a_ids)),
+                    "cos": sims.ravel(),
+                }
+            )
+
+    pairs = (
+        t.embeddings.filter(F.col("label") >= 5)
+        .mapInPandas(score, schema="a_id bigint, b_id bigint, cos double")
+        .withColumn("cos", F.round("cos", 8))
+        .localCheckpoint()
+    )
+
+    def _topk_mean(key):
+        return (
+            pairs.groupBy(key)
+            .agg(
+                (
+                    F.aggregate(
+                        F.slice(
+                            F.sort_array(F.collect_list("cos"), asc=False),
+                            1,
+                            MARGIN_K,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / MARGIN_K
+                ).alias("m" + key[0])
+            )
+        )
+
+    m = (
+        pairs.join(F.broadcast(_topk_mean("a_id")), "a_id")
+        .join(F.broadcast(_topk_mean("b_id")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("cos") * 2 / (F.col("ma") + F.col("mb")), 6).alias(
+                "margin"
+            ),
+        )
+        .localCheckpoint()
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.col("margin").desc(), F.col("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.col("margin").desc(), F.col("a_id"))
+    ba = m.withColumn("ra", F.row_number().over(wa))
+    bb = m.select(
+        "a_id", "b_id", F.row_number().over(wb).alias("rb")
+    )
+    return (
+        ba.filter(F.col("ra") == 1)
+        .join(bb, ["a_id", "b_id"])
+        .select("a_id", "b_id", "margin", (F.col("rb") == 1).alias("mutual"))
+    )

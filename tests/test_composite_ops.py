@@ -168,3 +168,61 @@ def test_kn_model_discount_mass_and_continuation(spark):
     for (prev, _), prob in p.items():
         mass[prev] = mass.get(prev, 0.0) + prob
     assert all(v <= 1.0 + 1e-9 for v in mass.values()), mass
+
+
+def test_crosslingual_mine_matches_numpy_reference(spark):
+    """q_crosslingual_mine vs an independent dense numpy re-derivation at
+    sf0.001: same best-margin target per probe, same rounded margin, same
+    mutuality flags (pins the ratio-margin algebra and both rank
+    directions end-to-end)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crypto_data_ingestion_script_spark.llm.similarity import (
+        MARGIN_K,
+        MINE_PROBE_LIM,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    a = tbl[(tbl.label < 5) & (tbl.vec_id < MINE_PROBE_LIM)].sort_values("vec_id")
+    b = tbl[tbl.label >= 5].sort_values("vec_id")
+    A = np.stack(a.embedding.to_numpy()).astype("float64")
+    B = np.stack(b.embedding.to_numpy()).astype("float64")
+    cos = np.round(
+        (A @ B.T)
+        / (
+            np.sqrt((A * A).sum(1))[:, None]
+            * np.sqrt((B * B).sum(1))[None, :]
+        ),
+        8,
+    )
+    # Sequential top-k mean over value-sorted cosines, matching the
+    # engine's fold exactly.
+    def topk_mean(row):
+        vals = np.sort(row)[::-1][:MARGIN_K]
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc / MARGIN_K
+
+    ma = np.array([topk_mean(r) for r in cos])
+    mb = np.array([topk_mean(c) for c in cos.T])
+    margin = np.round(cos * 2 / (ma[:, None] + mb[None, :]), 6)
+    a_ids = a.vec_id.to_numpy()
+    b_ids = b.vec_id.to_numpy()
+    expect = {}
+    for i, aid in enumerate(a_ids):
+        # best by (margin desc, b_id asc)
+        j = min(range(len(b_ids)), key=lambda j: (-margin[i, j], b_ids[j]))
+        # target j's best probe by (margin desc, a_id asc)
+        i_back = min(range(len(a_ids)), key=lambda i2: (-margin[i2, j], a_ids[i2]))
+        expect[int(aid)] = (int(b_ids[j]), float(margin[i, j]), i_back == i)
+
+    from crypto_data_ingestion_script_spark.registry import load_all
+
+    got = {
+        int(r["a_id"]): (int(r["b_id"]), float(r["margin"]), bool(r["mutual"]))
+        for r in load_all()["q_crosslingual_mine"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
