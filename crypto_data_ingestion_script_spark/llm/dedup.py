@@ -2637,3 +2637,110 @@ def simhash64(documents: DataFrame) -> DataFrame:
         _pack(range(32)).alias("lo"),
         _pack(range(32, 64)).alias("hi"),
     ).localCheckpoint()
+
+
+#: q_boilerplate_lines: a segment is boilerplate when it occurs in at
+#: least this many DISTINCT documents (CCNet cuts paragraphs seen in many
+#: shards; 3 is the smallest count that separates template text from the
+#: incidental two-doc collision).
+BOILER_DF = 3
+
+
+@query(
+    "q_boilerplate_lines",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             array_to_string(
+               list_slice(toks, i * {SEG_LEN} + 1, i * {SEG_LEN} + {SEG_LEN}),
+               ' ') AS seg_text
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(
+                     0, (len(toks) + {SEG_LEN} - 1) // {SEG_LEN} - 1)) AS i
+            FROM tl)
+    ),
+    dfreq AS (
+      SELECT md5(seg_text) AS h, count(DISTINCT doc_id) AS df
+      FROM seg GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (WHERE df >= {BOILER_DF}) AS BIGINT)
+             AS n_boiler,
+           round(count(*) FILTER (WHERE df < {BOILER_DF}) * 1.0 / count(*), 6)
+             AS kept_frac,
+           coalesce(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE df < {BOILER_DF}), '') AS cleaned_text
+    FROM seg JOIN dfreq ON dfreq.h = md5(seg.seg_text)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment removal — the CCNet/RefinedWeb filter that
+    q_segment_dedup is NOT: a {SEG_LEN}-token segment counts its
+    document frequency corpus-wide, and a segment in >= {BOILER_DF}
+    distinct documents (navigation chrome, cookie banners, license
+    headers) is cut from EVERY document including the first — keep-first
+    dedup keeps one copy of template text; a boilerplate filter keeps
+    none, which is why pipelines run both (dedup for storage, this for
+    training quality). Output carries per-doc retention stats plus the
+    reassembled cleaned text.
+
+    Scale shape: segmentation is map-only (the q_segment_dedup shape);
+    document frequency is ONE fact-scale groupBy(digest) whose
+    countDistinct(doc_id) partials collapse map-side after the
+    per-partition (digest, doc_id) expansion; the df table joins back
+    keyed on the SAME digest (both sides hash-partition on the join key —
+    co-located exchange, no broadcast assumption since segment vocabulary
+    scales with the corpus); reassembly is one groupBy(doc_id) holding
+    only the doc's own kept segments. Three key-partitioned exchanges
+    total, none a global sort; hot template digests (the skew case —
+    that's what boilerplate IS) split via AQE skew-join."""
+    return boilerplate_filter(load(spark, sf_dir).documents)
+
+
+def boilerplate_filter(docs: DataFrame, min_df: int = BOILER_DF) -> DataFrame:
+    """Boilerplate-segment removal core over a ``(doc_id, text)`` corpus —
+    the composable form of :func:`q_boilerplate_lines` (semantics there);
+    exposed so tests can pin the drop-ALL-copies policy on toy corpora."""
+    toks = F.split("text", " ")
+    nseg = F.ceil(F.size(toks) / F.lit(SEG_LEN)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * SEG_LEN + 1, SEG_LEN), " "
+                ),
+            )
+        ).alias("seg_idx", "seg_text"),
+    ).withColumn("h", F.md5("seg_text"))
+    dfreq = segs.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = F.col("df") >= min_df
+    return (
+        segs.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(boiler.cast("bigint")).alias("n_boiler"),
+            F.round(
+                F.sum((~boiler).cast("double")) / F.count(F.lit(1)), 6
+            ).alias("kept_frac"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~boiler, F.struct("seg_idx", "seg_text"))
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )

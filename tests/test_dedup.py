@@ -188,3 +188,27 @@ def test_simhash_join_banding_equals_all_pairs(spark):
         .collect()
     }
     assert banded == brute and len(brute) > 0
+
+
+def test_boilerplate_drops_all_copies_keeps_rare(spark):
+    """boilerplate_filter policy pin: a segment in >= BOILER_DF distinct
+    docs vanishes from EVERY doc (including the first — the difference
+    from segment_dedup's keep-first), while a two-doc segment survives in
+    both."""
+    from crypto_data_ingestion_script_spark.llm.dedup import boilerplate_filter
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + rare),
+            (2, boiler + " u1 u2 u3 u4 u5 u6 u7 u8"),
+            (3, boiler + " " + rare),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_filter(docs).collect()}
+    assert all(boiler not in r["cleaned_text"] for r in out.values())
+    assert out[1]["cleaned_text"] == rare and out[3]["cleaned_text"] == rare
+    assert out[2]["cleaned_text"] == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert out[1]["n_boiler"] == 1 and out[1]["n_segments"] == 2
