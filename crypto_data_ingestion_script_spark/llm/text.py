@@ -1360,3 +1360,88 @@ def cms_token_sketch(
         .agg(F.min("c").alias("est"), F.first("n_true").alias("n_true"))
         .select("token", "n_true", "est")
     )
+
+
+#: q_quality_classifier: hashed-feature space size (fastText's default
+#: bucket trick) and the fixed-point weight modulus. Weights are a
+#: deterministic hash of the bucket id — an engine-neutral stand-in for a
+#: shipped .bin of trained weights; the Spark plumbing (hashing, integer
+#: weight fold, sigmoid) is the production part.
+QC_BUCKETS = 1024
+QC_MOD = 1_000_003
+QC_SHIFT = (QC_MOD - 1) // 2  # centers weights on ~0
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+                  AS BIGINT) % {QC_BUCKETS} AS bucket
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(
+             sum((bucket * 2654435761) % {QC_MOD} - {QC_SHIFT})
+             / CAST({QC_MOD} AS DOUBLE) / count(*)))), 6) AS quality_prob,
+           (sum((bucket * 2654435761) % {QC_MOD} - {QC_SHIFT}) > 0) AS keep
+    FROM w GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-classifier quality filtering (the fastText linear model of
+    CCNet/RefinedWeb/FineWeb-Edu, as opposed to q_quality_score's
+    hand-tuned heuristics): each token hashes into {QC_BUCKETS} feature
+    buckets (fastText's hashing trick), the model is one weight per
+    bucket, and a document's keep-probability is sigmoid(mean token
+    weight). ``keep`` is the 0.5-threshold decision (sigmoid(x) > 0.5 iff
+    the raw weight sum > 0, so the flag is computed in EXACT integer
+    space).
+
+    Parity design: weights live in integer fixed-point (hash-derived
+    numerators, one float division per DOCUMENT at the end) so the
+    fact-scale sum is order-independent and exact — float token weights
+    would make the fold's value depend on partial-aggregation order,
+    which no rounding reliably absorbs. Scale shape: pure map-side
+    expressions then ONE groupBy(doc_id) whose integer sum collapses
+    map-side; no model table at all (the weight IS an expression), so
+    unlike q_dsir_weights there is not even a broadcast — this is the
+    cheapest possible classifier-scoring plan, one exchange total."""
+    t = load(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % QC_BUCKETS
+    )
+    wnum = (bucket * F.lit(2654435761)) % QC_MOD - QC_SHIFT
+    return (
+        t.documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .select("doc_id", wnum.alias("wnum"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -(
+                            F.sum("wnum")
+                            / F.lit(float(QC_MOD))
+                            / F.count(F.lit(1))
+                        )
+                    )
+                ),
+                6,
+            ).alias("quality_prob"),
+            (F.sum("wnum") > 0).alias("keep"),
+        )
+    )

@@ -226,3 +226,38 @@ def test_crosslingual_mine_matches_numpy_reference(spark):
         for r in load_all()["q_crosslingual_mine"].fn(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_quality_classifier_matches_hashlib_reference(spark):
+    """q_quality_classifier vs an independent hashlib/python re-derivation
+    at sf0.001: identical probabilities and keep flags (pins the md5
+    bucket hash, the fixed-point weight formula, and the sigmoid)."""
+    import duckdb
+
+    from crypto_data_ingestion_script_spark.llm.text import (
+        QC_BUCKETS,
+        QC_MOD,
+        QC_SHIFT,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    import hashlib
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = text.lower().split(" ")
+        s = 0
+        for tk in toks:
+            b = int(hashlib.md5(tk.encode()).hexdigest()[:8], 16) % QC_BUCKETS
+            s += (b * 2654435761) % QC_MOD - QC_SHIFT
+        prob = round(1.0 / (1.0 + math.exp(-(s / float(QC_MOD) / len(toks)))), 6)
+        expect[doc_id] = (len(toks), prob, s > 0)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality_prob"], r["keep"])
+        for r in load_all()["q_quality_classifier"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
