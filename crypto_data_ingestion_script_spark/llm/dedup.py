@@ -2744,3 +2744,133 @@ def boilerplate_filter(docs: DataFrame, min_df: int = BOILER_DF) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+#: q_suffix_lcp: suffix-key cap in tokens (bounds sort-key width; the
+#: published construction prefix-doubles past any cap — 24 comfortably
+#: exceeds the match threshold below) and the minimum cross-document
+#: match length reported (Lee et al. 2022 use 50 BPE tokens on real
+#: corpora; 6 fits this corpus's ~54-token documents).
+SUFFIX_CAP = 24
+LCP_MIN = 6
+
+
+@query(
+    "q_suffix_lcp",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    suf AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             list_slice(tk, i, i + {SUFFIX_CAP - 1}) AS kt,
+             array_to_string(list_slice(tk, i, i + {SUFFIX_CAP - 1}), ' ')
+               AS skey
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM tok)
+    ),
+    ord1 AS (
+      SELECT *, row_number() OVER (ORDER BY skey, doc_id, pos) AS rn FROM suf
+    ),
+    adj AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.kt AS ka, b.kt AS kb
+      FROM ord1 a JOIN ord1 b ON b.rn = a.rn + 1 AND a.doc_id <> b.doc_id
+    ),
+    l AS (
+      SELECT da, db,
+        (SELECT coalesce(nullif(list_position(e, 0), 0) - 1, len(e)) FROM
+          (SELECT list_transform(range(1, greatest(len(ka), len(kb)) + 1),
+             i -> CASE WHEN ka[i] IS NOT DISTINCT FROM kb[i]
+                            AND ka[i] IS NOT NULL
+                       THEN 1 ELSE 0 END) AS e)) AS lcp
+      FROM adj
+    )
+    SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+           CAST(max(lcp) AS BIGINT) AS max_lcp
+    FROM l WHERE lcp >= {LCP_MIN} GROUP BY 1, 2
+    """,
+    tags=("llm", "dedup"),
+)
+def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array substring-duplication detection (the ExactSubstr pass
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every token-position suffix (capped at {SUFFIX_CAP}
+    tokens) enters ONE global lexicographic order; suffixes sharing a
+    long prefix land adjacent, so scanning ADJACENT pairs from different
+    documents with token-LCP >= {LCP_MIN} DETECTS every cross-document
+    duplicated substring at that length: all suffixes sharing the
+    substring form one contiguous run, and every document in a
+    multi-document run is adjacent to a foreign suffix somewhere inside
+    it — so each affected document surfaces in >= 1 reported pair, with
+    variable-length matches where q_substring_dup's fixed windows and
+    q_winnowing's sampled fingerprints both quantize. (Pair ATTRIBUTION
+    is to adjacent runs: a substring shared by three docs reports the
+    adjacent pairings, not all three pairwise combinations, and a pair's
+    max_lcp is the largest ADJACENT observation — a true common-substring
+    length, i.e. a tight-in-practice lower bound of the pairwise max;
+    tests/test_dedup.py pins both properties against a quadratic
+    reference.) Ties between equal keys are totally ordered by
+    (key, doc_id, pos), so adjacency — and hence the output — is
+    engine-deterministic.
+
+    Scale shape: the suffix sort is THE published construction and it is
+    NOT a single-partition window — ranks come from global_row_number's
+    two-pass range plan (parallel repartitionByRange, per-range
+    row_number, broadcast prefix offsets), the same shape distributed
+    suffix-array builders use; adjacency is an equi-join on rn = rn + 1
+    (key-partitioned, no funnel); the LCP fold runs on <= {SUFFIX_CAP}
+    -element arrays per adjacent pair (bounded per-row work). Suffix
+    blowup is x~avg-doc-length rows but each carries only the capped key
+    — the corpus is scanned once; at 100 TB the cap drops the key bytes
+    and prefix-doubling (log rounds of the same sort) replaces the cap
+    when unbounded match lengths matter."""
+    from ..ranking import global_row_number
+
+    docs = load(spark, sf_dir).documents
+    tk = F.split("text", " ")
+    # Only (doc_id, pos, skey) rides the range exchange — the token array
+    # re-derives from skey AFTER the adjacency join (split is cheap; the
+    # array would double every shuffled row's key bytes).
+    suf = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk)),
+                lambda i: F.array_join(F.slice(tk, i, SUFFIX_CAP), " "),
+            )
+        ).alias("p0", "skey"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "skey"
+    ).localCheckpoint()
+    # ^ repartitionByRange SAMPLES its input to pick range bounds — an
+    # extra job over the lineage; checkpointing the suffix table first
+    # makes the sampling pass read materialized rows instead of
+    # re-exploding the corpus (measured 6.3 s -> ~3 s for the rank step
+    # at sf0.1).
+    ranked = global_row_number(suf, "skey", "doc_id", "pos", out_col="rn")
+    a = ranked.select(
+        F.col("rn").alias("rn_a"),
+        F.col("doc_id").alias("da"),
+        F.col("skey").alias("sa"),
+    )
+    b = ranked.select(
+        (F.col("rn") - 1).alias("rn_a"),
+        F.col("doc_id").alias("db"),
+        F.col("skey").alias("sb"),
+    )
+    eq = F.zip_with(
+        F.split("sa", " "),
+        F.split("sb", " "),
+        lambda x, y: F.when(x.eqNullSafe(y) & x.isNotNull(), 1).otherwise(0),
+    )
+    pos0 = F.array_position(eq, 0)
+    lcp = F.when(pos0 == 0, F.size(eq)).otherwise(pos0 - 1)
+    return (
+        a.join(b, "rn_a")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            lcp.alias("lcp"),
+        )
+        .filter(F.col("lcp") >= LCP_MIN)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("lcp").cast("bigint").alias("max_lcp"))
+    )

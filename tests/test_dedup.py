@@ -212,3 +212,55 @@ def test_boilerplate_drops_all_copies_keeps_rare(spark):
     assert out[1]["cleaned_text"] == rare and out[3]["cleaned_text"] == rare
     assert out[2]["cleaned_text"] == "u1 u2 u3 u4 u5 u6 u7 u8"
     assert out[1]["n_boiler"] == 1 and out[1]["n_segments"] == 2
+
+
+def test_suffix_lcp_sound_and_detects_all_docs(spark):
+    """q_suffix_lcp vs a quadratic python re-derivation at sf0.001, pinning
+    the operator's actual guarantees: (1) SOUNDNESS — every reported
+    max_lcp is at most the pair's true longest common token-substring
+    (it IS a real common substring's length) and >= LCP_MIN; (2) DOC
+    DETECTION — exactly the documents having some cross-doc common
+    substring >= LCP_MIN appear in the output (adjacency attribution may
+    route a 3-doc run to 2 pairs, so pair-level completeness is NOT
+    claimed — see the docstring)."""
+    import duckdb
+
+    from crypto_data_ingestion_script_spark.llm.dedup import LCP_MIN, SUFFIX_CAP
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {d: t.split(" ") for d, t in rows}
+
+    def lcs(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while (
+                    i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]
+                ):
+                    k += 1
+                best = max(best, k)
+        return min(best, SUFFIX_CAP)
+
+    # Exact LINEAR detection ground truth: a >= LCP_MIN common substring
+    # exists iff some LCP_MIN-token shingle is shared across docs.
+    shingle_docs = {}
+    for d, tk in toks.items():
+        for i in range(max(len(tk) - LCP_MIN + 1, 0)):
+            shingle_docs.setdefault(tuple(tk[i : i + LCP_MIN]), set()).add(d)
+    docs_expect = {
+        d for ds in shingle_docs.values() if len(ds) > 1 for d in ds
+    }
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_lcp"]
+        for r in load_all()["q_suffix_lcp"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    for (a_id, b_id), lcp in got.items():
+        assert LCP_MIN <= lcp <= lcs(toks[a_id], toks[b_id]), (a_id, b_id, lcp)
+    docs_got = {d for pair in got for d in pair}
+    assert docs_got == docs_expect
