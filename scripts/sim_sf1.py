@@ -53,6 +53,11 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: two expensive oracles (triangles ~100 s, dedup_near ~40 s) run last —
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
+    "q_kn_logprob",
+    "q_quality_classifier",
+    "q_boilerplate_lines",
+    "q_crosslingual_mine",
+    "q_suffix_lcp",
     "q_bpe_merge",
     "q_bpe_train",
     "q_bpe_encode",
@@ -99,6 +104,7 @@ FULL = [
 #: the pinned (rows, checksum) from the first round-7 run on the
 #: deterministic benchdata/sf1; None means "print to pin".
 ROWS_ONLY: dict = {
+    "q_simhash_join": None,  # oracle is all-pairs bit_count over 50k docs
     "q_containment_join": None,
     "q_containment_topk": None,
     "q_jaccard_join": None,
