@@ -1445,3 +1445,171 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("wnum") > 0).alias("keep"),
         )
     )
+
+
+#: q_ngram_novelty: shingle width for the novelty curve (4-grams — long
+#: enough that repeats mean real reuse, short enough that every doc has
+#: grams).
+NOVELTY_N = 4
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tk[CAST(i AS INTEGER)],
+                       tk[CAST(i AS INTEGER) + 1],
+                       tk[CAST(i AS INTEGER) + 2],
+                       tk[CAST(i AS INTEGER) + 3]) AS gram
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(
+                     1, greatest(len(tk) - {NOVELTY_N - 1}, 1))) AS i
+            FROM tok)
+    ),
+    first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel,
+           round(count(*) FILTER (WHERE f.first_doc = g.doc_id) * 1.0
+                 / count(*), 6) AS novelty
+    FROM grams g JOIN first_seen f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve (the dataset-analysis diagnostic of Muennighoff
+    et al.'s data-constrained scaling work and the Pile's dedup reports):
+    per document, the fraction of its distinct {NOVELTY_N}-grams whose
+    FIRST corpus occurrence (minimum doc_id — ingestion order) is this
+    document. Early documents score ~1; heavily templated or duplicated
+    late documents trend toward 0 — the curve's decay measures how fast a
+    crawl exhausts fresh content, which is what decides whether the next
+    crawl shard is worth tokenizing.
+
+    Scale shape: gram extraction is the map-only slice/concat shingle
+    shape (no lambda-inlined re-evaluation); per-doc distinct grams fold
+    BEFORE any join (array_distinct on the per-row gram array, no
+    exchange); first-seen is ONE fact-scale groupBy(gram) min — map-side
+    partials collapse duplicate grams per partition; the join back is
+    keyed on the SAME gram column (co-partitioned exchanges, no broadcast
+    assumption — gram vocabulary scales with the corpus); the final
+    per-doc fraction is one groupBy(doc_id). Hot grams (stop-phrase skew)
+    split via AQE skew-join."""
+    t = load(spark, sf_dir)
+    tk = F.split(F.lower("text"), " ")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(tk) - (NOVELTY_N - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, NOVELTY_N)),
+        )
+    )
+    # Two consumers (first-seen build + join back) — checkpoint the gram
+    # stream once or the tokenize/shingle plan re-executes per consumer.
+    grams = t.documents.select(
+        "doc_id", F.explode(grams_arr).alias("gram")
+    ).localCheckpoint()
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.col("first_doc") == F.col("doc_id")
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel.cast("bigint")).alias("n_novel"),
+            F.round(
+                F.sum(novel.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE))
+               AS x,
+             ln(CAST(f AS DOUBLE)) AS y
+      FROM freq
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — the corpus-health diagnostic (natural text shows
+    log-frequency ~ -1 x log-rank; bot spam, boilerplate floods and
+    tokenizer bugs all bend the tail): OLS slope/intercept/R^2 of
+    ln(frequency) against ln(rank) over the full vocabulary, rank ties
+    broken by token for a deterministic order in both engines.
+
+    Scale shape: ONE fact-scale groupBy(token) builds the frequency
+    table; everything after — ranking window, the five OLS moment sums,
+    the closed-form fit — runs at VOCABULARY grain (the single-partition
+    rank window orders vocab rows, never the corpus; at web vocab sizes
+    the global_row_number two-pass range plan swaps in). Moment sums are
+    plain double aggregates: vocabulary-grain addition-order drift is
+    ~1e-15 relative and the fit is rounded to 6dp with O(n)-conditioned
+    denominators, the same float contract as the corpus's avg(ln)
+    scores."""
+    t = load(spark, sf_dir)
+    freq = (
+        t.documents.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

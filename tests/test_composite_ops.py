@@ -261,3 +261,63 @@ def test_quality_classifier_matches_hashlib_reference(spark):
         for r in load_all()["q_quality_classifier"].fn(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_ngram_novelty_first_doc_full_copy_zero(spark, monkeypatch, tmp_path):
+    """q_ngram_novelty policy pin on a toy corpus: the earliest doc is 100%
+    novel, an exact later copy is 0% novel, and a half-overlapping doc
+    lands strictly between."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d1 = "a b c d e f g h"
+    d3 = "e f g h x y z w"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [d1, d1, d3],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([len(d1), len(d1), len(d3)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in load_all()["q_ngram_novelty"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert 0.0 < out[3]["novelty"] < 1.0
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """q_zipf_fit vs numpy's closed-form OLS on the same rank/frequency
+    points at sf0.001 (independent re-derivation of slope, intercept and
+    R^2)."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    c = Counter(tok for (t,) in rows for tok in t.lower().split(" "))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ordered) + 1, dtype="float64"))
+    y = np.log(np.array([f for _, f in ordered], dtype="float64"))
+    n = len(x)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    intercept = (y.sum() - slope * x.sum()) / n
+    r2 = ((n * (x * y).sum() - x.sum() * y.sum()) ** 2) / (
+        (n * (x * x).sum() - x.sum() ** 2) * (n * (y * y).sum() - y.sum() ** 2)
+    )
+    got = load_all()["q_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    assert got["n_vocab"] == n
+    assert abs(got["slope"] - slope) < 1e-5
+    assert abs(got["intercept"] - intercept) < 1e-5
+    assert abs(got["r2"] - r2) < 1e-5
