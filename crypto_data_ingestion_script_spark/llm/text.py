@@ -1613,3 +1613,137 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+#: q_rake_keywords: phrase delimiters — the union of the per-language
+#: stop lists (RAKE segments candidate phrases at stopwords; this
+#: corpus's function-word stand-ins).
+RAKE_STOP = tuple(sorted({w for ws in _STOP.values() for w in ws}))
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH pt AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS i
+            FROM documents)
+    ),
+    ns AS (
+      SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM pt WHERE tok NOT IN {RAKE_STOP!r}
+    ),
+    pw AS (
+      SELECT doc_id, grp, pos, tok,
+             count(*) OVER (PARTITION BY doc_id, grp) AS plen
+      FROM ns
+    ),
+    ws AS (
+      SELECT doc_id, tok,
+             sum(plen) / count(*) AS wscore
+      FROM pw GROUP BY 1, 2
+    ),
+    ph AS (
+      SELECT pw.doc_id, pw.grp,
+             string_agg(pw.tok, ' ' ORDER BY pw.pos) AS phrase,
+             round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(ws.wscore ORDER BY pw.pos)),
+               (acc, x) -> acc + x), 6) AS score
+      FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.tok = pw.tok
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, phrase AS top_phrase, score,
+           CAST(n_phrases AS BIGINT) AS n_phrases
+    FROM (SELECT doc_id, phrase, score,
+                 count(*) OVER (PARTITION BY doc_id) AS n_phrases,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, phrase) AS rn
+          FROM ph)
+    WHERE rn = 1
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — the classic
+    stopword-delimited keyphrase scorer, still the cheap first pass for
+    corpus topic profiling and dataset cards): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands on position);
+    each word scores degree/frequency within its document (degree = sum
+    of lengths of phrases containing it — favors words that co-occur in
+    long phrases); a phrase scores the sum of its words' scores; the
+    top-scoring phrase per document is emitted with the doc's phrase
+    count.
+
+    Determinism contract: word scores are ratios of exact integers;
+    the phrase-score sum folds SEQUENTIALLY over position-sorted word
+    scores in both engines (collect-sort-fold, the q_crosslingual_mine
+    pattern); ranking uses the rounded score with a phrase tie-break.
+
+    Scale shape: tokenize/flag/island-id are map-only plus per-DOCUMENT
+    windows (key-partitioned by doc_id — each partition holds one doc's
+    tokens, no global funnel); word stats are one groupBy(doc_id, tok)
+    and rejoin keyed the same way; phrase assembly and the top-1 are
+    per-doc groupBy/window. Every exchange is keyed on doc_id(+tok) —
+    uniform-cardinality keys, no skew risk, no broadcast needed."""
+    t = load(spark, sf_dir)
+    pt = t.documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "tok")
+    ns = pt.filter(~F.col("tok").isin(*RAKE_STOP)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    pw = ns.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
+    ).localCheckpoint()
+    ws = pw.groupBy("doc_id", "tok").agg(
+        (F.sum("plen") / F.count(F.lit(1))).alias("wscore")
+    )
+    ph = (
+        pw.join(ws, ["doc_id", "tok"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "wscore"))),
+                        lambda s: s["wscore"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "phrase"
+    )
+    return (
+        ph.withColumn(
+            "n_phrases",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("top_phrase"),
+            "score",
+            F.col("n_phrases").cast("bigint").alias("n_phrases"),
+        )
+    )

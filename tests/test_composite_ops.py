@@ -321,3 +321,28 @@ def test_zipf_fit_matches_numpy_ols(spark):
     assert abs(got["slope"] - slope) < 1e-5
     assert abs(got["intercept"] - intercept) < 1e-5
     assert abs(got["r2"] - r2) < 1e-5
+
+
+def test_rake_known_answer_toy(spark, tmp_path):
+    """RAKE hand-computed pin: 'deep learning the deep model' segments at
+    the stopword into two phrases; deg/freq gives every word score 2.0,
+    both phrases score 4.0, and the lexicographic tie-break picks
+    'deep learning'."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    txt = "deep learning the deep model"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": [txt],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": pa.array([len(txt)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    (row,) = load_all()["q_rake_keywords"].fn(spark, str(tmp_path)).collect()
+    assert row["top_phrase"] == "deep learning"
+    assert row["score"] == 4.0
+    assert row["n_phrases"] == 2
