@@ -1234,3 +1234,103 @@ def kn_bigram_model(big: DataFrame) -> DataFrame:
             ).alias("logp"),
         )
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS h, lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
+               AS exact_dup_rate,
+             round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 6)
+               AS median_chars
+      FROM base
+    ),
+    lm AS (
+      SELECT round(-list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(p * ln(p) ORDER BY lang)),
+               (acc, x) -> acc + x), 6) AS lang_entropy
+      FROM (SELECT lang, count(*) * 1.0 / (SELECT count(*) FROM base) AS p
+            FROM base GROUP BY lang)
+    ),
+    sm AS (
+      SELECT round(max(c) * 1.0 / sum(c), 6) AS top_source_share
+      FROM (SELECT count(*) AS c FROM base GROUP BY source)
+    )
+    SELECT n_docs, total_tokens, exact_dup_rate, median_chars,
+           lang_entropy, top_source_share
+    FROM tot CROSS JOIN lm CROSS JOIN sm
+    """,
+    tags=("llm", "curation"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (the one-row corpus datasheet every released training
+    set ships — Gebru et al.'s Datasheets, the HF dataset-card stats
+    block): document count, total whitespace tokens, exact-duplicate
+    rate (1 - distinct md5 / docs), median document length in chars,
+    language-mix Shannon entropy, and the largest single source's share
+    — the five numbers a consumer checks before committing GPUs.
+
+    Determinism: counts and sums are exact integers; the entropy folds
+    SEQUENTIALLY over the language-sorted distribution (both engines add
+    <=5 terms in the same order); median uses the linear-interpolated
+    percentile both engines define identically (the
+    q_perplexity_buckets contract).
+
+    Scale shape: ONE corpus scan feeds a single groupBy() aggregate
+    (count / sum / count-distinct-digest / percentile as parallel
+    partials); the language and source distributions are two more
+    summary-grain aggregates over the same scan lineage; three 1-row
+    broadcast crossJoins assemble the card. No fact-scale join, no
+    window, nothing quadratic — a 100 TB card costs three scans' worth
+    of map-side partials (or one, with the distributions folded into
+    grouping sets)."""
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    ).localCheckpoint()
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            1.0 - F.countDistinct("h") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.percentile("n_chars", F.lit(0.5)).cast("double"), 6).alias(
+            "median_chars"
+        ),
+    )
+    n_total = base.count()
+    lang_p = base.groupBy("lang").agg(
+        (F.count(F.lit(1)) * 1.0 / F.lit(n_total)).alias("p")
+    )
+    lm = lang_p.agg(
+        F.round(
+            -F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lang", "p"))),
+                    lambda s: s["p"] * F.log(s["p"]),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("lang_entropy")
+    )
+    sm = base.groupBy("source").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_source_share")
+    )
+    return tot.crossJoin(F.broadcast(lm)).crossJoin(F.broadcast(sm))
