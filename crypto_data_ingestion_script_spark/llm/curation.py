@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from .text import QC_BUCKETS, QC_MOD, QC_SHIFT
 
 #: Token budget per packed bin (a context-window-sized constant).
 PACK_BUDGET = 2048
@@ -1334,3 +1335,190 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_source_share")
     )
     return tot.crossJoin(F.broadcast(lm)).crossJoin(F.broadcast(sm))
+
+
+#: q_pipeline_quality: minimum n-gram novelty a document must keep after
+#: dedup (docs recycling >10% of their 4-grams from earlier survivors are
+#: cut) — the intra-corpus decontamination floor.
+NOV_MIN = 0.9
+
+
+@query(
+    "q_pipeline_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    gate AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               sum((CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+                    AS BIGINT) % {QC_BUCKETS} * 2654435761)
+                   % {QC_MOD} - {QC_SHIFT}) AS s
+        FROM tok GROUP BY 1) WHERE s > 0
+    ),
+    dedup AS (
+      SELECT doc_id FROM (
+        SELECT d.doc_id,
+               row_number() OVER (PARTITION BY md5(d.text)
+                                  ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN gate USING (doc_id)) WHERE rn = 1
+    ),
+    tl AS (
+      SELECT d.doc_id, string_split(d.text, ' ') AS toks
+      FROM documents d JOIN dedup USING (doc_id)
+    ),
+    seg AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+               AS seg_text
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) + 7) // 8 - 1)) AS i
+            FROM tl)
+    ),
+    dfreq AS (
+      SELECT md5(seg_text) AS h, count(DISTINCT doc_id) AS df
+      FROM seg GROUP BY 1
+    ),
+    clean AS (
+      SELECT doc_id,
+             string_agg(seg_text, ' ' ORDER BY seg_idx)
+               FILTER (WHERE df < 3) AS ctext,
+             round(count(*) FILTER (WHERE df < 3) * 1.0 / count(*), 6)
+               AS kept_frac
+      FROM seg JOIN dfreq ON dfreq.h = md5(seg.seg_text)
+      GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT doc_id, ctext FROM clean WHERE kept_frac >= 0.5
+    ),
+    dt AS (SELECT doc_id, string_split(lower(ctext), ' ') AS tk FROM kept),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', tk[CAST(i AS INTEGER)],
+                       tk[CAST(i AS INTEGER) + 1],
+                       tk[CAST(i AS INTEGER) + 2],
+                       tk[CAST(i AS INTEGER) + 3]) AS gram
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(1, greatest(len(tk) - 3, 1))) AS i
+            FROM dt)
+    ),
+    fs AS (SELECT gram, min(doc_id) AS fd FROM grams GROUP BY 1),
+    nov AS (
+      SELECT g.doc_id,
+             round(count(*) FILTER (WHERE f.fd = g.doc_id) * 1.0
+                   / count(*), 6) AS novelty
+      FROM grams g JOIN fs f USING (gram) GROUP BY 1
+    ),
+    sel AS (
+      SELECT k.doc_id,
+             CAST(len(string_split(k.ctext, ' ')) AS BIGINT) AS n_tokens,
+             n.novelty
+      FROM kept k JOIN nov n USING (doc_id) WHERE n.novelty >= 0.9
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, novelty,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sel
+    )
+    SELECT doc_id, n_tokens, novelty,
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin
+    FROM cum
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 curation chain as ONE DAG — the quality-first
+    counterpart of q_pipeline_pretrain, composed entirely of this
+    round's operators: (1) learned quality GATE (q_quality_classifier's
+    exact integer keep rule); (2) EXACT DEDUP of the gated raw text
+    (keep-first by digest — BEFORE boilerplate stats, so replicated
+    documents cannot inflate segment document-frequency into cutting the
+    whole corpus); (3) BOILERPLATE cut on the survivors
+    (q_boilerplate_lines, df >= 3 segments dropped from every copy),
+    keeping docs that retain >= 50% of their segments; (4) NOVELTY floor
+    (q_ngram_novelty recomputed on the surviving cleaned corpus —
+    intra-corpus decontamination, docs under {NOV_MIN} cut); (5) PACK
+    survivors into 2048-token bins (q_pack_sequences' two-pass running
+    sum). Output: the packed training manifest (doc, cleaned token
+    count, novelty, bin).
+
+    Stage semantics are pinned stage-for-stage by the oracle's CTE chain
+    (same names, same thresholds). Scale shape: each stage's exchanges
+    are the component operators' documented ones; the CLEANED
+    corpus localCheckpoints once before the novelty stage (its gram
+    pass has two consumers — first-seen build and join-back — plus the
+    packing scan; the q_pipeline_pretrain curated-corpus lesson);
+    everything else flows one way. Token re-counts run on cleaned text,
+    never the raw corpus."""
+    from .dedup import boilerplate_filter
+    from ..ranking import global_running_sum
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % QC_BUCKETS
+    )
+    wnum = (bucket * F.lit(2654435761)) % QC_MOD - QC_SHIFT
+    gate = (
+        t.documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .select("doc_id", wnum.alias("wnum"))
+        .groupBy("doc_id")
+        .agg(F.sum("wnum").alias("s"))
+        .filter(F.col("s") > 0)
+        .select("doc_id")
+    )
+    gated = t.documents.join(gate, "doc_id")
+    w_d = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded_raw = (
+        gated.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bf = boilerplate_filter(ded_raw)
+    kept = (
+        bf.filter(F.col("kept_frac") >= 0.5)
+        .select("doc_id", F.col("cleaned_text").alias("ctext"))
+        .localCheckpoint()
+    )
+    tk = F.split(F.lower("ctext"), " ")
+    grams = kept.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(tk) - 3, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, 4)),
+                )
+            )
+        ).alias("gram"),
+    ).localCheckpoint()
+    fs = grams.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    novel = F.col("fd") == F.col("doc_id")
+    nov = (
+        grams.join(fs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(novel.cast("double")) / F.count(F.lit(1)), 6
+            ).alias("novelty")
+        )
+        .filter(F.col("novelty") >= NOV_MIN)
+    )
+    sel = kept.join(nov, "doc_id").select(
+        "doc_id",
+        F.size(F.split("ctext", " ")).cast("bigint").alias("n_tokens"),
+        "novelty",
+    )
+    cum = global_running_sum(sel, "n_tokens", "doc_id", out_col="cum_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "novelty",
+        F.expr("(cum_tokens - n_tokens) div 2048").cast("bigint").alias("bin"),
+    )

@@ -53,6 +53,11 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: two expensive oracles (triangles ~100 s, dedup_near ~40 s) run last —
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
+    "q_pipeline_quality",
+    "q_ngram_novelty",
+    "q_zipf_fit",
+    "q_rake_keywords",
+    "q_dataset_card",
     "q_kn_logprob",
     "q_quality_classifier",
     "q_boilerplate_lines",

@@ -346,3 +346,45 @@ def test_rake_known_answer_toy(spark, tmp_path):
     assert row["top_phrase"] == "deep learning"
     assert row["score"] == 4.0
     assert row["n_phrases"] == 2
+
+
+def test_pipeline_quality_survives_replication(spark, tmp_path):
+    """q_pipeline_quality stage-order pin: exact dedup runs BEFORE
+    boilerplate document-frequency, so a corpus of 5x replicated docs
+    keeps one copy per unique doc instead of counting replicas into
+    df >= 3 and cutting everything (the failure mode the sf1 benchdata
+    exposed)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crypto_data_ingestion_script_spark.llm.text import (
+        QC_BUCKETS,
+        QC_MOD,
+        QC_SHIFT,
+    )
+
+    def wnum(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % QC_BUCKETS
+        return (b * 2654435761) % QC_MOD - QC_SHIFT
+
+    # 48 distinct positive-weight tokens -> 6 unique 8-token docs that all
+    # pass the quality gate and share no 4-grams.
+    pos = [w for w in (f"w{i}" for i in range(400)) if wnum(w) > 0][:48]
+    assert len(pos) == 48
+    uniq = [" ".join(pos[i * 8 : (i + 1) * 8]) for i in range(6)]
+    docs = [(doc_id, uniq[doc_id % 6]) for doc_id in range(30)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * 30,
+            "source": ["s"] * 30,
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = load_all()["q_pipeline_quality"].fn(spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 2, 3, 4, 5}
+    assert all(r["novelty"] == 1.0 and r["bin"] == 0 for r in rows)
