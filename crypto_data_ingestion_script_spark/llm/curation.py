@@ -1522,3 +1522,67 @@ def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novelty",
         F.expr("(cum_tokens - n_tokens) div 2048").cast("bigint").alias("bin"),
     )
+
+
+@query(
+    "q_pack_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST((cum_tokens - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin
+      FROM cum
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(sum(n_tokens) * 1.0 / {PACK_BUDGET}, 6) AS fill_ratio,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM packed GROUP BY bin
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over q_pack_sequences' layout: per
+    {PACK_BUDGET}-token bin, the document count, packed token total,
+    fill ratio, and largest member — the numbers that decide whether the
+    packing strategy wastes context (fill << 1 means padding; fill > 1
+    is the doc-spans-boundary overflow a concat-then-chunk layout
+    EXPECTS, since a document belongs to the bin its first token lands
+    in). A fill-ratio histogram of this output is the standard padding
+    -waste datasheet figure.
+
+    Scale shape: the running total reuses the two-pass range plan
+    (global_running_sum — no single-partition window); the per-bin
+    rollup is ONE additional groupBy(bin) whose partials collapse
+    map-side (bins are dense integers, no skew). Nothing else touches
+    the corpus."""
+    from ..ranking import global_running_sum
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    cum = global_running_sum(toks, "n_tokens", "doc_id", out_col="cum_tokens")
+    packed = cum.select(
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_BUDGET}")
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") * 1.0 / PACK_BUDGET, 6).alias("fill_ratio"),
+        F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+    )

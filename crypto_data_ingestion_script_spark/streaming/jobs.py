@@ -637,3 +637,65 @@ from ..llm.dedup import INCREMENTAL_DEDUP_ORACLE as _INC_ORACLE  # noqa: E402
 from ..registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["q_stream_incremental_dedup"].oracle = _INC_ORACLE
+
+
+@query(
+    "q_stream_quality_gate",
+    oracle=None,  # late-bound below: rendered with the classifier constants
+    tags=("streaming", "llm", "quality"),
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_quality_classifier gate as a LIVE ingest filter: documents
+    arrive as a file stream, each micro-batch explodes to tokens and the
+    per-document integer weight sum accumulates in the ENGINE's streaming
+    aggregation state (native shuffle agg + state store — not
+    foreachBatch; the gate is a pure per-key aggregate, exactly what the
+    continuous planner hosts natively, in contrast to
+    q_stream_incremental_dedup's batch-only machinery). Complete-mode
+    output carries (doc_id, n_tokens, keep); because the sum is exact
+    integer arithmetic, stream delivery order cannot change a verdict
+    and the query shares q_quality_classifier's decision rule verbatim —
+    the oracle is the batch statement of the same gate.
+
+    Scale shape: one token-grain map stage, one key-partitioned
+    stateful aggregation whose partials collapse map-side per
+    micro-batch; state is one (sum, count) pair per in-flight document.
+    In production the complete-mode sink becomes append with a
+    watermark on ingest time once documents stop mutating."""
+    from ..llm.text import QC_BUCKETS, QC_MOD, QC_SHIFT
+
+    load(spark, sf_dir)
+    stream = _documents_stream(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % QC_BUCKETS
+    )
+    wnum = (bucket * F.lit(2654435761)) % QC_MOD - QC_SHIFT
+    agg = (
+        stream.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .select("doc_id", wnum.alias("wnum"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("wnum").alias("s"),
+        )
+    )
+    return run_to_memory(agg, output_mode="complete").select(
+        "doc_id", "n_tokens", (F.col("s") > 0).alias("keep")
+    )
+
+
+from ..llm.text import QC_BUCKETS as _QCB, QC_MOD as _QCM, QC_SHIFT as _QCS  # noqa: E402
+
+_REGISTRY["q_stream_quality_gate"].oracle = f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           (sum((CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+                 AS BIGINT) % {_QCB} * 2654435761) % {_QCM} - {_QCS}) > 0)
+             AS keep
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+    GROUP BY doc_id
+"""

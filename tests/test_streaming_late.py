@@ -151,3 +151,23 @@ def test_stream_reads_directory_table_layout(spark, tmp_path):
         .count()
     )
     assert len(streamed) == batch
+
+
+def test_stream_quality_gate_matches_batch_classifier(spark):
+    """q_stream_quality_gate (native streaming agg) and
+    q_quality_classifier (batch) must agree doc-for-doc on n_tokens and
+    the keep verdict — stream delivery cannot change an exact integer
+    gate."""
+    from crypto_data_ingestion_script_spark.registry import load_all
+
+    qs = load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    stream = {
+        r["doc_id"]: (r["n_tokens"], r["keep"])
+        for r in qs["q_stream_quality_gate"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["keep"])
+        for r in qs["q_quality_classifier"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(stream) > 0
