@@ -473,3 +473,59 @@ def windowed_funnel(events: DataFrame) -> DataFrame:
             F.min("ts").alias("first_completion"),
         )
     )
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 6) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+             AS m_score
+    FROM agg
+    """,
+    tags=("behavior", "window"),
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic behavioral scoring (Hughes 1994,
+    still the default CRM / user-cohort cut): per user, recency (last
+    event), frequency (event count), monetary (summed value), each
+    scored into quintiles (1 = best). Ranking runs on the ROUNDED
+    monetary total with user_id tie-breaks, so float summation order
+    cannot flip a quintile boundary between engines (the q_cosine_topk
+    contract); ntile's uneven-bucket rule (earlier buckets take the
+    remainder) is defined identically in Spark and DuckDB over a total
+    order.
+
+    Scale shape: ONE fact-scale groupBy(user_id) with map-side partials;
+    the three quintile windows rank the USER-grain aggregate (summary
+    scale). At catalog-of-billions user counts the windows swap to
+    global_row_number's range plan; the fact is touched once either
+    way."""
+    t = load(spark, sf_dir)
+    agg = t.events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_ts").desc(), "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary").desc(), "user_id")
+    return agg.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    )
