@@ -1586,3 +1586,113 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_tokens") * 1.0 / PACK_BUDGET, 6).alias("fill_ratio"),
         F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
     )
+
+
+@query(
+    "q_ppl_diff_select",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang, tk[CAST(i AS INTEGER)] AS prev,
+             tk[CAST(i AS INTEGER) + 1] AS cur
+      FROM (SELECT doc_id, lang, tk,
+                   unnest(generate_series(1, len(tk) - 1)) AS i
+            FROM tok WHERE len(tk) >= 2)
+    ),
+    c2 AS (
+      SELECT prev, cur,
+             count(*) AS n_g,
+             count(*) FILTER (WHERE lang = 'en') AS n_t
+      FROM big GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT prev, sum(n_g) AS d_g, sum(n_t) AS d_t FROM c2 GROUP BY 1
+    ),
+    v AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(tk) AS w FROM tok)),
+    m AS (
+      SELECT prev, cur,
+             ln((n_t + 1.0) / (d_t + v)) - ln((n_g + 1.0) / (d_g + v))
+               AS logdiff
+      FROM c2 JOIN c1 USING (prev) CROSS JOIN v
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logdiff), 6) AS mean_logdiff,
+           (round(avg(logdiff), 6) > 0) AS selected
+    FROM big JOIN m USING (prev, cur)
+    GROUP BY big.doc_id
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_ppl_diff_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis intelligent selection (Moore & Lewis 2010, the
+    cross-entropy-difference data selection that predates and motivates
+    DSIR): per document, the mean of ln P_target - ln P_general under two
+    add-1 bigram LMs — TARGET trained on the in-domain slice (lang='en')
+    and GENERAL on the whole corpus; positive difference means the doc
+    looks more like the target than like average data, the standard
+    "select raw text that resembles the good corpus" rule at one model
+    order above DSIR's hashed unigrams. ``selected`` thresholds the
+    ROUNDED mean at zero, so float summation order cannot flip a verdict
+    between engines.
+
+    Scale shape: BOTH models come from ONE fact-scale groupBy(prev, cur)
+    — the target model is a conditional count in the same pass, not a
+    second corpus scan; context totals fold from the pair table at
+    vocabulary grain; the per-pair log-difference broadcasts back onto
+    the pair stream as one column (the q_kn_logprob shape); the corpus
+    pairs exactly twice (model + scoring), and the only other fact-scale
+    exchange is the per-doc mean."""
+    t = load(spark, sf_dir)
+    tk = F.split(F.lower("text"), " ")
+    n = F.size(tk)
+    zipped = F.arrays_zip(F.slice(tk, 1, n - 1), F.slice(tk, 2, n - 1))
+    big = (
+        t.documents.filter(n >= 2)
+        .select("doc_id", "lang", F.explode(zipped).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.0").alias("prev"),
+            F.col("p.1").alias("cur"),
+        )
+    )
+    c2 = (
+        big.groupBy("prev", "cur")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("n_t"),
+        )
+        .localCheckpoint()
+    )
+    c1 = c2.groupBy("prev").agg(
+        F.sum("n_g").alias("d_g"), F.sum("n_t").alias("d_t")
+    )
+    v = t.documents.select(F.explode(tk).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    m = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev",
+            "cur",
+            (
+                F.log((F.col("n_t") + 1.0) / (F.col("d_t") + F.col("v")))
+                - F.log((F.col("n_g") + 1.0) / (F.col("d_g") + F.col("v")))
+            ).alias("logdiff"),
+        )
+    )
+    return (
+        big.join(F.broadcast(m), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logdiff"), 6).alias("mean_logdiff"),
+            (F.round(F.avg("logdiff"), 6) > 0).alias("selected"),
+        )
+    )
