@@ -465,3 +465,98 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("abs_z").desc(), "event_id").limit(20)
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars, (lang = 'en') AS is_a FROM documents
+    ),
+    counts AS (
+      SELECT n_chars AS v,
+             count(*) FILTER (WHERE is_a) AS ca,
+             count(*) FILTER (WHERE NOT is_a) AS cb
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM counts
+    ),
+    cdf AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM counts
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(max(abs(cum_a * 1.0 / na - cum_b * 1.0 / nb)), 6) AS ks_d,
+           (max(abs(cum_a * 1.0 / na - cum_b * 1.0 / nb))
+            > 1.358 * sqrt((na + nb) * 1.0 / (na * nb))) AS drifted
+    FROM cdf CROSS JOIN tot
+    GROUP BY na, nb
+    """,
+    tags=("quality", "stats"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test — the standard
+    distribution-shift monitor between corpus slices (here: document
+    length of lang='en' vs the rest; in production: this week's crawl vs
+    last week's): D = max over observed values of |CDF_a - CDF_b|, with
+    the alpha=0.05 rejection rule D > 1.358 * sqrt((n_a+n_b)/(n_a*n_b)).
+    CDFs are exact integer-count ratios, so D is a ratio of exact
+    integers evaluated identically in both engines; the verdict
+    thresholds the UNROUNDED D against an engine-identical closed form.
+
+    Scale shape: ONE fact-scale groupBy(value) with conditional partial
+    counts collapses the corpus to DISTINCT-VALUE grain; the CDF window
+    and the max run on that summary table (hundreds of rows — at
+    continuous-valued 100 TB scale the values pre-bucket to quantile
+    bins via q_percentile's sketch and the same shape holds). The corpus
+    is scanned once."""
+    t = load(spark, sf_dir)
+    counts = (
+        t.documents.select(
+            F.col("n_chars").alias("v"), (F.col("lang") == "en").alias("is_a")
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+            F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    d = F.max(
+        F.abs(
+            F.col("cum_a") * 1.0 / F.col("na")
+            - F.col("cum_b") * 1.0 / F.col("nb")
+        )
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(d, 6).alias("ks_d"),
+            (
+                d
+                > 1.358
+                * F.sqrt(
+                    (F.col("na") + F.col("nb"))
+                    * 1.0
+                    / (F.col("na") * F.col("nb"))
+                )
+            ).alias("drifted"),
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_d",
+            "drifted",
+        )
+    )

@@ -53,6 +53,10 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: two expensive oracles (triangles ~100 s, dedup_near ~40 s) run last —
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
+    "q_pack_stats",
+    "q_stream_quality_gate",
+    "q_rfm",
+    "q_ppl_diff_select",
     "q_pipeline_quality",
     "q_ngram_novelty",
     "q_zipf_fit",
