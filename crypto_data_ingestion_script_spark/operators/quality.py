@@ -560,3 +560,112 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drifted",
         )
     )
+
+
+@query(
+    "q_psi",
+    oracle="""
+    WITH ref AS (SELECT n_chars FROM documents WHERE lang = 'en'),
+    bounds AS (
+      SELECT quantile_cont(n_chars, 0.1) AS b1,
+             quantile_cont(n_chars, 0.2) AS b2,
+             quantile_cont(n_chars, 0.3) AS b3,
+             quantile_cont(n_chars, 0.4) AS b4,
+             quantile_cont(n_chars, 0.5) AS b5,
+             quantile_cont(n_chars, 0.6) AS b6,
+             quantile_cont(n_chars, 0.7) AS b7,
+             quantile_cont(n_chars, 0.8) AS b8,
+             quantile_cont(n_chars, 0.9) AS b9
+      FROM ref
+    ),
+    assigned AS (
+      SELECT (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b4 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b5 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b6 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b7 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b8 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b9 THEN 1 ELSE 0 END) AS bin,
+             (lang = 'en') AS is_ref
+      FROM documents CROSS JOIN bounds
+    ),
+    bc AS (
+      SELECT bin,
+             count(*) FILTER (WHERE is_ref) AS cr,
+             count(*) FILTER (WHERE NOT is_ref) AS cc
+      FROM assigned GROUP BY 1
+    ),
+    tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM bc)
+    SELECT CAST(nr AS BIGINT) AS n_ref,
+           CAST(nc AS BIGINT) AS n_cmp,
+           round(sum(((cr + 1.0) / (nr + 10) - (cc + 1.0) / (nc + 10))
+                     * ln(((cr + 1.0) / (nr + 10))
+                          / ((cc + 1.0) / (nc + 10)))), 6) AS psi,
+           (sum(((cr + 1.0) / (nr + 10) - (cc + 1.0) / (nc + 10))
+                * ln(((cr + 1.0) / (nr + 10))
+                     / ((cc + 1.0) / (nc + 10)))) > 0.2) AS drifted
+    FROM bc CROSS JOIN tot
+    GROUP BY nr, nc
+    """,
+    tags=("quality", "stats"),
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-monitoring drift metric scored
+    between a REFERENCE slice (lang='en' document lengths — in
+    production: the training-time feature distribution) and the
+    comparison population: both assign to the reference's decile bins
+    and PSI = sum (p_i - q_i) ln(p_i / q_i) with add-1 bin smoothing;
+    the conventional 0.2 threshold flags a shift that warrants
+    retraining. Complements q_ks_drift (KS is the sharpest single-point
+    gap; PSI weighs the whole histogram).
+
+    Determinism: decile boundaries use the linear-interpolated
+    percentile both engines define identically (q_perplexity_buckets
+    contract); bin assignment is 9 engine-identical comparisons; bin
+    proportions are exact-integer ratios and the 10-term PSI sum rounds
+    to 6dp. Scale shape: one pass computes the reference deciles
+    (summary-grain percentile), a second assigns bins map-side via the
+    broadcast 9-value boundary row and collapses to 10 bin counts —
+    nothing beyond two scans and a 10-row fold."""
+    t = load(spark, sf_dir)
+    ref = t.documents.filter(F.col("lang") == "en")
+    bounds = ref.agg(
+        *[
+            F.percentile("n_chars", F.lit(k / 10.0)).alias(f"b{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bin_expr = sum(
+        [
+            F.when(F.col("n_chars") > F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(1, 10)
+        ],
+        F.lit(0),
+    )
+    assigned = t.documents.crossJoin(F.broadcast(bounds)).select(
+        bin_expr.alias("bin"), (F.col("lang") == "en").alias("is_ref")
+    )
+    bc = assigned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("bigint")).alias("cr"),
+        F.sum((~F.col("is_ref")).cast("bigint")).alias("cc"),
+    )
+    tot = bc.agg(F.sum("cr").alias("nr"), F.sum("cc").alias("nc"))
+    p = (F.col("cr") + 1.0) / (F.col("nr") + 10)
+    q = (F.col("cc") + 1.0) / (F.col("nc") + 10)
+    psi = F.sum((p - q) * F.log(p / q))
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .groupBy("nr", "nc")
+        .agg(
+            F.round(psi, 6).alias("psi"),
+            (psi > 0.2).alias("drifted"),
+        )
+        .select(
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.col("nc").cast("bigint").alias("n_cmp"),
+            "psi",
+            "drifted",
+        )
+    )

@@ -388,3 +388,36 @@ def test_pipeline_quality_survives_replication(spark, tmp_path):
     rows = load_all()["q_pipeline_quality"].fn(spark, str(tmp_path)).collect()
     assert {r["doc_id"] for r in rows} == {0, 1, 2, 3, 4, 5}
     assert all(r["novelty"] == 1.0 and r["bin"] == 0 for r in rows)
+
+
+def test_ks_and_psi_detect_injected_shift(spark, tmp_path):
+    """Drift-op sanity on constructed data: identical distributions give
+    KS D ~ 0 / PSI ~ 0 with no drift flag; a hard location shift flips
+    both flags."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(chars_en, chars_other, path):
+        n = len(chars_en) + len(chars_other)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": ["x"] * n,
+                "lang": ["en"] * len(chars_en) + ["de"] * len(chars_other),
+                "source": ["s"] * n,
+                "n_chars": pa.array(chars_en + chars_other, pa.int64()),
+            }
+        )
+        path.mkdir()
+        pq.write_table(tbl, str(path / "documents.parquet"))
+
+    same = [100 + i for i in range(50)]
+    write(same, same, tmp_path / "same")
+    shifted = [1000 + i for i in range(50)]
+    write(same, shifted, tmp_path / "shift")
+    qs = load_all()
+    for name in ("q_ks_drift", "q_psi"):
+        (r_same,) = qs[name].fn(spark, str(tmp_path / "same")).collect()
+        (r_shift,) = qs[name].fn(spark, str(tmp_path / "shift")).collect()
+        assert not r_same["drifted"], (name, r_same)
+        assert r_shift["drifted"], (name, r_shift)
