@@ -1619,3 +1619,98 @@ def q_crosslingual_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bb, ["a_id", "b_id"])
         .select("a_id", "b_id", "margin", (F.col("rb") == 1).alias("mutual"))
     )
+
+
+#: q_proto_select: survivors kept per cluster — the hardest (farthest
+#: from their assigned seed) examples, the keep-hard budget regime of
+#: prototype-based pruning.
+PROTO_KEEP = 16
+
+
+@query(
+    "q_proto_select",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, embedding AS s
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, seeds.seed_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 65),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(seeds.s[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(seeds.s[i] AS DOUBLE)))),
+      (acc, x) -> acc + x), 8)
+               AS dist
+      FROM embeddings e CROSS JOIN seeds
+    ),
+    assigned AS (
+      SELECT vec_id, seed_id AS cluster_id, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, seed_id) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT vec_id, cluster_id, dist,
+           CAST(rk AS BIGINT) AS hardness_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY dist DESC, vec_id) AS rk
+          FROM assigned)
+    WHERE rk <= {PROTO_KEEP}
+    """,
+    tags=("llm", "similarity", "sampling"),
+)
+def q_proto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws": rank examples by distance to their cluster prototype
+    and keep the HARD tail when the data budget is large) — the
+    embedding-space selection step after q_kmeans_iter's clustering:
+    every vector assigns to its nearest seed (the q_kmeans_iter
+    contract: squared-L2 rounded to 8dp, seed_id tie-break), then each
+    cluster keeps its {PROTO_KEEP} FARTHEST members (rounded distance,
+    vec_id tie-break) — the examples prototypes explain worst, which are
+    the ones worth training on when easy mass dominates.
+
+    Scale shape: K-row seed table broadcasts; assignment is the
+    struct-min argmin groupBy (no fact-scale window); the per-cluster
+    keep compiles to a rank window PARTITIONED BY cluster — Spark plans
+    WindowGroupLimit, so each map task keeps only its local top-
+    {PROTO_KEEP} before the exchange (the q_domain_cap shape). Two
+    fact-scale exchanges total."""
+    t = load(spark, sf_dir)
+    seeds = (
+        t.embeddings.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            _as_double(F.col("embedding")).alias("s"),
+        )
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", F.round(sqdist(F.col("e"), F.col("s")), 8))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "seed_id")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.seed_id").alias("cluster_id"),
+            F.col("m.dist").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("dist").desc(), "vec_id"
+    )
+    return (
+        assigned.withColumn("hardness_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("hardness_rank") <= PROTO_KEEP)
+    )

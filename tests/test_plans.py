@@ -969,3 +969,15 @@ def test_simhash_join_no_cartesian_no_python(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_proto_select_window_group_limit(spark, sf_dir):
+    """q_proto_select: the per-cluster keep compiles to WindowGroupLimit
+    (map-side partial top-k before the exchange), and the K-row seed
+    table reaches the assignment as a BROADCAST cross join (the
+    q_kmeans_iter shape) — never a fact-scale shuffle."""
+    df = SPECS["q_proto_select"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[1]
