@@ -1714,3 +1714,113 @@ def q_proto_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.withColumn("hardness_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("hardness_rank") <= PROTO_KEEP)
     )
+
+
+#: q_jl_project: target dimensionality of the sign random projection
+#: (64 -> 16, the 4x compression regime where JL distortion stays
+#: moderate at corpus scale).
+JL_DIM = 16
+
+
+@query(
+    "q_jl_project",
+    oracle=f"""
+    WITH signs AS (
+      SELECT j.j AS j, d.d AS d,
+             CASE WHEN (CAST(CAST(concat('0x',
+                    substr(md5(concat(CAST(j.j AS VARCHAR), '_',
+                                      CAST(d.d AS VARCHAR))), 1, 8))
+                    AS UBIGINT) AS BIGINT) & 1) = 1
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM (SELECT unnest(range({JL_DIM})) AS j) j
+      CROSS JOIN (SELECT unnest(range(64)) AS d) d
+    ),
+    proj AS (
+      SELECT e.vec_id, s.j,
+             sum(CAST(e.embedding[CAST(s.d AS INTEGER) + 1] AS DOUBLE)
+                 * s.sgn) AS p
+      FROM embeddings e CROSS JOIN signs s
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT vec_id,
+             sum(p * p) / {JL_DIM} AS proj_ms
+      FROM proj GROUP BY 1
+    ),
+    orig AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x) / 64 AS orig_ms
+      FROM embeddings
+    )
+    SELECT o.vec_id,
+           round(o.orig_ms, 6) AS orig_ms,
+           round(n.proj_ms, 6) AS proj_ms,
+           round(n.proj_ms / o.orig_ms, 6) AS distortion
+    FROM orig o JOIN norms n USING (vec_id)
+    """,
+    tags=("llm", "similarity"),
+)
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2003's
+    database-friendly ±1 matrix): embeddings project 64 → {JL_DIM} dims
+    through an engine-neutral md5-derived sign matrix (no RNG — the
+    q_sample_hash technique applied to matrix entries), and the output
+    reports per-vector mean-square norm before/after plus the distortion
+    ratio — the quantity the JL lemma bounds, and the first thing to
+    audit before swapping an index to projected vectors. The projected
+    vectors themselves are the obvious extension; emitting the scalar
+    audit keeps the output hash-checkable (doubles, not float arrays).
+
+    Float contract: both engines accumulate each coordinate's 64 exact
+    products via GROUP BY sum — reassociation drift on O(1) terms is
+    <= 1e-13, absorbed by the 6dp rounding (the q_bigram_logprob
+    avg-of-doubles precedent).
+
+    Scale shape: the sign matrix is a {JL_DIM}×64-row BROADCAST constant
+    table; one corpus scan explodes to dimension grain (checkpointed —
+    two consumers), the coordinate sums are one key-partitioned
+    groupBy(vec, j) with map-side partials, and the norm reduces run at
+    vector grain. A flat inline expression would be exchange-free but
+    costs ~10 s of optimizer/codegen compile per plan — see body."""
+    t = load(spark, sf_dir)
+    import hashlib
+
+    def sgn(j: int, d: int) -> float:
+        h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
+        return 1.0 if (h & 1) == 1 else -1.0
+
+    # DATAFLOW, not a flat expression: an inline 16x64-term arithmetic
+    # tree (~2000 Catalyst nodes) costs ~10 s of optimizer + Janino
+    # compile time before touching a row. Exploding dims and joining the
+    # broadcast sign TABLE keeps the plan small and the work columnar
+    # (measured 9.8 s -> ~1.3 s at sf0.01).
+    signs = spark.createDataFrame(
+        [(j, d, sgn(j, d)) for j in range(JL_DIM) for d in range(64)],
+        "j int, d int, sgn double",
+    )
+    exploded = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("d0", "val")
+    ).select(
+        "vec_id", F.col("d0").alias("d"), F.col("val").cast("double").alias("v")
+    ).localCheckpoint()
+    proj = (
+        exploded.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("sgn")).alias("p"))
+    )
+    norms = proj.groupBy("vec_id").agg(
+        (F.sum(F.col("p") * F.col("p")) / JL_DIM).alias("proj_ms")
+    )
+    orig = exploded.groupBy("vec_id").agg(
+        (F.sum(F.col("v") * F.col("v")) / 64).alias("orig_ms")
+    )
+    return orig.join(norms, "vec_id").select(
+        "vec_id",
+        F.round("orig_ms", 6).alias("orig_ms"),
+        F.round("proj_ms", 6).alias("proj_ms"),
+        F.round(F.col("proj_ms") / F.col("orig_ms"), 6).alias("distortion"),
+    )
