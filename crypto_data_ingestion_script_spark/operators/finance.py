@@ -741,3 +741,151 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stat, 8).alias("cusum_stat"),
         (stat > 25).alias("alarm"),
     ).orderBy("event_type", "hour_ts")
+
+
+#: Shared hourly-bar CTE for the bar-derived indicators below — identical
+#: to q_ohlc_hourly's oracle.
+_BARS_SQL = """
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             event_type,
+             max(value)             AS high_price,
+             min(value)             AS low_price,
+             arg_max(value, ts)     AS close_price,
+             count(*)               AS sample_count
+      FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_atr",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    tr AS (
+      SELECT hour_ts, event_type,
+             greatest(high_price - low_price,
+                      abs(high_price - lag(close_price) OVER w),
+                      abs(low_price  - lag(close_price) OVER w)) AS tr,
+             row_number() OVER w AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    )
+    SELECT hour_ts, event_type,
+           round(avg(tr) OVER (PARTITION BY event_type ORDER BY hour_ts
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+                 8) AS atr
+    FROM tr WHERE rn >= 2
+    QUALIFY rn >= 15
+    """,
+    tags=("finance", "window"),
+)
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR-14 (Average True Range, Wilder's volatility unit in its
+    window-expressible simple-average form — the q_rsi convention): true
+    range per hourly bar = max(high-low, |high-prev close|, |low-prev
+    close|), averaged over the trailing 14 bars; the denominator every
+    breakout/stop rule is quoted in. Bars without a previous close (no
+    TR) and rows without the full lookback are excluded on both sides.
+
+    Scale shape: the bar rollup is one map-side-combining groupBy (the
+    q_ohlc_hourly shape); both windows are PARTITIONED BY the symbol key
+    — per-key frames, no global sort; window-frame averages accumulate
+    in frame order, so the 14-term float sums are deterministic in both
+    engines (the q_rsi contract)."""
+    from pyspark.sql import Window
+
+    from .rollup import ohlc_bars
+
+    t = load(spark, sf_dir)
+    bars = ohlc_bars(
+        t.events, ts_col="ts", key_col="event_type", value_col="value"
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    tr = F.greatest(
+        F.col("high_price") - F.col("low_price"),
+        F.abs(F.col("high_price") - F.lag("close_price").over(w)),
+        F.abs(F.col("low_price") - F.lag("close_price").over(w)),
+    )
+    d = bars.select(
+        "hour_ts",
+        "event_type",
+        tr.alias("tr"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 2)
+    frame = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        -13, 0
+    )
+    return (
+        d.select(
+            "hour_ts",
+            "event_type",
+            F.round(F.avg("tr").over(frame), 8).alias("atr"),
+            "rn",
+        )
+        .filter(F.col("rn") >= 15)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_obv",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    d AS (
+      SELECT hour_ts, event_type,
+             CASE WHEN close_price > lag(close_price) OVER w
+                  THEN CAST(sample_count AS BIGINT)
+                  WHEN close_price < lag(close_price) OVER w
+                  THEN -CAST(sample_count AS BIGINT)
+                  ELSE 0 END AS signed_vol
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    )
+    SELECT hour_ts, event_type,
+           CAST(sum(signed_vol) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS obv
+    FROM d
+    """,
+    tags=("finance", "window"),
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume (Granville 1963): per symbol, the running total
+    of bar volume signed by the close-over-close direction — the classic
+    volume-confirms-price indicator, computed on the hourly bars with
+    sample_count as bar volume. All arithmetic is EXACT integers (sign
+    × bigint count, cumulative sum), so the output hash-checks without
+    any float contract; the first bar (no previous close) contributes 0.
+
+    Scale shape: bar rollup (map-side combine) + two per-key windows —
+    lag and running sum share the same (symbol, hour) order, one window
+    shuffle total, no global sort."""
+    from pyspark.sql import Window
+
+    from .rollup import ohlc_bars
+
+    t = load(spark, sf_dir)
+    bars = ohlc_bars(
+        t.events, ts_col="ts", key_col="event_type", value_col="value"
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    signed = (
+        F.when(
+            F.col("close_price") > F.lag("close_price").over(w),
+            F.col("sample_count").cast("bigint"),
+        )
+        .when(
+            F.col("close_price") < F.lag("close_price").over(w),
+            -F.col("sample_count").cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    run = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bars.select(
+        "hour_ts", "event_type", signed.alias("signed_vol")
+    ).select(
+        "hour_ts",
+        "event_type",
+        F.sum("signed_vol").over(run).cast("bigint").alias("obv"),
+    )
