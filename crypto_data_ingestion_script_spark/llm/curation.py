@@ -1696,3 +1696,70 @@ def q_ppl_diff_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("logdiff"), 6) > 0).alias("selected"),
         )
     )
+
+
+@query(
+    "q_interleave",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    si AS (
+      SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY rn, src_idx, doc_id) AS BIGINT)
+             AS position
+    FROM s JOIN si USING (source)
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order — the deterministic round-robin
+    every multi-source pretraining run wants (consecutive batches drawing
+    from the same crawl shard correlate gradients; interleaving by
+    source de-clusters them without RNG): documents rank within their
+    source by doc_id, sources get a stable index, and the global
+    position orders by (within-source rank, source index) — a perfect
+    round-robin while all sources last, degrading gracefully as small
+    sources exhaust. Rerunning yields byte-identical order (the
+    q_sample_hash reproducibility contract).
+
+    Scale shape: the within-source rank is a key-partitioned window;
+    the source index table is distinct-source-grain (broadcast); the
+    GLOBAL position uses global_row_number's two-pass range plan — no
+    single-partition window anywhere (the q_pack_sequences lesson)."""
+    from ..ranking import global_row_number
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    s = t.documents.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    si = (
+        t.documents.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy("source"))
+            .alias("src_idx"),
+        )
+    )
+    ranked = global_row_number(
+        s.join(F.broadcast(si), "source"),
+        "rn",
+        "src_idx",
+        "doc_id",
+        out_col="position",
+    )
+    return ranked.select(
+        "doc_id", "source", F.col("position").cast("bigint").alias("position")
+    )
