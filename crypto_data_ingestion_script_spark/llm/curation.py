@@ -1279,7 +1279,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     block): document count, total whitespace tokens, exact-duplicate
     rate (1 - distinct md5 / docs), median document length in chars,
     language-mix Shannon entropy, and the largest single source's share
-    — the five numbers a consumer checks before committing GPUs.
+    — the first numbers a consumer checks before committing GPUs.
 
     Determinism: counts and sums are exact integers; the entropy folds
     SEQUENTIALLY over the language-sorted distribution (both engines add
