@@ -889,3 +889,100 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("signed_vol").over(run).cast("bigint").alias("obv"),
     )
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH s0 AS (
+      SELECT event_type, ts, event_id,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, last_value(cum) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS tot
+      FROM s0
+    ),
+    cand AS (
+      SELECT event_type, ts, rn, n,
+             round(abs(cum / rn - (tot - cum) / (n - rn)), 8) AS delta
+      FROM s WHERE rn >= 8 AND n - rn >= 8
+    )
+    SELECT event_type, ts AS split_ts, delta
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY delta DESC, ts, rn) AS rk
+          FROM cand)
+    WHERE rk = 1
+    """,
+    tags=("finance", "window", "stats"),
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint detection (the first round of binary
+    segmentation, Scott & Knott 1974 lineage — the offline complement to
+    q_cusum's online path): per symbol, the split position maximizing
+    the absolute difference of left/right segment means, with >= 8
+    observations required on each side (degenerate end-splits excluded).
+    Downstream recurses on each side for multi-changepoint segmentation.
+
+    Float contract: both means derive from the SAME frame-ordered
+    running sum — the grand total is the ordered chain's LAST value, not
+    an unordered whole-partition sum whose accumulation order the
+    engines could disagree on in trailing ulps — the delta rounds to 8dp
+    and the argmax breaks ties by timestamp.
+
+    Scale shape: one window shuffle per symbol key computes rank,
+    running sum and totals in a single pass; the argmax is a second
+    per-key window over the candidate rows. No global sort, nothing
+    quadratic — O(n) per key where the textbook formulation is O(n) per
+    CANDIDATE."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wk = Window.partitionBy("event_type")
+    s = t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+        F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    ).withColumn(
+        "tot",
+        F.last("cum").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    cand = s.filter(
+        (F.col("rn") >= 8) & (F.col("n") - F.col("rn") >= 8)
+    ).select(
+        "event_type",
+        "ts",
+        "rn",
+        F.round(
+            F.abs(
+                F.col("cum") / F.col("rn")
+                - (F.col("tot") - F.col("cum")) / (F.col("n") - F.col("rn"))
+            ),
+            8,
+        ).alias("delta"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("delta").desc(), "ts", "rn"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("ts").alias("split_ts"), "delta")
+    )

@@ -421,3 +421,31 @@ def test_ks_and_psi_detect_injected_shift(spark, tmp_path):
         (r_shift,) = qs[name].fn(spark, str(tmp_path / "shift")).collect()
         assert not r_same["drifted"], (name, r_same)
         assert r_shift["drifted"], (name, r_shift)
+
+
+def test_changepoint_finds_injected_step(spark, tmp_path):
+    """q_changepoint known-answer: a flat-10 / flat-50 step series splits
+    exactly at the step, with delta = 40."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    base = datetime.datetime(2024, 1, 1)
+    rows = {
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            [base + datetime.timedelta(minutes=i) for i in range(n)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": ["step"] * n,
+        "value": pa.array([10.0] * 20 + [50.0] * 20, pa.float64()),
+        "props": ["{}"] * n,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    (r,) = load_all()["q_changepoint"].fn(spark, str(tmp_path)).collect()
+    # The argmax candidate is the last row of the left segment.
+    assert r["split_ts"] == base + datetime.timedelta(minutes=19)
+    assert r["delta"] == 40.0
