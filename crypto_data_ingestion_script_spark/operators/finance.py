@@ -986,3 +986,100 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_type", F.col("ts").alias("split_ts"), "delta")
     )
+
+
+#: q_sax: PAA segment length in hourly bars, and the alphabet size
+#: (quartile breakpoints -> 4 symbols a-d).
+SAX_SEG = 6
+
+
+@query(
+    "q_sax",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             round(avg(value), 8) AS bar_mean
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, hour_ts, bar_mean,
+             (row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hour_ts) - 1) // {SAX_SEG} AS seg
+      FROM bars
+    ),
+    paa AS (
+      SELECT event_type, seg, round(avg(bar_mean), 8) AS paa
+      FROM idx GROUP BY 1, 2
+    ),
+    bp AS (
+      SELECT event_type,
+             quantile_cont(paa, 0.25) AS b1,
+             quantile_cont(paa, 0.50) AS b2,
+             quantile_cont(paa, 0.75) AS b3
+      FROM paa GROUP BY 1
+    )
+    SELECT p.event_type,
+           string_agg(chr(97 + (CASE WHEN p.paa > b.b1 THEN 1 ELSE 0 END
+                                + CASE WHEN p.paa > b.b2 THEN 1 ELSE 0 END
+                                + CASE WHEN p.paa > b.b3 THEN 1 ELSE 0 END)),
+                      '' ORDER BY p.seg) AS sax,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM paa p JOIN bp b USING (event_type)
+    GROUP BY p.event_type
+    """,
+    tags=("finance", "window", "stats"),
+)
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003),
+    the time-series-to-string transform behind motif discovery and
+    whole-series indexing: per symbol, hourly bar means reduce by PAA
+    (Piecewise Aggregate Approximation, {SAX_SEG}-bar segment means) and
+    each segment maps to a 4-letter alphabet by the series' own quartile
+    breakpoints — the output string feeds any substring machinery
+    (q_winnowing, q_suffix_lcp) for cross-series motif search.
+
+    Float contract: bar means and PAA means round to 8dp before any
+    comparison; breakpoints come from the interpolated percentile both
+    engines define identically over those ROUNDED values; symbols are
+    strict > comparisons against the breakpoints. Scale shape: two
+    map-side-combining groupBys (bars, PAA), a per-key rank window, a
+    key-grain breakpoint aggregate joined back at segment grain, and an
+    ordered string_agg per key — every exchange keyed by the symbol."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.round(F.avg("value"), 8).alias("bar_mean"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    idx = bars.withColumn(
+        "seg", ((F.row_number().over(w) - 1) / SAX_SEG).cast("bigint")
+    )
+    paa = idx.groupBy("event_type", "seg").agg(
+        F.round(F.avg("bar_mean"), 8).alias("paa")
+    )
+    bp = paa.groupBy("event_type").agg(
+        F.percentile("paa", F.lit(0.25)).alias("b1"),
+        F.percentile("paa", F.lit(0.50)).alias("b2"),
+        F.percentile("paa", F.lit(0.75)).alias("b3"),
+    )
+    sym = (
+        (F.col("paa") > F.col("b1")).cast("int")
+        + (F.col("paa") > F.col("b2")).cast("int")
+        + (F.col("paa") > F.col("b3")).cast("int")
+    )
+    return (
+        paa.join(bp, "event_type")
+        .withColumn("ch", F.char(F.lit(97) + sym))
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "ch"))),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("sax"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
