@@ -1747,3 +1747,140 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_phrases").cast("bigint").alias("n_phrases"),
         )
     )
+
+
+#: q_mi_features: how many top tokens to emit from the MI ranking.
+MI_TOP = 20
+
+
+@query(
+    "q_mi_features",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang, tok
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    nl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+    nt AS (SELECT tok, count(*) AS n_t FROM pres GROUP BY 1),
+    cell AS (
+      SELECT tok, lang, count(*) AS n_tl FROM pres GROUP BY 1, 2
+    ),
+    full_grid AS (
+      SELECT nt.tok, nl.lang, nt.n_t, nl.n_l, coalesce(cell.n_tl, 0) AS n_tl
+      FROM nt CROSS JOIN nl
+      LEFT JOIN cell ON cell.tok = nt.tok AND cell.lang = nl.lang
+    ),
+    mi AS (
+      SELECT tok,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CASE WHEN n_tl > 0
+                         THEN (n_tl * 1.0 / n)
+                              * ln((n_tl * 1.0 / n)
+                                   / ((n_t * 1.0 / n) * (n_l * 1.0 / n)))
+                         ELSE 0.0 END
+                    + CASE WHEN n_l - n_tl > 0
+                           THEN ((n_l - n_tl) * 1.0 / n)
+                                * ln(((n_l - n_tl) * 1.0 / n)
+                                     / (((n - n_t) * 1.0 / n)
+                                        * (n_l * 1.0 / n)))
+                           ELSE 0.0 END
+                    ORDER BY lang)),
+               (acc, x) -> acc + x), 8) AS mi
+      FROM full_grid CROSS JOIN nd
+      GROUP BY tok, n
+    )
+    SELECT tok, mi, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY mi DESC, tok) AS rk FROM mi)
+    WHERE rk <= {MI_TOP}
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_mi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking (the filter-method
+    feature-selection classic; what picks the language-ID stopword lists
+    q_lang_id then hard-codes): per token, I(presence; lang) over the
+    document-level presence/absence x language contingency table — the
+    top-{MI_TOP} tokens are the most language-discriminative features in
+    the corpus. Complements q_chisq (significance of one association)
+    with a RANKING over all features.
+
+    Determinism: every cell is an exact integer count; each token's MI
+    folds SEQUENTIALLY over its language-sorted cells (present + absent
+    terms per language, zero-count cells contribute 0 by the 0·log 0
+    convention) and rounds to 8dp; ranking ties break by token.
+
+    Scale shape: per-doc presence collapses map-side (array_distinct
+    before the exchange — the q_ngram_novelty shape); the contingency
+    grid lives at (vocabulary x languages) grain built from ONE
+    fact-scale groupBy plus two summary aggregates (language counts
+    broadcast, doc-count scalar crossJoin); the MI fold and top-k run at
+    vocabulary grain (TakeOrdered — per-partition top-{MI_TOP}, never a
+    global sort)."""
+    t = load(spark, sf_dir)
+    pres = t.documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), " "))
+        ).alias("tok"),
+    )
+    n_docs = t.documents.count()
+    nl = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    nt = pres.groupBy("tok").agg(F.countDistinct("doc_id").alias("n_t"))
+    cell = pres.groupBy("tok", "lang").agg(
+        F.countDistinct("doc_id").alias("n_tl")
+    )
+    grid = (
+        nt.crossJoin(F.broadcast(nl))
+        .join(cell, ["tok", "lang"], "left")
+        .withColumn("n_tl", F.coalesce("n_tl", F.lit(0)))
+    )
+    n = F.lit(float(n_docs))
+    present = F.when(
+        F.col("n_tl") > 0,
+        (F.col("n_tl") / n)
+        * F.log(
+            (F.col("n_tl") / n)
+            / ((F.col("n_t") / n) * (F.col("n_l") / n))
+        ),
+    ).otherwise(0.0)
+    absent = F.when(
+        (F.col("n_l") - F.col("n_tl")) > 0,
+        ((F.col("n_l") - F.col("n_tl")) / n)
+        * F.log(
+            ((F.col("n_l") - F.col("n_tl")) / n)
+            / (((F.lit(float(n_docs)) - F.col("n_t")) / n) * (F.col("n_l") / n))
+        ),
+    ).otherwise(0.0)
+    mi = (
+        grid.select("tok", "lang", (present + absent).alias("term"))
+        .groupBy("tok")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("lang", "term"))),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                8,
+            ).alias("mi")
+        )
+    )
+    return (
+        mi.orderBy(F.col("mi").desc(), "tok")
+        .limit(MI_TOP)
+        .select(
+            "tok",
+            "mi",
+            F.row_number()
+            .over(Window.orderBy(F.col("mi").desc(), "tok"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
