@@ -918,3 +918,52 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_target_encode",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             sum(value) OVER (PARTITION BY event_type) AS sum_t,
+             count(*)   OVER (PARTITION BY event_type) AS cnt_t
+      FROM events
+    )
+    SELECT event_id, event_type,
+           round((sum_t - value) / (cnt_t - 1), 6) AS loo_mean
+    FROM s WHERE cnt_t > 1
+    """,
+    tags=("aggregate", "window"),
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean target encoding — the categorical-feature
+    transform gradient-boosting pipelines ship (encode a category by the
+    mean target of its OTHER members, so a row never leaks its own
+    label): per event, (group sum - own value) / (group count - 1).
+    Singleton groups have no leave-one-out mean and are excluded on both
+    sides.
+
+    Float contract: the per-group sum is one unordered double
+    aggregation whose reassociation drift (~1e-12 relative) sits far
+    below the 6dp output rounding on O(100) values — the q_stats_agg
+    class, not the running-chain class. Scale shape: ONE window shuffle
+    keyed by the category computes sum and count together; the encode is
+    a map-side projection. No joins, no second pass."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    wk = Window.partitionBy("event_type")
+    s = t.events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.sum("value").over(wk).alias("sum_t"),
+        F.count(F.lit(1)).over(wk).alias("cnt_t"),
+    )
+    return s.filter(F.col("cnt_t") > 1).select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("sum_t") - F.col("value")) / (F.col("cnt_t") - 1), 6
+        ).alias("loo_mean"),
+    )
