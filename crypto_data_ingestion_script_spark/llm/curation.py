@@ -1763,3 +1763,61 @@ def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "source", F.col("position").cast("bigint").alias("position")
     )
+
+
+#: q_weighted_sample: sample size (the audit-sample convention of
+#: q_sample_hash, weighted).
+WSAMPLE_K = 100
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT) AS BIGINT)
+              + 1.0) / 4294967297.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(ln(u) / n_tokens, 8) AS es_key
+    FROM w
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006:
+    each item draws u ~ U(0,1) and the top-k by u^(1/w) is an exact
+    weighted sample) — derandomized with the q_sample_hash technique:
+    u derives from md5(doc_id), so the sample is statistically weighted
+    by token count (long documents proportionally likelier) yet
+    byte-identical across engines, reruns and cluster layouts — the
+    reproducible audit sample, weight-aware. Ranking uses ln(u)/w
+    (monotone in u^(1/w), numerically safer than the power) rounded to
+    8dp with doc_id tie-breaks.
+
+    Scale shape: map-only key derivation, then orderBy+limit plans as
+    TakeOrdered — per-partition top-{WSAMPLE_K} and a k-row merge; the
+    corpus never globally sorts (the q_sample_hash / q_dsir_resample
+    plan)."""
+    t = load(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        t.documents.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.round(F.log(u) / n_tokens, 8).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
