@@ -1824,3 +1824,110 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("proj_ms", 6).alias("proj_ms"),
         F.round(F.col("proj_ms") / F.col("orig_ms"), 6).alias("distortion"),
     )
+
+
+#: q_kcenter: number of centers picked by farthest-first traversal.
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled k-center SQL (the q_kmeans_multi chained-CTE technique):
+    md_i(v) = min distance to the first i centers; center i+1 = argmax
+    md_i (rounded 8dp, vec_id tie-break)."""
+    dist = (
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, 65),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - CAST({c}.emb[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST({c}.emb[i] AS DOUBLE)))),"
+        " (acc, x) -> acc + x), 8)"
+    )
+    parts = [
+        """
+    WITH c1 AS (
+      SELECT vec_id AS center_id, embedding AS emb,
+             CAST(0.0 AS DOUBLE) AS sel_dist
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    md1 AS (
+      SELECT e.vec_id, {d1} AS md
+      FROM embeddings e CROSS JOIN c1
+    )""".format(d1=dist.format(c="c1"))
+    ]
+    for i in range(2, KCENTER_K + 1):
+        parts.append(
+            """,
+    c{i} AS (
+      SELECT e.vec_id AS center_id, e.embedding AS emb, m.md AS sel_dist
+      FROM embeddings e JOIN md{p} m USING (vec_id)
+      ORDER BY m.md DESC, e.vec_id LIMIT 1
+    ),
+    md{i} AS (
+      SELECT m.vec_id, least(m.md, {di}) AS md
+      FROM md{p} m JOIN embeddings e USING (vec_id) CROSS JOIN c{i}
+    )""".format(i=i, p=i - 1, di=dist.format(c="c{}".format(i)))
+        )
+    selects = "\n    UNION ALL\n".join(
+        "SELECT {r} AS rank, center_id, sel_dist FROM c{r}".format(r=r)
+        for r in range(1, KCENTER_K + 1)
+    )
+    parts.append(
+        """
+    SELECT CAST(rank AS BIGINT) AS rank, center_id,
+           round(sel_dist, 8) AS sel_dist
+    FROM ({selects})
+    """.format(selects=selects)
+    )
+    return "".join(parts)
+
+
+@query(
+    "q_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "similarity", "sampling"),
+)
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center seeding by farthest-first traversal (Gonzalez 1985 — the
+    2-approximation that seeds coresets, k-means++-style inits and
+    diversity-maximizing data selection): start from the lowest vec_id,
+    then {KCENTER_K}-1 times pick the vector FARTHEST from the chosen
+    set (squared-L2 rounded to 8dp, vec_id tie-break — the q_kmeans_iter
+    determinism contract). Output: each center with its selection rank
+    and distance-at-selection (the monotone non-increasing coverage
+    radii — the k-center objective's certificate).
+
+    Scale shape: the running min-distance column updates INCREMENTALLY —
+    step i touches the corpus once to fold min(md, dist-to-new-center)
+    (never re-scanning the chosen set), checkpointed per step like
+    q_kmeans_multi's rounds; the argmax is TakeOrdered (per-partition
+    top-1). K passes over the corpus total, each map-only + a 1-row
+    reduce; the oracle is the same recursion unrolled into chained
+    CTEs."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).localCheckpoint()
+
+    def sqdist_to(center_vec):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            8,
+        )
+
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, first["vec_id"], 0.0)]
+    cur = emb.withColumn("md", sqdist_to(first["e"])).localCheckpoint()
+    for rank in range(2, KCENTER_K + 1):
+        nxt = cur.orderBy(F.col("md").desc(), "vec_id").limit(1).collect()[0]
+        centers.append((rank, nxt["vec_id"], float(nxt["md"])))
+        nxt_vec = emb.filter(F.col("vec_id") == nxt["vec_id"]).collect()[0]["e"]
+        cur = cur.withColumn(
+            "md", F.least(F.col("md"), sqdist_to(nxt_vec))
+        ).localCheckpoint()
+    return t.embeddings.sparkSession.createDataFrame(
+        centers, "rank bigint, center_id bigint, sel_dist double"
+    ).select("rank", "center_id", F.round("sel_dist", 8).alias("sel_dist"))

@@ -449,3 +449,24 @@ def test_changepoint_finds_injected_step(spark, tmp_path):
     # The argmax candidate is the last row of the left segment.
     assert r["split_ts"] == base + datetime.timedelta(minutes=19)
     assert r["delta"] == 40.0
+
+
+def test_kcenter_radii_non_increasing(spark):
+    """q_kcenter certificate: selection distances are monotone
+    non-increasing (each new center is the current farthest point, so
+    coverage radii can only shrink), rank 1 is the lowest vec_id with
+    sel_dist 0, and all centers are distinct."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = sorted(
+        (r["rank"], r["center_id"], r["sel_dist"])
+        for r in load_all()["q_kcenter"].fn(spark, sf_dir).collect()
+    )
+    min_id = duckdb.connect().execute(
+        f"SELECT min(vec_id) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert rows[0][1] == min_id and rows[0][2] == 0.0
+    dists = [d for _, _, d in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    assert len({c for _, c, _ in rows}) == len(rows)
