@@ -1931,3 +1931,126 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.embeddings.sparkSession.createDataFrame(
         centers, "rank bigint, center_id bigint, sel_dist double"
     ).select("rank", "center_id", F.round("sel_dist", 8).alias("sel_dist"))
+
+
+#: RRF constant (Cormack/Clarke/Buettcher 2009's k=60) and leg depth.
+RRF_K = 60
+RRF_DEPTH = 100
+RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    from .text import bm25_scored_ctes
+
+    dot_pe = _DOT_SQL.format(a="e.embedding", b="p.p_emb")
+    dot_ee = _DOT_SQL.format(a="e.embedding", b="e.embedding")
+    dot_pp = _DOT_SQL.format(a="p.p_emb", b="p.p_emb")
+    return f"""
+    WITH {bm25_scored_ctes()},
+    lex_top AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS BIGINT) AS lex_rank
+      FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    probe AS (SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0),
+    dense_scored AS (
+      SELECT e.vec_id AS doc_id,
+             round({dot_pe} / (sqrt({dot_ee}) * sqrt({dot_pp})), 8) AS cos_sim
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> 0
+    ),
+    dense_top AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                          AS BIGINT) AS dense_rank
+      FROM dense_scored
+      ORDER BY cos_sim DESC, doc_id LIMIT {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0.0), 8)
+               AS rrf_score
+      FROM lex_top l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOPN}
+    """
+
+
+@query("q_rrf", oracle=_rrf_oracle(), tags=("llm", "similarity", "search"))
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval: the BM25 lexical top-100
+    (shared scorer ``bm25_scored``, llm/text.py) fused with a dense
+    cosine top-100 (probe = vec_id 0's embedding, same sequential-fold
+    dot product as q_cosine_topk) via score = sum 1/(60 + rank) — the
+    standard hybrid-search combiner (Cormack et al. 2009, k=60).
+
+    Scale shape: each leg is an ``orderBy().limit(100)`` which compiles
+    to TakeOrderedAndProject (per-partition top-k, single merge — no
+    global sort, no range exchange on the corpus); ranks are then
+    assigned by a window over the 100-row list, and the fusion join +
+    final top-20 touch only these two 100-row lists. At 100 TB both legs
+    would sit behind their candidate pruners (q_inverted_index postings,
+    q_ann_lsh buckets) with identical fusion semantics.
+
+    Ranks are assigned on ROUNDED scores (6 dp lexical, 8 dp dense) with
+    doc_id tie-breaks, so the rank lists — and hence the fused scores —
+    are integer-deterministic across engines; the final rrf_score is a
+    two-term sum of exact reciprocals, rounded to 8.
+    """
+    from .text import bm25_scored
+
+    t = load(spark, sf_dir)
+    lex_top = (
+        bm25_scored(t.documents)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_ranked = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("bigint").alias("lex_rank")
+    )
+
+    probe = t.embeddings.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("p_emb")
+    )
+    dense_scored = (
+        t.embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), F.col("p_emb")), 8
+            ).alias("cos_sim"),
+        )
+    )
+    dense_top = dense_scored.orderBy(
+        F.col("cos_sim").desc(), "doc_id"
+    ).limit(RRF_DEPTH)
+    w_dense = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    dense_ranked = dense_top.select(
+        "doc_id", F.row_number().over(w_dense).cast("bigint").alias("dense_rank")
+    )
+
+    fused = (
+        lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+                ),
+                8,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOPN)

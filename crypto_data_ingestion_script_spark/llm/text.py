@@ -770,7 +770,11 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TERMS = ("hash", "merge")
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_ctes() -> str:
+    """DuckDB CTE block producing ``scored(doc_id, score)`` — the BM25
+    scorer for the fixed ``_BM25_TERMS`` query, shared between the
+    q_bm25 oracle and the q_rrf fusion oracle (llm/similarity.py) so the
+    lexical leg is literally the same SQL in both."""
     k1, b = _BM25_K1, _BM25_B
     per_term = " + ".join(
         f"""
@@ -791,8 +795,7 @@ def _bm25_oracle() -> str:
         )"""
         for t in _BM25_TERMS
     )
-    return f"""
-    WITH tf AS (
+    return f"""tf AS (
       SELECT doc_id, len(string_split(text, ' ')) AS doclen, {tf_cols}
       FROM documents
     ),
@@ -804,7 +807,12 @@ def _bm25_oracle() -> str:
     scored AS (
       SELECT tf.doc_id, round({per_term}, 6) AS score
       FROM tf, stats, {", ".join(f"df_{t}" for t in _BM25_TERMS)}
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {bm25_scored_ctes()}
     SELECT doc_id, score
     FROM scored
     WHERE score > 0
@@ -813,34 +821,27 @@ def _bm25_oracle() -> str:
     """
 
 
-@query("q_bm25", oracle=_bm25_oracle(), tags=("text", "search"))
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 relevance ranking for a fixed two-term query — the classic
-    retrieval scorer over the inverted-index statistics (tf, df, doc
-    length, corpus average length). For a bounded term set everything is
-    pure column expressions: per-term tf via size(filter(tokens)), corpus
-    stats via one aggregate crossJoined back as broadcast scalars — no
-    explode, no per-token shuffle, one pass over the corpus.
-
-    Scores are rounded to 6 decimals BEFORE the top-k cut with doc_id as
-    the tie-break, so the k-boundary is stable across engines whose ln()
-    differs in the last ulp. At 100 TB the same plan serves as the
-    scoring stage after candidate pruning via q_inverted_index postings.
+def bm25_scored(documents: DataFrame) -> DataFrame:
+    """BM25 scores for the fixed ``_BM25_TERMS`` query, rounded to 6
+    decimals and filtered to score > 0 — the shared lexical scorer behind
+    q_bm25 (top-20 list) and q_rrf's lexical leg (llm/similarity.py).
+    Pure column expressions, one corpus pass, stats crossJoined back as a
+    broadcast scalar row (see q_bm25's docstring for the plan argument).
     """
-    t = load(spark, sf_dir)
     k1, b = _BM25_K1, _BM25_B
     toks = _tokens()
+
     def term_count(term: str):
         # NB: keep the lambda unary — F.filter treats a 2-arg lambda as
         # (element, index) and would compare tokens against positions.
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
-    tf = t.documents.select(
+    tf = documents.select(
         "doc_id",
         F.size(toks).alias("doclen"),
         *[term_count(term).alias(f"tf_{term}") for term in _BM25_TERMS],
     )
-    stats = t.documents.agg(
+    stats = documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(toks)).alias("avglen"),
         *[
@@ -868,6 +869,26 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("doc_id", F.round(score, 6).alias("score"))
         .filter(F.col("score") > 0)
+    )
+
+
+@query("q_bm25", oracle=_bm25_oracle(), tags=("text", "search"))
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking for a fixed two-term query — the classic
+    retrieval scorer over the inverted-index statistics (tf, df, doc
+    length, corpus average length). For a bounded term set everything is
+    pure column expressions: per-term tf via size(filter(tokens)), corpus
+    stats via one aggregate crossJoined back as broadcast scalars — no
+    explode, no per-token shuffle, one pass over the corpus.
+
+    Scores are rounded to 6 decimals BEFORE the top-k cut with doc_id as
+    the tie-break, so the k-boundary is stable across engines whose ln()
+    differs in the last ulp. At 100 TB the same plan serves as the
+    scoring stage after candidate pruning via q_inverted_index postings.
+    """
+    t = load(spark, sf_dir)
+    return (
+        bm25_scored(t.documents)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )

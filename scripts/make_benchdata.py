@@ -23,7 +23,15 @@ Each big table is written as a directory ``<table>.parquet/part-NN.parquet``
 file — 32 files × 2 row groups ≥ 64 splittable units, so both engines
 parallelize the scan. Small dims stay single-file (broadcast sides).
 
+A third, on-demand output extends the ladder one more decade for the scale
+leg (VERDICT r8 task 1):
+
+- ``benchdata/sf10`` — 100× replication by the same key-offset scheme
+  (``--extra sf10=100``; ~60M-row lineitem, 500k docs). Written alone, not
+  with the default pair, because it is only needed for BENCH_scale runs.
+
 Usage: python scripts/make_benchdata.py [--src /root/testdata/sf0.1]
+       python scripts/make_benchdata.py --extra sf10=100
 """
 from __future__ import annotations
 
@@ -95,7 +103,29 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata"))
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--extra",
+        default=None,
+        help="write ONLY benchdata/<name> at <replicas>x, e.g. sf10=100",
+    )
     args = ap.parse_args()
+
+    if args.extra:
+        name, _, reps = args.extra.partition("=")
+        out_dir = os.path.join(args.out, name)
+        os.makedirs(out_dir, exist_ok=True)
+        replicas = int(reps or 100)
+        for tname, cols in OFFSET_COLS.items():
+            tbl = pq.read_table(os.path.join(args.src, f"{tname}.parquet"))
+            if tname in REPLICATED:
+                big = pa.concat_tables(
+                    _offset_replica(tbl, cols, r) for r in range(replicas)
+                )
+            else:
+                big = tbl
+            _write_split(big, os.path.join(out_dir, f"{tname}.parquet"))
+            print(f"{tname}: sf0.1 {tbl.num_rows} rows -> {name} {big.num_rows} rows")
+        return
 
     mrg_dir = os.path.join(args.out, "sf0.1mrg")
     sf1_dir = os.path.join(args.out, "sf1")

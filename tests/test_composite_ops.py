@@ -470,3 +470,28 @@ def test_kcenter_radii_non_increasing(spark):
     dists = [d for _, _, d in rows[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
     assert len({c for _, c, _ in rows}) == len(rows)
+
+
+def test_rrf_fusion_algebra(spark):
+    """q_rrf invariants: rrf_score is exactly the (rounded) sum of the two
+    leg reciprocals 1/(60+rank); the output is non-increasing in score;
+    every row carries at least one leg rank; and a doc ranked in BOTH legs
+    fuses both reciprocals (so the hybrid beats either single-leg score)."""
+    sf_dir = "/root/testdata/sf0.001"
+    rows = load_all()["q_rrf"].fn(spark, sf_dir).collect()
+    assert rows, "q_rrf returned no rows"
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    saw_both = False
+    for r in rows:
+        assert r["lex_rank"] is not None or r["dense_rank"] is not None
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            expect += 1.0 / (60 + r["dense_rank"])
+            saw_both = saw_both or r["lex_rank"] is not None
+        assert abs(r["rrf_score"] - round(expect, 8)) < 1e-12, r
+    # sf0.001's corpus is small enough that lexical and dense legs overlap;
+    # if this ever fails the fixture changed, not the operator.
+    assert saw_both
