@@ -2810,23 +2810,30 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, doc_id, pos), so adjacency — and hence the output — is
     engine-deterministic.
 
-    Scale shape: the suffix sort is THE published construction and it is
-    NOT a single-partition window — ranks come from global_row_number's
-    two-pass range plan (parallel repartitionByRange, per-range
-    row_number, broadcast prefix offsets), the same shape distributed
-    suffix-array builders use; adjacency is an equi-join on rn = rn + 1
-    (key-partitioned, no funnel); the LCP fold runs on <= {SUFFIX_CAP}
-    -element arrays per adjacent pair (bounded per-row work). Suffix
-    blowup is x~avg-doc-length rows but each carries only the capped key
-    — the corpus is scanned once; at 100 TB the cap drops the key bytes
-    and prefix-doubling (log rounds of the same sort) replaces the cap
-    when unbounded match lengths matter."""
-    from ..ranking import global_row_number
+    Scale shape: NO global sort. Any adjacent pair that clears the
+    LCP_MIN={LCP_MIN} report threshold shares its first {LCP_MIN} tokens,
+    and (token characters all being > 0x20) every suffix sharing that
+    {LCP_MIN}-token prefix forms one CONTIGUOUS block of the global
+    lexicographic order — so partitioning by the prefix and sorting each
+    bucket locally reproduces the global order's qualifying adjacencies
+    exactly, while every pair the buckets split apart is sub-threshold
+    by construction (different prefix => token-LCP < {LCP_MIN}). That
+    turns the published construction's suffix sort into ONE hash
+    exchange on the prefix + per-bucket local sorts (a WindowExec whose
+    lag() IS the adjacency — the rn/rn+1 self-join disappears with the
+    global ranks; this replaced the two-pass range-sort plan at 2.3x
+    less wall, r9). Suffix blowup is x~avg-doc-length rows but each
+    carries only the capped key — the corpus is scanned once; at 100 TB
+    the cap drops the key bytes and a hot boilerplate prefix is a
+    bounded bucket (run length of one duplicated substring), further
+    splittable by widening the bucket key to the first 2*{LCP_MIN}
+    tokens of LCP_MIN-or-longer runs."""
+    from pyspark.sql import Window
 
     docs = load(spark, sf_dir).documents
     tk = F.split("text", " ")
-    # Only (doc_id, pos, skey) rides the range exchange — the token array
-    # re-derives from skey AFTER the adjacency join (split is cheap; the
+    # Only (doc_id, pos, bucket, skey) rides the exchange — the token
+    # array re-derives from skey after the window (split is cheap; the
     # array would double every shuffled row's key bytes).
     suf = docs.select(
         "doc_id",
@@ -2837,35 +2844,29 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p0", "skey"),
     ).select(
-        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "skey"
-    ).localCheckpoint()
-    # ^ repartitionByRange SAMPLES its input to pick range bounds — an
-    # extra job over the lineage; checkpointing the suffix table first
-    # makes the sampling pass read materialized rows instead of
-    # re-exploding the corpus (measured 6.3 s -> ~3 s for the rank step
-    # at sf0.1).
-    ranked = global_row_number(suf, "skey", "doc_id", "pos", out_col="rn")
-    a = ranked.select(
-        F.col("rn").alias("rn_a"),
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("pos"),
+        F.array_join(F.slice(F.split("skey", " "), 1, LCP_MIN), " ").alias(
+            "bucket"
+        ),
+        "skey",
+    )
+    w = Window.partitionBy("bucket").orderBy("skey", "doc_id", "pos")
+    adj = suf.select(
         F.col("doc_id").alias("da"),
-        F.col("skey").alias("sa"),
-    )
-    b = ranked.select(
-        (F.col("rn") - 1).alias("rn_a"),
-        F.col("doc_id").alias("db"),
-        F.col("skey").alias("sb"),
-    )
+        "skey",
+        F.lag("doc_id").over(w).alias("db"),
+        F.lag("skey").over(w).alias("sb"),
+    ).filter(F.col("db").isNotNull() & (F.col("da") != F.col("db")))
     eq = F.zip_with(
-        F.split("sa", " "),
+        F.split("skey", " "),
         F.split("sb", " "),
         lambda x, y: F.when(x.eqNullSafe(y) & x.isNotNull(), 1).otherwise(0),
     )
     pos0 = F.array_position(eq, 0)
     lcp = F.when(pos0 == 0, F.size(eq)).otherwise(pos0 - 1)
     return (
-        a.join(b, "rn_a")
-        .filter(F.col("da") != F.col("db"))
-        .select(
+        adj.select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
             lcp.alias("lcp"),
