@@ -47,7 +47,13 @@ from crypto_data_ingestion_script_spark.ranking import (  # noqa: E402
 )
 
 out = {"session": "plain local[32], 16g driver", "scales": {}}
-for sf_dir in ("/root/testdata/sf0.01", os.path.join(ROOT, "benchdata", "sf1")):
+_scales = os.environ.get("PIPE_SCALES")
+SCALES = (
+    tuple(_scales.split(","))
+    if _scales
+    else ("/root/testdata/sf0.01", os.path.join(ROOT, "benchdata", "sf1"))
+)
+for sf_dir in SCALES:
     if not os.path.isdir(sf_dir):
         continue
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
