@@ -118,9 +118,10 @@ def _get(path):
         return json.loads(r.read())
 
 
-def reduce_task_stats(run, min_records: int = 1000) -> dict:
+def reduce_task_stats(run, min_records: int = 1) -> dict:
     """Run ``run()`` and return per-task shuffle-read stats of the NEW
-    completed stage with the largest shuffle read."""
+    completed stage with the largest shuffle read (by bytes — records
+    undercount object-agg payloads like collect_list partials)."""
     before = {s["stageId"] for s in _get("/stages")}
     run()
     time.sleep(0.5)
@@ -131,19 +132,30 @@ def reduce_task_stats(run, min_records: int = 1000) -> dict:
     ]
     if not stages:
         return {"note": "no shuffle-read stage"}
-    st = max(stages, key=lambda s: s["shuffleReadRecords"])
-    q = _get(
-        f"/stages/{st['stageId']}/{st['attemptId']}/taskSummary"
-        "?quantiles=0.0,0.5,1.0"
-    )
-    rec = q["shuffleReadMetrics"]["readRecords"]
-    return {
-        "stage_total_read_records": st["shuffleReadRecords"],
-        "n_tasks": st["numCompleteTasks"],
-        "task_records_min": int(rec[0]),
-        "task_records_median": int(rec[1]),
-        "task_records_max": int(rec[2]),
-    }
+    stages.sort(key=lambda s: s.get("shuffleReadBytes", 0), reverse=True)
+    result = {}
+    for i, st in enumerate(stages[:2]):
+        q = _get(
+            f"{'/stages'}/{st['stageId']}/{st['attemptId']}/taskSummary"
+            "?quantiles=0.0,0.5,1.0"
+        )
+        rec = q["shuffleReadMetrics"]["readRecords"]
+        by = q["shuffleReadMetrics"].get("readBytes")
+        one = {
+            "stage_total_read_records": st["shuffleReadRecords"],
+            "n_tasks": st["numCompleteTasks"],
+            "task_records_min": int(rec[0]),
+            "task_records_median": int(rec[1]),
+            "task_records_max": int(rec[2]),
+        }
+        if by is not None:
+            one["task_bytes_median"] = int(by[1])
+            one["task_bytes_max"] = int(by[2])
+        if i == 0:
+            result.update(one)
+        else:
+            result["stage2_by_bytes"] = one
+    return result
 
 
 out: dict = {"data": DATA, "confs": {}, "results": {}}
@@ -207,17 +219,24 @@ def with_confs(confs, fn):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
 
 
+_last_join_plan = {"s": ""}
+
+
 def join_naive():
-    return big.join(cust, "c_custkey").select("c_custkey", "o_orderkey").count()
+    # collect() the join DF itself: a count() executes a DIFFERENT query
+    # whose stage attribution (and, observed, AQE behavior) diverges —
+    # the skew=true marker only appears on the executed join plan.
+    j = big.join(cust, "c_custkey").select("c_custkey", "o_orderkey")
+    n = len(j.collect())
+    _last_join_plan["s"] = j._jdf.queryExecution().executedPlan().toString()
+    return n
 
 
 def join_salted():
-    return (
-        salted_join(big, cust, key="c_custkey", salt_on=F.col("o_orderkey"),
-                    n_salts=8)
-        .select("c_custkey", "o_orderkey")
-        .count()
-    )
+    j = salted_join(
+        big, cust, key="c_custkey", salt_on=F.col("o_orderkey"), n_salts=8
+    ).select("c_custkey", "o_orderkey")
+    return len(j.collect())
 
 
 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
@@ -227,6 +246,9 @@ out["results"]["join_naive_smj"] = with_confs(
 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 out["results"]["join_aqe_skew_split"] = with_confs(
     {**BASE, **SKEW_ON}, lambda: reduce_task_stats(join_naive)
+)
+out["results"]["join_aqe_skew_split"]["plan_skew_marker"] = (
+    "SortMergeJoin(skew=true)" in _last_join_plan["s"]
 )
 out["results"]["join_salted"] = with_confs(
     BASE, lambda: reduce_task_stats(join_salted)
@@ -248,33 +270,32 @@ spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 # ---- 3. hot-type aggregate: plain vs salted, algebraic vs collect --------
 ev = spark.read.parquet(os.path.join(DATA, "events.parquet"))
 out["counts"]["n_events"] = ev.count()
+# NB: collect(), never count() — a count prunes the aggregate payloads
+# (the round-2 gotcha) and the exchanges would carry keys only.
 out["results"]["agg_plain_algebraic"] = reduce_task_stats(
-    lambda: ev.groupBy("event_type").agg(F.sum("value"), F.count("*")).count(),
-    min_records=1,
+    lambda: ev.groupBy("event_type").agg(F.sum("value"), F.count("*")).collect()
 )
 out["results"]["agg_salted_algebraic"] = reduce_task_stats(
     lambda: salted_aggregate(
         ev, keys=["event_type"], salt_on=F.col("event_id"), n_salts=16
-    ).count(),
-    min_records=1,
+    ).collect()
 )
 out["results"]["agg_plain_collect_list"] = reduce_task_stats(
     lambda: ev.groupBy("event_type")
     .agg(F.size(F.collect_list("event_id")).alias("n"))
-    .count(),
-    min_records=1,
+    .collect()
 )
-# Salted collect: stage 1 collects per (key, salt); stage 2 merges the 16
-# partial lists per key — the hot type's payload crosses the wire in 16
-# bounded pieces instead of one 8M-element task.
+# Salted collect: stage 1 builds per-(key, salt) partial lists — the hot
+# type's BUILD work spreads over 16 tasks. Stage 2's merge of 16 partials
+# per key is the irreducible single-row payload; the artifact reports
+# both stages (stage2_by_bytes) so the bound reads correctly.
 out["results"]["agg_salted_collect_list"] = reduce_task_stats(
     lambda: ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
     .groupBy("event_type", "_salt")
     .agg(F.collect_list("event_id").alias("part"))
     .groupBy("event_type")
     .agg(F.size(F.flatten(F.collect_list("part"))).alias("n"))
-    .count(),
-    min_records=1,
+    .collect()
 )
 
 out["note"] = (
@@ -284,7 +305,9 @@ out["note"] = (
     "reduce partition at runtime; salting spreads it over n_salts tasks "
     "statically. agg: map-side partial aggregation already bounds "
     "algebraic aggs (both variants tiny); collect_list is the case where "
-    "salting is load-bearing because partials do not shrink."
+    "salting is load-bearing for the BUILD stage, while the final "
+    "single-row merge payload is irreducible by contract (see "
+    "stage2_by_bytes)."
 )
 
 with open(OUT, "w") as f:
