@@ -53,6 +53,7 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: two expensive oracles (triangles ~100 s, dedup_near ~40 s) run last —
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
+    "q_rrf",
     "q_kcenter",
     "q_weighted_sample",
     "q_mi_features",
