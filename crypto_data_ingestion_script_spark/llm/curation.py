@@ -1821,3 +1821,63 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(WSAMPLE_K)
     )
+
+
+@query(
+    "q_softdedup",
+    oracle="""
+    WITH dup AS (
+      SELECT md5(text) AS h, count(*) AS dup_count
+      FROM documents GROUP BY md5(text)
+    ),
+    w AS (
+      SELECT d.source, dup.h,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             dup.dup_count
+      FROM documents d JOIN dup ON md5(d.text) = dup.h
+    )
+    SELECT source,
+           count(*)                                        AS n_docs,
+           count(DISTINCT h)                               AS n_unique,
+           round(sum(1.0 / dup_count), 6)                  AS eff_docs,
+           round(sum(CAST(n_tokens AS DOUBLE) / dup_count), 4) AS eff_tokens
+    FROM w
+    GROUP BY source
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (duplicate-aware down-weighting): instead of
+    dropping duplicate documents, each doc gets sampling weight
+    1/dup_count, where dup_count is its exact content-digest multiplicity
+    over the WHOLE corpus — the reweighting family of dedup (cf. SoftDeDup
+    /ExMix-style data reweighting) that preserves every document while
+    making each distinct text contribute one unit of probability mass.
+    Emits the per-source audit: raw vs effective (weight-summed) document
+    and token counts — the numbers a mixture designer actually feeds into
+    sampling-ratio decisions.
+
+    Scale shape: dup counts come from one hash-groupBy at digest grain
+    (the q_dedup_exact shuffle) joined back onto the fact by digest —
+    both exchanges hash-partition on the digest, so AQE plans them as one
+    co-partitioned pair; the per-source rollup is algebraic (map-side
+    partials). No windows over the fact, nothing driver-side."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    dup = docs.groupBy("h").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        docs.join(dup, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.round(F.sum(1.0 / F.col("dup_count")), 6).alias("eff_docs"),
+            F.round(
+                F.sum(F.col("n_tokens").cast("double") / F.col("dup_count")), 4
+            ).alias("eff_tokens"),
+        )
+    )

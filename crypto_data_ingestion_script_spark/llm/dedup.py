@@ -2875,3 +2875,108 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.max("lcp").cast("bigint").alias("max_lcp"))
     )
+
+
+#: FastSS edit-distance threshold for the vocabulary variant join.
+FASTSS_D = 2
+
+
+def _del1(col):
+    """All 1-character-deletion variants of a string column, as an array —
+    JVM-side lambda (no UDF): variant i = chars before i ++ chars after i."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            F.substring(col, F.lit(1), i - 1),
+            F.substring(col, i + 1, F.length(col)),
+        ),
+    )
+
+
+@query(
+    "q_fastss_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, count(*) AS n FROM tok WHERE w <> '' GROUP BY w
+    )
+    SELECT a.w AS tok_a, b.w AS tok_b,
+           CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM vocab a JOIN vocab b
+      ON a.w < b.w AND levenshtein(a.w, b.w) <= {FASTSS_D}
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_fastss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant detection over the corpus token vocabulary: every
+    token pair within edit distance {FASTSS_D}, with corpus occurrence
+    counts — the vocab-normalization / typo-clustering pass of a text
+    pipeline. Candidates come from FastSS deletion neighborhoods
+    (Bocek et al. 2007): if ed(a,b) <= d, an optimal alignment deletes
+    <= d chars from EACH side to reach a common string, so the
+    <= d-deletion variant sets intersect — banding by variant hash is a
+    complete (zero-false-negative) candidate generator; an exact
+    levenshtein verify on candidates removes the false positives.
+
+    Scale shape: the fact-scale work is ONE token-count shuffle to vocab
+    grain (Heaps'-law sublinear in corpus size); neighborhood expansion
+    (<= 1+L+L^2 variants per distinct token) and the variant equi-join
+    run at vocab grain — never all-pairs, never fact-scale. The verify
+    touches candidate pairs only. This is the same band-then-verify
+    architecture as the MinHash/SimHash joins, specialized to edit
+    distance."""
+    t = load(spark, sf_dir)
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # vocab grain; scanned twice (both join sides)
+    )
+    return fastss_pairs(vocab)
+
+
+def fastss_pairs(vocab: DataFrame) -> DataFrame:
+    """FastSS band-then-verify over ``vocab(w, n)`` — the body of
+    :func:`q_fastss_join` (semantics + completeness argument there);
+    exposed so tests can pin zero-false-negatives against a brute-force
+    all-pairs ground truth on toy vocabularies."""
+    del1 = _del1(F.col("w"))
+    variants = vocab.select(
+        "w",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("w")),
+                    del1,
+                    F.flatten(F.transform(del1, lambda v: _del1(v))),
+                )
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(
+            variants.select(
+                F.col("w").alias("wb"), F.col("n").alias("nb"), "variant"
+            ).alias("b"),
+            "variant",
+        )
+        .filter(F.col("a.w") < F.col("wb"))
+        .select(
+            F.col("a.w").alias("tok_a"),
+            F.col("wb").alias("tok_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("nb").alias("n_b"),
+        )
+        .dropDuplicates(["tok_a", "tok_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= FASTSS_D)
+        .select("tok_a", "tok_b", "dist", "n_a", "n_b")
+    )

@@ -2054,3 +2054,339 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOPN)
+
+
+#: MMR diversified retrieval: candidate-pool depth, picks, relevance weight.
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs (the q_kmeans_multi /
+    q_kcenter oracle pattern): pool = cosine top-{MMR_POOL} for probe
+    vec_id 0; step k picks argmax of round(L*rel - (1-L)*max_sim_to_
+    selected, 8) with vec_id tie-breaks over 8dp-rounded sims, so both
+    engines follow the identical trajectory."""
+    dot_ep = _DOT_SQL.format(a="e.embedding", b="p.p_emb")
+    dot_ee = _DOT_SQL.format(a="e.embedding", b="e.embedding")
+    dot_pp = _DOT_SQL.format(a="p.p_emb", b="p.p_emb")
+    dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    dot_aa = _DOT_SQL.format(a="a.embedding", b="a.embedding")
+    dot_bb = _DOT_SQL.format(a="b.embedding", b="b.embedding")
+    lam, mu = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    parts = [f"""
+    WITH probe AS (SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding,
+             round({dot_ep} / (sqrt({dot_ee}) * sqrt({dot_pp})), 8) AS rel
+      FROM embeddings e, probe p WHERE e.vec_id <> 0
+    ),
+    pool AS (
+      SELECT vec_id, embedding, rel
+      FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn
+            FROM scored)
+      WHERE rn <= {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             round({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})), 8) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
+             CAST(0.0 AS DOUBLE) AS penalty,
+             round({lam} * rel, 8) AS mmr_score
+      FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    picked1 AS (SELECT vec_id FROM sel1)"""]
+    for k in range(2, MMR_K + 1):
+        parts.append(f""",
+    cand{k} AS (
+      SELECT p.vec_id, p.rel, max(s.sim) AS pen
+      FROM pool p JOIN sims s
+        ON s.va = p.vec_id AND s.vb IN (SELECT vec_id FROM picked{k - 1})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM picked{k - 1})
+      GROUP BY p.vec_id, p.rel
+    ),
+    sel{k} AS (
+      SELECT CAST({k} AS BIGINT) AS step, vec_id, rel, pen AS penalty,
+             round({lam} * rel - {mu} * pen, 8) AS mmr_score
+      FROM cand{k}
+      ORDER BY round({lam} * rel - {mu} * pen, 8) DESC, vec_id LIMIT 1
+    ),
+    picked{k} AS (SELECT vec_id FROM picked{k - 1}
+                  UNION ALL SELECT vec_id FROM sel{k})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM sel{k}" for k in range(1, MMR_K + 1)
+    )
+    parts.append(f"""
+    SELECT step, vec_id, rel, penalty, mmr_score FROM ({union})
+    """)
+    return "".join(parts)
+
+
+@query("q_mmr", oracle=_mmr_oracle(), tags=("llm", "similarity", "search"))
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity-aware retrieval head: from the cosine top-{MMR_POOL}
+    pool for probe vec_id 0, greedily pick {MMR_K} results maximizing
+    L*rel(d) - (1-L)*max_sim(d, selected), L = {MMR_LAMBDA} — relevance
+    traded against redundancy, the standard re-ranker between ANN
+    retrieval and a RAG context window. All sims rounded 8dp with vec_id
+    tie-breaks (the ANN-family lockstep contract); the oracle unrolls the
+    same greedy trajectory as chained CTEs.
+
+    Scale shape (the q_kcenter loop): ONE distributed corpus pass builds
+    the pool (broadcast probe crossJoin, map-side cosine, TakeOrdered
+    {MMR_POOL} — the corpus never shuffles); the greedy runs {MMR_K}
+    steps over the checkpointed {MMR_POOL}-row pool, each a broadcast
+    penalty fold + a 1-row TakeOrdered argmax. Driver state is the
+    selected embeddings only ({MMR_K}x64 doubles — bounded by contract,
+    the probe-cohort class)."""
+    t = load(spark, sf_dir)
+    probe = t.embeddings.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("p_emb")
+    )
+    pool = (
+        t.embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("e"),
+            F.round(
+                cosine(_as_double(F.col("embedding")), F.col("p_emb")), 8
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()  # MMR_POOL rows; scanned once per greedy step
+    )
+
+    def cos_to(center_vec):
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.round(cosine(F.col("e"), arr), 8)
+
+    first = pool.orderBy(F.col("rel").desc(), "vec_id").limit(1).collect()[0]
+    picks = [(1, first["vec_id"], float(first["rel"]), 0.0,
+              round(MMR_LAMBDA * first["rel"], 8))]
+    sel_vecs = [first["e"]]
+    sel_ids = {first["vec_id"]}
+    mu = round(1.0 - MMR_LAMBDA, 10)
+    for step in range(2, MMR_K + 1):
+        pen = F.greatest(*[cos_to(v) for v in sel_vecs]) if len(sel_vecs) > 1 \
+            else cos_to(sel_vecs[0])
+        nxt = (
+            pool.filter(~F.col("vec_id").isin(sel_ids))
+            .withColumn("pen", pen)
+            .withColumn(
+                "mmr",
+                F.round(MMR_LAMBDA * F.col("rel") - mu * F.col("pen"), 8),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((step, nxt["vec_id"], float(nxt["rel"]),
+                      float(nxt["pen"]), float(nxt["mmr"])))
+        sel_vecs.append(nxt["e"])
+        sel_ids.add(nxt["vec_id"])
+    return spark.createDataFrame(
+        picks, "step bigint, vec_id bigint, rel double, penalty double, "
+               "mmr_score double"
+    )
+
+
+#: IVF-PQ: coarse-cell count (seeded from the IVF_CELLS lowest-vec_id
+#: vectors) and cells probed per query.
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    """The q_pq_search oracle with an IVF candidate gate composed in:
+    coarse cells from the {IVF_CELLS} lowest-vec_id seed vectors, each
+    query probes its {IVF_NPROBE} nearest cells, ADC runs on cell members
+    only."""
+    return f"""
+    WITH longe AS (
+      SELECT vec_id, pos,
+             CAST((pos - 1) // {64 // PQ_M} AS INTEGER) AS sub_id,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM embeddings)
+    ),
+    cseeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS})
+    ),
+    longc AS (
+      SELECT cell_id, pos, CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS cv
+      FROM (SELECT cell_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM cseeds)
+    ),
+    cdist AS (
+      SELECT e.vec_id, c.cell_id,
+             round(sum((e.v - c.cv) * (e.v - c.cv)), 8) AS d
+      FROM longe e JOIN longc c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cell_id
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cell_id AS INTEGER) AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, cell_id) AS rn
+            FROM cdist) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id FROM embeddings
+      ORDER BY vec_id DESC LIMIT {PQ_NQ}
+    ),
+    probec AS (
+      SELECT q_id, cell
+      FROM (SELECT c.vec_id AS q_id, CAST(c.cell_id AS INTEGER) AS cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY c.d, c.cell_id) AS rn
+            FROM cdist c JOIN q ON c.vec_id = q.q_id)
+      WHERE rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id, a.cell
+      FROM probec p JOIN assign a ON a.cell = p.cell
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    longs AS (
+      SELECT code_id, pos,
+             CAST((pos - 1) // {64 // PQ_M} AS INTEGER) AS sub_id,
+             CAST(embedding[CAST(pos AS INTEGER)] AS DOUBLE) AS cv
+      FROM (SELECT code_id, embedding, unnest(generate_series(1, 64)) AS pos
+            FROM seeds)
+    ),
+    dist AS (
+      SELECT e.vec_id, e.sub_id, s.code_id,
+             round(sum((e.v - s.cv) * (e.v - s.cv)), 8) AS d
+      FROM longe e JOIN longs s ON e.pos = s.pos
+      GROUP BY e.vec_id, e.sub_id, s.code_id
+    ),
+    codes AS (
+      SELECT vec_id, sub_id, code_id AS code
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                         ORDER BY d, code_id) AS rn
+            FROM dist) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT l.vec_id AS q_id, l.sub_id, s.code_id,
+             round(sum((l.v - s.cv) * (l.v - s.cv)), 8) AS d
+      FROM longe l JOIN q ON l.vec_id = q.q_id
+                  JOIN longs s ON l.pos = s.pos
+      GROUP BY l.vec_id, l.sub_id, s.code_id
+    ),
+    adc AS (
+      SELECT cd.q_id, cd.vec_id, cd.cell, round(sum(l.d), 6) AS adc
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.vec_id
+      JOIN lut l ON l.q_id = cd.q_id AND l.sub_id = c.sub_id
+                AND l.code_id = c.code
+      GROUP BY cd.q_id, cd.vec_id, cd.cell
+    )
+    SELECT q_id, CAST(rn AS INTEGER) AS rank, vec_id, cell, adc
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc, vec_id) AS rn
+          FROM adc) WHERE rn <= {PQ_TOPK}
+    """
+
+
+@query("q_ivfpq_search", oracle=_ivfpq_oracle(),
+       tags=("llm", "similarity", "ann"))
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the production ANN index shape (Jégou et al. 2011,
+    the FAISS IVFPQ architecture) composed from the two halves already
+    proven separately: an IVF coarse quantizer gates candidates to the
+    {IVF_NPROBE} probed cells per query, and PQ asymmetric distance
+    (8 LUT adds per candidate against the 32x-compressed code table)
+    ranks within them. Cells seed from the {IVF_CELLS} lowest-vec_id
+    vectors (the PQ-codebook seed convention — deterministic, so the
+    oracle replays the identical index; q_ann_ivf carries the TRAINED
+    quantizer variant with its recall contract). Rounded-L2 8dp +
+    cell_id/code_id tie-breaks everywhere; ADC rounded 6dp + vec_id.
+
+    Scale shape: coarse assignment is one broadcast crossJoin argmin over
+    the fact (map-side; one groupBy(vec_id) exchange); the cell gate is a
+    broadcast equi-join on cell (probe table is {PQ_NQ}x{IVF_NPROBE}
+    rows); ADC touches candidates' code rows only (map-side broadcast LUT
+    join + one groupBy with partials); final top-{PQ_TOPK} compiles to
+    WindowGroupLimit. The fact-scale vector column is read ONCE for
+    assignment + coding; query-time work is candidate-scale — exactly
+    the IVF-PQ promise."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cseeds = (
+        t.embeddings.orderBy("vec_id")
+        .limit(IVF_CELLS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cell_id"),
+            _as_double(F.col("embedding")).alias("c"),
+        )
+    )
+    cdist = emb.crossJoin(F.broadcast(cseeds)).select(
+        "vec_id",
+        "cell_id",
+        F.round(_pq_sqdist(F.col("e"), F.col("c")), 8).alias("d"),
+    )
+    assign = (
+        cdist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell_id")).alias("m"))
+        .select("vec_id", F.col("m.cell_id").cast("int").alias("cell"))
+    )
+    queries = t.embeddings.orderBy(F.desc("vec_id")).limit(PQ_NQ).select(
+        F.col("vec_id").alias("q_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy("d", "cell_id")
+    probec = (
+        cdist.join(F.broadcast(queries), cdist.vec_id == queries.q_id)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", F.col("cell_id").cast("int").alias("cell"))
+    )
+    cand = assign.join(F.broadcast(probec), "cell").select(
+        "q_id", "vec_id", "cell"
+    )
+    codebook = pq_codebook(t.embeddings)
+    codes = pq_code_table(t.embeddings, codebook).select(
+        "vec_id", "sub_id", "code"
+    )
+    qvecs = t.embeddings.orderBy(F.desc("vec_id")).limit(PQ_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+    )
+    lut = (
+        _pq_subvectors(qvecs, "q_id", "qe")
+        .join(F.broadcast(codebook), "sub_id")
+        .select(
+            "q_id",
+            "sub_id",
+            F.col("code_id").alias("code"),
+            F.round(_pq_sqdist(F.col("sv"), F.col("cv")), 8).alias("d"),
+        )
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "sub_id", "code"])
+        .groupBy("q_id", "vec_id", "cell")
+        .agg(F.round(F.sum("d"), 6).alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("q_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "cell", "adc")
+    )
