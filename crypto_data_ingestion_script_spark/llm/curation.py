@@ -1881,3 +1881,103 @@ def q_softdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eff_tokens"),
         )
     )
+
+
+#: Data-constrained epoch planning: token budget as a multiple of the
+#: corpus, the repetition cap (epochs of value, Muennighoff et al. 2023),
+#: and the mixture temperature (shared convention with q_mix_temperature).
+EPOCH_TARGET_MULT = 5.0
+EPOCH_CAP = 4.0
+EPOCH_TEMP = 0.7
+
+
+@query(
+    "q_epoch_plan",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS tokens_available
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT *,
+             pow(tokens_available, {EPOCH_TEMP}) AS w,
+             sum(pow(tokens_available, {EPOCH_TEMP})) OVER () AS w_tot,
+             sum(tokens_available) OVER () AS tok_tot
+      FROM counts
+    ),
+    plan AS (
+      SELECT source, tokens_available,
+             round(w / w_tot, 8) AS mix_weight,
+             round((w / w_tot) * {EPOCH_TARGET_MULT} * tok_tot, 4)
+               AS tokens_requested
+      FROM scaled
+    )
+    SELECT source, tokens_available, mix_weight, tokens_requested,
+           round(least({EPOCH_CAP}, tokens_requested / tokens_available), 6)
+             AS epochs,
+           round(round(least({EPOCH_CAP},
+                             tokens_requested / tokens_available), 6)
+                 * tokens_available, 4) AS tokens_served,
+           round(tokens_requested
+                 - round(least({EPOCH_CAP},
+                               tokens_requested / tokens_available), 6)
+                   * tokens_available, 4) AS token_deficit
+    FROM plan
+    """,
+    tags=("llm", "curation", "mixing"),
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture planning (Muennighoff et al. 2023: repeated
+    data holds value for ~4 epochs, then decays): given per-source token
+    inventories, a temperature-{EPOCH_TEMP} mixture (the q_mix_temperature
+    convention, on tokens) and a training budget of {EPOCH_TARGET_MULT}x
+    the corpus, emit each source's requested tokens, the epoch count
+    CAPPED at {EPOCH_CAP}, the tokens actually servable under the cap and
+    the unmet deficit — the table a data-constrained training run plans
+    its mixture from.
+
+    Scale shape: one token-count aggregation over the corpus to source
+    grain; every window runs over the #sources-row summary (sources are a
+    dimension). The deliberate rounding chain (requested 4dp -> epochs 6dp
+    -> served/deficit from the ROUNDED epochs) keeps both engines'
+    downstream arithmetic in lockstep."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("tokens_available")
+    )
+    w_all = Window.partitionBy()
+    w = F.pow(F.col("tokens_available"), EPOCH_TEMP)
+    mix = w / F.sum(w).over(w_all)
+    requested = F.round(
+        mix * EPOCH_TARGET_MULT * F.sum("tokens_available").over(w_all), 4
+    )
+    plan = counts.select(
+        "source",
+        "tokens_available",
+        F.round(mix, 8).alias("mix_weight"),
+        requested.alias("tokens_requested"),
+    )
+    epochs = F.round(
+        F.least(
+            F.lit(EPOCH_CAP),
+            F.col("tokens_requested") / F.col("tokens_available"),
+        ),
+        6,
+    )
+    return plan.select(
+        "source",
+        "tokens_available",
+        "mix_weight",
+        "tokens_requested",
+        epochs.alias("epochs"),
+        F.round(epochs * F.col("tokens_available"), 4).alias("tokens_served"),
+        F.round(
+            F.col("tokens_requested") - epochs * F.col("tokens_available"), 4
+        ).alias("token_deficit"),
+    )

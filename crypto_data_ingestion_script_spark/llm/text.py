@@ -1905,3 +1905,178 @@ def q_mi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rk"),
         )
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH feats AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                  AS BIGINT) AS regex_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT)    AS ws_tokens,
+           CAST(sum(regex_tokens) AS BIGINT) AS regex_tokens,
+           round(sum(regex_tokens) / CAST(sum(ws_tokens) AS DOUBLE), 6)
+             AS fertility,
+           round(sum(n_chars) / CAST(sum(ws_tokens) AS DOUBLE), 6)
+             AS chars_per_token,
+           round(sum(n_bytes) / CAST(sum(n_chars) AS DOUBLE), 6)
+             AS bytes_per_char
+    FROM feats GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language: regex-tokens per whitespace
+    word (the "fertility" a tokenizer choice is judged on — how many
+    subwords a word explodes into), chars per word and UTF-8 bytes per
+    char — the per-language table that decides vocab allocation and flags
+    languages a byte-level fallback would penalize. Corpus-grain inputs,
+    language-grain output; ratios computed on the SUMS (corpus fertility,
+    not mean-of-doc-fertilities) and rounded 6dp.
+
+    Scale shape: one map-side projection of four counters + one algebraic
+    groupBy(lang) with map-side partials — the cheapest possible shape; no
+    windows, no joins."""
+    t = load(spark, sf_dir)
+    feats = t.documents.select(
+        "lang",
+        F.size(_tokens()).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("regex_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.sum("regex_tokens").cast("bigint").alias("regex_tokens"),
+        F.round(
+            F.sum("regex_tokens") / F.sum("ws_tokens").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.sum("ws_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_bytes") / F.sum("n_chars").cast("double"), 6
+        ).alias("bytes_per_char"),
+    )
+
+
+#: Per-domain calibrated filtering: keep the top this fraction per source.
+CALIB_KEEP = 0.3
+
+
+@query(
+    "q_quality_calibration",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))                         AS n_tokens,
+             len(list_filter(string_split(text,' '),
+                             x -> x IN ('the','a','data','row'))) AS stop_hits,
+             len(list_distinct(string_split(text,' ')))           AS n_unique
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.4 * least(n_tokens / 50.0, 1.0)
+                 + 0.3 * (stop_hits / CAST(n_tokens AS DOUBLE))
+                 + 0.3 * (n_unique / CAST(n_tokens AS DOUBLE)), 8) AS quality
+      FROM feats
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM scored
+    ),
+    cutoff AS (
+      SELECT round(quantile_cont(CAST(quality AS DOUBLE),
+                                 {1 - CALIB_KEEP}), 8) AS gcut
+      FROM scored
+    )
+    SELECT source,
+           CAST(max(n_src) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rnk <= ceil({CALIB_KEEP} * n_src)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_local,
+           round(min(CASE WHEN rnk <= ceil({CALIB_KEEP} * n_src)
+                          THEN quality END), 8) AS local_cutoff,
+           CAST(sum(CASE WHEN quality >= (SELECT gcut FROM cutoff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_global,
+           (SELECT gcut FROM cutoff) AS global_cutoff
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain calibrated quality filtering (the CCNet practice):
+    keeping the global top-{CALIB_KEEP:.0%} by one score silently empties
+    domains whose score distribution sits low — calibrate by keeping each
+    SOURCE's top {CALIB_KEEP:.0%} instead. Emits, per source, the local
+    keep count and score cutoff next to the count the GLOBAL
+    {1 - CALIB_KEEP:.0%}-percentile threshold would keep — the table that
+    shows exactly which domains global filtering starves. Score = the
+    q_quality_score recipe (rounded 8dp; doc_id tie-breaks make the local
+    ranks engine-lockstep).
+
+    Scale shape: the local rank is a source-KEYED window (hash exchange on
+    source, never single-partition); the global cutoff is one exact-
+    percentile aggregate riding a 1-row broadcast crossJoin (the
+    documented scalar class); per-source rollup is algebraic."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    n_tokens = F.size(_tokens())
+    stop_hits = F.size(F.filter(_tokens(), lambda x: x.isin(*_STOP["en"])))
+    n_unique = F.size(F.array_distinct(_tokens()))
+    scored = t.documents.select(
+        "doc_id",
+        "source",
+        F.round(
+            0.4 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+            + 0.3 * (stop_hits / n_tokens.cast("double"))
+            + 0.3 * (n_unique / n_tokens.cast("double")),
+            8,
+        ).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    ranked = scored.select(
+        "source",
+        "quality",
+        F.row_number().over(w_src).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    cutoff = scored.agg(
+        F.round(F.percentile("quality", F.lit(1 - CALIB_KEEP)), 8).alias("gcut")
+    )
+    kept_local = F.col("rnk") <= F.ceil(CALIB_KEEP * F.col("n_src"))
+    return (
+        ranked.crossJoin(F.broadcast(cutoff))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept_local, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept_local"),
+            F.round(F.min(F.when(kept_local, F.col("quality"))), 8).alias(
+                "local_cutoff"
+            ),
+            F.sum(F.when(F.col("quality") >= F.col("gcut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept_global"),
+            F.first("gcut").alias("global_cutoff"),
+        )
+    )

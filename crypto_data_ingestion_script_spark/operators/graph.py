@@ -504,3 +504,136 @@ def bfs_distances(
         if (i + 1) % 4 == 0 and (i + 1) < rounds:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+#: HITS fixed iteration count (hub/authority mutual recursion).
+HITS_ITERS = 4
+
+
+def _hits_oracle(iterations: int = HITS_ITERS) -> str:
+    """Unrolled weighted HITS: per round, auth = L1-normalized weighted
+    sum of in-neighbor hubs (rounded 8dp), then hub = L1-normalized
+    weighted sum of out-neighbor auths (rounded 8dp) — rounding INSIDE
+    each round keeps both engines on the identical trajectory (the
+    q_kmeans_multi lockstep convention)."""
+    head = """
+    WITH edges AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes)
+    """
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+    araw{i} AS (
+      SELECT nodes.node, coalesce(sum(h{i-1}.hub * edges.w), 0.0) AS raw
+      FROM nodes
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN h{i-1} ON h{i-1}.node = edges.src
+      GROUP BY nodes.node
+    ),
+    a{i} AS (
+      SELECT node, round(raw / sum(raw) OVER (), 8) AS auth FROM araw{i}
+    ),
+    hraw{i} AS (
+      SELECT nodes.node, coalesce(sum(a{i}.auth * edges.w), 0.0) AS raw
+      FROM nodes
+      LEFT JOIN edges ON edges.src = nodes.node
+      LEFT JOIN a{i} ON a{i}.node = edges.dst
+      GROUP BY nodes.node
+    ),
+    h{i} AS (
+      SELECT node, round(raw / sum(raw) OVER (), 8) AS hub FROM hraw{i}
+    )""")
+    tail = f"""
+    SELECT h{iterations}.node, h{iterations}.hub AS hub,
+           a{iterations}.auth AS auth
+    FROM h{iterations} JOIN a{iterations}
+      ON h{iterations}.node = a{iterations}.node
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q_hits", oracle=_hits_oracle(), tags=("graph", "iterative"))
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), weighted, on the same
+    nation-level trade network as q_pagerank: {HITS_ITERS} rounds of the
+    mutual recursion auth = sum of in-neighbor hubs x edge weight, hub =
+    sum of out-neighbor auths x edge weight, each L1-normalized and
+    rounded 8dp per round so the oracle's unrolled CTE chain follows the
+    identical trajectory. PageRank ranks by stationary flow; HITS
+    separates "good consumer" (hub) from "good producer" (authority) —
+    both are the distill-then-iterate graph template.
+
+    Scale shape (the q_pagerank architecture): the fact table aggregates
+    ONCE into the dimension-sized weighted edge list (broadcast dim joins,
+    localCheckpoint'ed); every round is two node-grain groupBys with an
+    L1 normalization window over the node-sized frame (summary-scale by
+    construction), hub checkpointed every second round to keep the plan
+    iteration-count-free. The iteration never touches the fact again."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    edges = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_all = Window.partitionBy()
+
+    def step(ranks: DataFrame, in_col: str, join_on: str, out_col: str):
+        """One half-round: weighted sum of ``in_col`` over edges joined on
+        ``join_on`` ('dst' aggregates into authorities, 'src' into hubs),
+        L1-normalized + rounded 8dp on the node-sized frame."""
+        msgs = edges.join(
+            ranks.select(F.col("node").alias("rn"), F.col(in_col).alias("rv")),
+            F.col("src" if join_on == "dst" else "dst") == F.col("rn"),
+        ).select(F.col(join_on).alias("node"), (F.col("rv") * F.col("w")).alias("mass"))
+        raw = (
+            nodes.withColumn("mass", F.lit(0.0))
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.sum("mass").alias("raw"))
+        )
+        return raw.select(
+            "node",
+            F.round(F.col("raw") / F.sum("raw").over(w_all), 8).alias(out_col),
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(HITS_ITERS):
+        auth = step(hub, "hub", "dst", "auth")
+        hub = step(auth, "auth", "src", "hub")
+        if (i + 1) % 2 == 0:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "auth")
