@@ -1981,3 +1981,82 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_requested") - epochs * F.col("tokens_available"), 4
         ).alias("token_deficit"),
     )
+
+
+#: Candidate min-token thresholds for the length-filter tuning sweep.
+LEN_SWEEP = (10, 20, 30, 40, 50, 60)
+
+
+@query(
+    "q_length_filter_sweep",
+    oracle=f"""
+    WITH feats AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT count(*) AS n_docs, sum(n_tokens) AS n_tokens_tot FROM feats
+    ),
+    thresholds AS (
+      SELECT unnest([{", ".join(str(x) for x in LEN_SWEEP)}]) AS min_tokens
+    )
+    SELECT t.min_tokens,
+           CAST(count(*) FILTER (f.n_tokens >= t.min_tokens) AS BIGINT)
+             AS docs_kept,
+           CAST(coalesce(sum(f.n_tokens) FILTER (f.n_tokens >= t.min_tokens),
+                         0) AS BIGINT) AS tokens_kept,
+           round(count(*) FILTER (f.n_tokens >= t.min_tokens)
+                 / CAST((SELECT n_docs FROM tot) AS DOUBLE), 8)
+             AS doc_share,
+           round(coalesce(sum(f.n_tokens) FILTER (f.n_tokens >= t.min_tokens),
+                          0)
+                 / CAST((SELECT n_tokens_tot FROM tot) AS DOUBLE), 8)
+             AS token_share
+    FROM thresholds t CROSS JOIN feats f
+    GROUP BY t.min_tokens
+    """,
+    tags=("llm", "curation", "audit"),
+)
+def q_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-filter tuning curve: for each candidate min-token threshold,
+    the documents and tokens that survive, as counts and corpus shares —
+    the table a pipeline owner reads before committing a gate (every
+    threshold is a trade of noise removed vs tokens lost; Gopher/CCNet
+    pick theirs off exactly this curve).
+
+    Scale shape: ONE fact-scale pass computes per-doc token counts; the
+    sweep itself is |thresholds| conditional aggregates in a single
+    groupBy-less aggregation (map-side partials, one 1-row reduce) —
+    the fact is NOT replicated per threshold (the oracle's readable
+    cross-join form aggregates the same algebra; Spark evaluates the
+    thresholds as parallel conditional sums in one scan). Output is
+    threshold-grain."""
+    t = load(spark, sf_dir)
+    feats = t.documents.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tok")]
+    for m in LEN_SWEEP:
+        keep = F.col("n_tokens") >= m
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"d{m}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias(f"t{m}")
+        )
+    one = feats.agg(*aggs)
+    rows = []
+    for m in LEN_SWEEP:
+        rows.append(
+            F.struct(
+                F.lit(m).cast("bigint").alias("min_tokens"),
+                F.col(f"d{m}").cast("bigint").alias("docs_kept"),
+                F.col(f"t{m}").cast("bigint").alias("tokens_kept"),
+                F.round(F.col(f"d{m}") / F.col("n_docs").cast("double"), 8)
+                .alias("doc_share"),
+                F.round(F.col(f"t{m}") / F.col("n_tok").cast("double"), 8)
+                .alias("token_share"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.min_tokens", "r.docs_kept", "r.tokens_kept", "r.doc_share",
+             "r.token_share")

@@ -2980,3 +2980,64 @@ def fastss_pairs(vocab: DataFrame) -> DataFrame:
         .filter(F.col("dist") <= FASTSS_D)
         .select("tok_a", "tok_b", "dist", "n_a", "n_b")
     )
+
+
+@query(
+    "q_dup_profile",
+    oracle="""
+    WITH dup AS (
+      SELECT md5(text) AS h, count(*) AS dup_count
+      FROM documents GROUP BY md5(text)
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT dup_count,
+           count(*)                                   AS n_clusters,
+           CAST(dup_count * count(*) AS BIGINT)       AS n_docs,
+           round(dup_count * count(*)
+                 / CAST((SELECT n_docs FROM tot) AS DOUBLE), 8) AS doc_share,
+           round(count(*) * 1.0
+                 / CAST(dup_count * count(*) AS DOUBLE), 8)     AS survival_rate
+    FROM dup
+    GROUP BY dup_count
+    """,
+    tags=("llm", "dedup", "audit"),
+)
+def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile — the audit table a dedup decision is made
+    from: for each exact-duplicate multiplicity k, how many content
+    clusters have exactly k copies, how many documents they hold, their
+    corpus share, and the survival rate keep-first dedup would leave
+    (1/k). The "how duplicated is this crawl really" histogram (the
+    first figure of every dedup paper), at digest grain.
+
+    Scale shape: one digest-grain hash aggregation (the q_dedup_exact
+    shuffle), then a second aggregation at multiplicity grain (dozens of
+    rows); the corpus-size scalar rides a 1-row broadcast. Nothing
+    fact-scale after the first shuffle."""
+    t = load(spark, sf_dir)
+    dup = t.documents.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    tot = t.documents.agg(F.count(F.lit(1)).alias("n_docs_tot"))
+    return (
+        dup.groupBy("dup_count")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dup_count",
+            "n_clusters",
+            (F.col("dup_count") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.round(
+                (F.col("dup_count") * F.col("n_clusters"))
+                / F.col("n_docs_tot").cast("double"),
+                8,
+            ).alias("doc_share"),
+            F.round(
+                F.col("n_clusters")
+                / (F.col("dup_count") * F.col("n_clusters")).cast("double"),
+                8,
+            ).alias("survival_rate"),
+        )
+    )

@@ -2080,3 +2080,142 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("gcut").alias("global_cutoff"),
         )
     )
+
+
+@query(
+    "q_lang_id_chargram",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang, doc_id % 5 = 0 AS held_out, t.tri, count(*) AS cnt
+      FROM documents,
+           LATERAL (SELECT unnest(list_transform(
+                      range(1, length(text) - 1),
+                      i -> substr(text, CAST(i AS INTEGER), 3))) AS tri) t
+      GROUP BY doc_id, lang, held_out, t.tri
+    ),
+    model AS (
+      SELECT lang, tri, sum(cnt) AS c FROM tri WHERE NOT held_out
+      GROUP BY lang, tri
+    ),
+    tot AS (SELECT lang, sum(c) AS tot FROM model GROUP BY lang),
+    v AS (SELECT count(DISTINCT tri) AS v FROM model),
+    doc AS (
+      SELECT doc_id, lang AS labeled_lang, sum(cnt) AS n_tri
+      FROM tri WHERE held_out GROUP BY doc_id, lang
+    ),
+    matched AS (
+      SELECT t.doc_id, m.lang, sum(t.cnt * ln(m.c + 1)) AS mterm
+      FROM tri t JOIN model m ON t.tri = m.tri
+      WHERE t.held_out
+      GROUP BY t.doc_id, m.lang
+    ),
+    scores AS (
+      SELECT d.doc_id, d.labeled_lang, tot.lang,
+             round(coalesce(ma.mterm, 0.0)
+                   - d.n_tri * ln(tot.tot + (SELECT v FROM v)), 6) AS score
+      FROM doc d
+      CROSS JOIN tot
+      LEFT JOIN matched ma ON ma.doc_id = d.doc_id AND ma.lang = tot.lang
+    )
+    SELECT doc_id, labeled_lang, lang AS predicted_lang, score AS best_score,
+           labeled_lang = lang AS is_correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Naive Bayes language ID (the fastText/CLD
+    architecture, exact): train add-one-smoothed per-language trigram
+    models on the 80% of docs with doc_id % 5 != 0, score the held-out
+    20% with score(d, l) = sum cnt_t * ln(c_lt + 1) - n_d * ln(tot_l + V)
+    (the algebraic collapse of add-one NB — unseen trigrams contribute
+    only through the subtraction term), predict by rounded-6dp argmax
+    with language tie-break. The upgrade of q_lang_id's stopword
+    heuristic to a real trained classifier, engine-lockstep.
+
+    Scale shape: ONE fact-scale trigram explode feeds both the model
+    (language x trigram grain — bounded by content, not corpus; the
+    Heaps'-law vocabulary argument) and the held-out scoring join; the
+    per-language totals and V ride broadcast; scoring is one equi-join
+    on trigram + one groupBy(doc, lang); the language dim (5 rows)
+    crossJoins broadcast. No windows over the fact — the argmax window
+    partitions by doc_id."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    tri = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % 5 == 0).alias("held_out"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substring(F.col("text"), i, 3),
+                )
+            ).alias("tri"),
+        )
+        .groupBy("doc_id", "lang", "held_out", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # consumed by model AND scoring
+    )
+    model = (
+        tri.filter(~F.col("held_out"))
+        .groupBy("lang", "tri")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    # Summary-scale model tables get FRESH column names before they meet
+    # the doc side again — tot/v/matched and doc all descend from `tri`,
+    # and Spark cannot disambiguate same-lineage attribute ids in the
+    # re-join (the q_lang_id_chargram self-join; caught by driver_sim).
+    tot = model.groupBy("lang").agg(F.sum("c").alias("tot")).select(
+        F.col("lang").alias("cand_lang"), "tot"
+    )
+    v = model.agg(F.countDistinct("tri").alias("v"))
+    doc = (
+        tri.filter("held_out")
+        .groupBy("doc_id", F.col("lang").alias("labeled_lang"))
+        .agg(F.sum("cnt").alias("n_tri"))
+    )
+    matched = (
+        tri.filter("held_out")
+        .select("doc_id", "tri", "cnt")
+        .join(model.select("tri", F.col("lang").alias("mlang"), "c"), "tri")
+        .groupBy(F.col("doc_id").alias("m_doc_id"), "mlang")
+        .agg(F.sum(F.col("cnt") * F.log(F.col("c") + 1)).alias("mterm"))
+    )
+    scores = (
+        doc.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .join(
+            matched,
+            (F.col("m_doc_id") == F.col("doc_id"))
+            & (F.col("mlang") == F.col("cand_lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.col("cand_lang").alias("lang"),
+            F.round(
+                F.coalesce(F.col("mterm"), F.lit(0.0))
+                - F.col("n_tri") * F.log(F.col("tot") + F.col("v")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.col("lang").alias("predicted_lang"),
+            F.col("score").alias("best_score"),
+            (F.col("labeled_lang") == F.col("lang")).alias("is_correct"),
+        )
+    )
