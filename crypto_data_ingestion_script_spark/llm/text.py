@@ -2160,8 +2160,12 @@ def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "held_out", "tri")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # consumed by model AND scoring
     )
+    # NOT checkpointed: tri is doc x trigram grain (fact-scale). The two
+    # consumers (model build, held-out scoring) re-run the map-side
+    # explode with their held_out filters pushed into the scan — at
+    # 100 TB a second columnar scan is cheaper than materializing a
+    # fact-scale intermediate (the summary-grain-only checkpoint rule).
     model = (
         tri.filter(~F.col("held_out"))
         .groupBy("lang", "tri")
