@@ -43,6 +43,9 @@ OPS = [
     "q_softdedup", "q_fastss_join", "q_mmr", "q_ivfpq_search",
     "q_hits", "q_epoch_plan", "q_tokenizer_fertility",
     "q_quality_calibration",
+    # batch 3: the chargram LID's (lang x trigram) model grain is the
+    # content-bound structure to watch (Heaps-law sublinear)
+    "q_dup_profile", "q_length_filter_sweep", "q_lang_id_chargram",
 ]
 
 spark = build_session("new-ops-scale")
@@ -107,6 +110,25 @@ for sf, d in SCALES.items():
         .count()
     )
     rec["fastss_structure"] = {"n_variant_rows": n_variants, "n_candidate_pairs": cand}
+    # chargram LID model grain: (lang x trigram) rows — content-bound
+    tri_model = (
+        t.documents.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substring(F.col("text"), i, 3),
+                )
+            ).alias("tri"),
+        )
+        .groupBy("lang", "tri")
+        .count()
+    )
+    rec["chargram_structure"] = {
+        "n_model_rows": tri_model.count(),
+        "n_distinct_trigrams": tri_model.select("tri").distinct().count(),
+    }
     out["scales"][sf] = rec
 
 with open(OUT, "w") as f:
