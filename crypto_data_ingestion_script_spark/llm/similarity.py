@@ -2167,9 +2167,17 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[F.lit(float(x)) for x in center_vec])
         return F.round(cosine(F.col("e"), arr), 8)
 
-    first = pool.orderBy(F.col("rel").desc(), "vec_id").limit(1).collect()[0]
+    # Step-1 mmr_score is computed IN-ENGINE (F.round, half-away-from-zero)
+    # like every later step — Python round() is half-to-even and would
+    # diverge from the oracle on an exact decimal half.
+    first = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .withColumn("mmr", F.round(F.lit(MMR_LAMBDA) * F.col("rel"), 8))
+        .collect()[0]
+    )
     picks = [(1, first["vec_id"], float(first["rel"]), 0.0,
-              round(MMR_LAMBDA * first["rel"], 8))]
+              float(first["mmr"]))]
     sel_vecs = [first["e"]]
     sel_ids = {first["vec_id"]}
     mu = round(1.0 - MMR_LAMBDA, 10)

@@ -2091,6 +2091,7 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            LATERAL (SELECT unnest(list_transform(
                       range(1, length(text) - 1),
                       i -> substr(text, CAST(i AS INTEGER), 3))) AS tri) t
+      WHERE length(text) >= 3
       GROUP BY doc_id, lang, held_out, t.tri
     ),
     model AS (
@@ -2146,8 +2147,13 @@ def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load(spark, sf_dir)
+    # length >= 3 gate on BOTH engines: Spark's sequence(1, len-2) would
+    # emit a DESCENDING [1, 0, ...] for sub-3-char texts (spurious
+    # trigrams), while DuckDB's range(1, len-1) is simply empty — gating
+    # the explode keeps the engines in lockstep and drops no real rows.
     tri = (
-        t.documents.select(
+        t.documents.filter(F.length("text") >= 3)
+        .select(
             "doc_id",
             "lang",
             (F.col("doc_id") % 5 == 0).alias("held_out"),

@@ -113,6 +113,7 @@ for sf, d in SCALES.items():
     # chargram LID model grain: (lang x trigram) rows — content-bound
     tri_model = (
         t.documents.filter(F.col("doc_id") % 5 != 0)
+        .filter(F.length("text") >= 3)
         .select(
             "lang",
             F.explode(
