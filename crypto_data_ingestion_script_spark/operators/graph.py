@@ -572,14 +572,20 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates "good consumer" (hub) from "good producer" (authority) —
     both are the distill-then-iterate graph template.
 
-    Scale shape (the q_pagerank architecture): the fact table aggregates
-    ONCE into the dimension-sized weighted edge list (broadcast dim joins,
-    localCheckpoint'ed); every round is two node-grain groupBys with an
-    L1 normalization window over the node-sized frame (summary-scale by
-    construction), hub checkpointed every second round to keep the plan
-    iteration-count-free. The iteration never touches the fact again."""
-    from pyspark.sql import Window
-
+    Scale shape (the q_pagerank architecture, single-job form — r10):
+    the fact table aggregates ONCE into the content-bound weighted edge
+    list (≤|nations|² rows regardless of fact scale; broadcast dim
+    joins), then ALL {HITS_ITERS} rounds of the 25-node mutual recursion
+    run inside ONE Arrow batch — a single-group applyInPandas over the
+    distilled edges. The previous form chained 8 half-rounds of
+    groupBy+window DataFrame stages: correct, but 16+ sequential
+    exchanges on 25-row frames paid a stage quantum each (8.1 s at
+    sf0.01) for work that is microseconds of arithmetic. The iteration
+    grain is BELOW task grain — the idiomatic Spark treatment is one
+    vectorized task, with the scale-bearing distill staying fully
+    distributed. Rounding inside the batch reproduces F.round exactly
+    (HALF_UP over the shortest-decimal representation — Decimal(repr(x))
+    is bit-equivalent to the JVM's BigDecimal.valueOf(double))."""
     t = load(spark, sf_dir)
     edges = (
         t.lineitem.select("l_orderkey", "l_suppkey")
@@ -599,41 +605,56 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    return (
+        edges.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(_hits_batch, "node int, hub double, auth double")
     )
-    w_all = Window.partitionBy()
 
-    def step(ranks: DataFrame, in_col: str, join_on: str, out_col: str):
-        """One half-round: weighted sum of ``in_col`` over edges joined on
-        ``join_on`` ('dst' aggregates into authorities, 'src' into hubs),
-        L1-normalized + rounded 8dp on the node-sized frame."""
-        msgs = edges.join(
-            ranks.select(F.col("node").alias("rn"), F.col(in_col).alias("rv")),
-            F.col("src" if join_on == "dst" else "dst") == F.col("rn"),
-        ).select(F.col(join_on).alias("node"), (F.col("rv") * F.col("w")).alias("mass"))
-        raw = (
-            nodes.withColumn("mass", F.lit(0.0))
-            .unionByName(msgs)
-            .groupBy("node")
-            .agg(F.sum("mass").alias("raw"))
-        )
-        return raw.select(
-            "node",
-            F.round(F.col("raw") / F.sum("raw").over(w_all), 8).alias(out_col),
-        )
 
-    hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth = None
-    for i in range(HITS_ITERS):
-        auth = step(hub, "hub", "dst", "auth")
-        hub = step(auth, "auth", "src", "hub")
-        if (i + 1) % 2 == 0:
-            auth = auth.localCheckpoint(eager=True)
-            hub = hub.localCheckpoint(eager=True)
-    return hub.join(auth, "node").select("node", "hub", "auth")
+def _hits_batch(pdf):
+    """All {HITS_ITERS} HITS rounds over one distilled edge-list batch.
+    Executor-side numpy; rounds follow the oracle trajectory exactly:
+    auth = round8(L1-normalized weighted in-hub sum), then hub =
+    round8(L1-normalized weighted out-auth sum), per round."""
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    w = pdf["w"].to_numpy().astype("float64")
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[int(s)] for s in src), dtype="int64", count=len(src))
+    di = np.fromiter((idx[int(d)] for d in dst), dtype="int64", count=len(dst))
+    hub = np.ones(len(nodes), dtype="float64")
+    auth = hub
+    for _ in range(HITS_ITERS):
+        araw = np.zeros(len(nodes), dtype="float64")
+        np.add.at(araw, di, hub[si] * w)
+        auth = _round_half_up_vec(araw / araw.sum(), 8)
+        hraw = np.zeros(len(nodes), dtype="float64")
+        np.add.at(hraw, si, auth[di] * w)
+        hub = _round_half_up_vec(hraw / hraw.sum(), 8)
+    return pd.DataFrame(
+        {"node": nodes.astype("int32"), "hub": hub, "auth": auth}
+    )
+
+
+def _round_half_up_vec(xs, scale: int):
+    """Element-wise F.round equivalent: HALF_UP over the shortest decimal
+    representation of each double (Decimal(repr(x)) ≡ the JVM's
+    BigDecimal.valueOf(double)), so batch-side rounding is bit-identical
+    to engine-side F.round."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return np.array(
+        [
+            float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+            for x in xs
+        ],
+        dtype="float64",
+    )
