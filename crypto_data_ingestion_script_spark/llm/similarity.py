@@ -1026,9 +1026,13 @@ def q_kmeans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     round i's plan starts from a materialized K-row table instead of
     re-deriving rounds 1..i-1's fact-scale assignment lineage inside
     every stage; the checkpoint is summary-scale (K×64 doubles), never
-    the fact. Per round: one broadcast crossJoin assignment (map-side) +
-    one groupBy(vec_id) argmin + one posexplode reduce — 2 fact-scale
-    exchanges × {KMEANS_ITERS} rounds, nothing driver-side."""
+    the fact. Per round (single-exchange form, r10): the K centroids
+    ride as ONE broadcast row holding array<struct<cluster_id, c>>, the
+    nearest-centroid argmin is a map-side array_min over that array —
+    no K-way row explosion, no groupBy(vec_id) exchange dragging the
+    64-double vectors through a shuffle — and the only fact-scale
+    exchange left is the posexplode reduce into (cluster_id, pos) grain.
+    1 fact exchange × {KMEANS_ITERS} rounds, nothing driver-side."""
     t = load(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
@@ -1059,15 +1063,24 @@ def kmeans_lloyd(emb: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
 
     last_long = None
     for _ in range(iters):
-        assigned = (
-            emb.crossJoin(F.broadcast(cent))
-            .withColumn("dist", F.round(sqdist(F.col("e"), F.col("c")), 8))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cluster_id")).alias("m"),
-                F.first("e").alias("e"),
-            )
-            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"), "e")
+        # K centroids as ONE broadcast row: the per-vector argmin is a
+        # map-side array_min over array<struct<dist, cluster_id>> (struct
+        # ordering = (dist, cluster_id), the same tie-break as
+        # min(struct(...))) — no N×K row explosion, no vec_id exchange.
+        cent_arr = cent.agg(
+            F.collect_list(F.struct("cluster_id", "c")).alias("ca")
+        )
+        assigned = emb.crossJoin(F.broadcast(cent_arr)).select(
+            F.array_min(
+                F.transform(
+                    "ca",
+                    lambda s: F.struct(
+                        F.round(sqdist(F.col("e"), s["c"]), 8).alias("dist"),
+                        s["cluster_id"].alias("cluster_id"),
+                    ),
+                )
+            )["cluster_id"].alias("cluster_id"),
+            "e",
         )
         last_long = (
             assigned.select("cluster_id", F.posexplode("e").alias("pos0", "v"))
@@ -1282,11 +1295,13 @@ def q_pca_power_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round the direction rides as a 1-row BROADCAST
     array (⟨e, v⟩ is a map-side fold — no 64× row explosion for the
     dot), the reduction is one posexplode + groupBy(dim) into 64 rows
-    with map-side partials, and the new direction localCheckpoints
-    (64 rows — summary-scale iterative cadence). One fact-scale exchange
-    per round; the fact is SCANNED per round but never shuffled wide —
-    at 100 TB a production run would cache/checkpoint the projected
-    (vec_id, e) columns once and reuse across rounds."""
+    with map-side partials. The eager materialization per round is the
+    64-row ``w`` (the reduce output) — NOT the normalized direction:
+    nrm / v_long / varr all derive from checkpointed ``w`` with 64-row
+    lazy math, so each round costs exactly ONE fact scan (checkpointing
+    v_long re-derived w's fact scan inside nrm's subtree — two scans per
+    round, r10 fix). At 100 TB a production run would cache/checkpoint
+    the projected (vec_id, e) columns once and reuse across rounds."""
     t = load(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
@@ -1308,12 +1323,11 @@ def q_pca_power_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.select(F.posexplode("e").alias("pos0", "v"), "c")
             .groupBy((F.col("pos0") + 1).alias("pos"))
             .agg(F.sum(F.col("v") * F.col("c")).alias("w"))
+            .localCheckpoint()
         )
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v_long = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("pos", F.round(F.col("w") / F.col("nrm"), 6).alias("val"))
-            .localCheckpoint()
+        v_long = w.crossJoin(F.broadcast(nrm)).select(
+            "pos", F.round(F.col("w") / F.col("nrm"), 6).alias("val")
         )
         varr = v_long.groupBy().agg(
             F.transform(
@@ -1895,39 +1909,55 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and distance-at-selection (the monotone non-increasing coverage
     radii — the k-center objective's certificate).
 
-    Scale shape: the running min-distance column updates INCREMENTALLY —
-    step i touches the corpus once to fold min(md, dist-to-new-center)
-    (never re-scanning the chosen set), checkpointed per step like
-    q_kmeans_multi's rounds; the argmax is TakeOrdered (per-partition
-    top-1). K passes over the corpus total, each map-only + a 1-row
-    reduce; the oracle is the same recursion unrolled into chained
-    CTEs."""
+    Scale shape (r10 form): per greedy step the chosen centers ride as
+    ONE broadcast row holding array<array<double>> ({KCENTER_K}×64
+    doubles max — bounded by contract), and min-distance-to-chosen is a
+    map-side array_min fold over that attribute; the argmax is
+    TakeOrdered (per-partition top-1) which also CARRIES the winner's
+    embedding. Each step is exactly ONE job with an IDENTICAL expression
+    shape (codegen compiles once, caches across steps — the previous
+    form emitted the centers as 64-double literal chains, a fresh janino
+    compile per step that dominated small-scale walls, and checkpointed
+    the corpus-sized md column per step, a fact-scale write per round at
+    100 TB). Recomputing ≤K rounded distances per row per pass trades
+    K² cheap fused map flops for K fact-scale materializations — the
+    right side of the trade at any scale for constant K. K jobs total,
+    the Gonzalez sequential floor; the oracle is the same recursion
+    unrolled into chained CTEs."""
     t = load(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).localCheckpoint()
 
-    def sqdist_to(center_vec):
-        arr = F.array(*[F.lit(float(x)) for x in center_vec])
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            8,
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
 
     first = emb.orderBy("vec_id").limit(1).collect()[0]
     centers = [(1, first["vec_id"], 0.0)]
-    cur = emb.withColumn("md", sqdist_to(first["e"])).localCheckpoint()
+    chosen = [list(first["e"])]
     for rank in range(2, KCENTER_K + 1):
-        nxt = cur.orderBy(F.col("md").desc(), "vec_id").limit(1).collect()[0]
+        cdf = spark.createDataFrame([(chosen,)], "cs array<array<double>>")
+        nxt = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "e",
+                F.array_min(
+                    F.transform(
+                        "cs", lambda c: F.round(sqdist(F.col("e"), c), 8)
+                    )
+                ).alias("md"),
+            )
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
         centers.append((rank, nxt["vec_id"], float(nxt["md"])))
-        nxt_vec = emb.filter(F.col("vec_id") == nxt["vec_id"]).collect()[0]["e"]
-        cur = cur.withColumn(
-            "md", F.least(F.col("md"), sqdist_to(nxt_vec))
-        ).localCheckpoint()
+        chosen.append(list(nxt["e"]))
     return t.embeddings.sparkSession.createDataFrame(
         centers, "rank bigint, center_id bigint, sel_dist double"
     ).select("rank", "center_id", F.round("sel_dist", 8).alias("sel_dist"))
@@ -2137,13 +2167,20 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks (the ANN-family lockstep contract); the oracle unrolls the
     same greedy trajectory as chained CTEs.
 
-    Scale shape (the q_kcenter loop): ONE distributed corpus pass builds
-    the pool (broadcast probe crossJoin, map-side cosine, TakeOrdered
-    {MMR_POOL} — the corpus never shuffles); the greedy runs {MMR_K}
-    steps over the checkpointed {MMR_POOL}-row pool, each a broadcast
-    penalty fold + a 1-row TakeOrdered argmax. Driver state is the
-    selected embeddings only ({MMR_K}x64 doubles — bounded by contract,
-    the probe-cohort class)."""
+    Scale shape (single-batch form, r10 — the q_hits treatment): ONE
+    distributed corpus pass builds the pool (broadcast probe crossJoin,
+    map-side cosine, TakeOrdered {MMR_POOL} — the corpus never
+    shuffles), checkpointed at {MMR_POOL} rows. Pairwise sims come from
+    one in-engine pool self-join ({MMR_POOL}² rows, rounded 8dp — the
+    ANN-family lockstep contract), and the {MMR_K}-step greedy runs
+    inside ONE single-group applyInPandas batch over those rows: the
+    greedy's grain is the CONSTANT-sized pool, which is below task
+    grain, so per-step DataFrame machinery (a job + codegen compile per
+    pick in the previous form, 3 s at sf0.01 for arithmetic on 20 rows)
+    is replaced by microseconds of numpy. Batch-side rounding is
+    Decimal(repr(x)) HALF_UP — bit-equivalent to F.round (see
+    operators/graph.py:_round_half_up_vec); rel/sim inputs arrive
+    already engine-rounded, so the trajectory is unchanged."""
     t = load(spark, sf_dir)
     probe = t.embeddings.filter(F.col("vec_id") == 0).select(
         _as_double(F.col("embedding")).alias("p_emb")
@@ -2160,48 +2197,70 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
-        .localCheckpoint()  # MMR_POOL rows; scanned once per greedy step
+        .localCheckpoint()  # MMR_POOL rows; every greedy step reads this
     )
-
-    def cos_to(center_vec):
-        arr = F.array(*[F.lit(float(x)) for x in center_vec])
-        return F.round(cosine(F.col("e"), arr), 8)
-
-    # Step-1 mmr_score is computed IN-ENGINE (F.round, half-away-from-zero)
-    # like every later step — Python round() is half-to-even and would
-    # diverge from the oracle on an exact decimal half.
-    first = (
-        pool.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .withColumn("mmr", F.round(F.lit(MMR_LAMBDA) * F.col("rel"), 8))
-        .collect()[0]
-    )
-    picks = [(1, first["vec_id"], float(first["rel"]), 0.0,
-              float(first["mmr"]))]
-    sel_vecs = [first["e"]]
-    sel_ids = {first["vec_id"]}
-    mu = round(1.0 - MMR_LAMBDA, 10)
-    for step in range(2, MMR_K + 1):
-        pen = F.greatest(*[cos_to(v) for v in sel_vecs]) if len(sel_vecs) > 1 \
-            else cos_to(sel_vecs[0])
-        nxt = (
-            pool.filter(~F.col("vec_id").isin(sel_ids))
-            .withColumn("pen", pen)
-            .withColumn(
-                "mmr",
-                F.round(MMR_LAMBDA * F.col("rel") - mu * F.col("pen"), 8),
-            )
-            .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .collect()[0]
+    sims = (
+        pool.select(F.col("vec_id").alias("va"), F.col("rel").alias("rel_a"),
+                    F.col("e").alias("ea"))
+        .join(
+            pool.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb")),
+            F.col("va") != F.col("vb"),
         )
-        picks.append((step, nxt["vec_id"], float(nxt["rel"]),
-                      float(nxt["pen"]), float(nxt["mmr"])))
-        sel_vecs.append(nxt["e"])
-        sel_ids.add(nxt["vec_id"])
-    return spark.createDataFrame(
-        picks, "step bigint, vec_id bigint, rel double, penalty double, "
-               "mmr_score double"
+        .select(
+            "va",
+            "rel_a",
+            "vb",
+            F.round(cosine(F.col("ea"), F.col("eb")), 8).alias("sim"),
+        )
+    )
+    return (
+        sims.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            _mmr_batch,
+            "step bigint, vec_id bigint, rel double, penalty double, "
+            "mmr_score double",
+        )
+    )
+
+
+def _mmr_batch(pdf):
+    """The {MMR_K}-step greedy over one (va, rel_a, vb, sim) pool batch —
+    rel and sim arrive engine-rounded 8dp; scores are rounded HALF_UP over
+    the shortest-decimal repr (≡ F.round)."""
+    import pandas as pd
+
+    from ..operators.graph import _round_half_up_vec
+
+    def r8(x: float) -> float:
+        return float(_round_half_up_vec([x], 8)[0])
+
+    rel = dict(
+        pdf[["va", "rel_a"]].drop_duplicates().itertuples(index=False)
+    )
+    sim = {(int(a), int(b)): float(s)
+           for a, b, s in pdf[["va", "vb", "sim"]].itertuples(index=False)}
+    mu = round(1.0 - MMR_LAMBDA, 10)
+    # Step 1: argmax rel, vec_id tie-break; penalty 0 by definition.
+    first = min(rel, key=lambda v: (-rel[v], v))
+    picks = [(1, int(first), float(rel[first]), 0.0,
+              r8(MMR_LAMBDA * rel[first]))]
+    chosen = [first]
+    for step in range(2, MMR_K + 1):
+        best = None
+        for v, rv in rel.items():
+            if v in chosen:
+                continue
+            pen = max(sim[(int(v), int(c))] for c in chosen)
+            score = r8(MMR_LAMBDA * rv - mu * pen)
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rv, pen, score)
+        _, v, rv, pen, score = best
+        picks.append((step, int(v), float(rv), float(pen), score))
+        chosen.append(v)
+    return pd.DataFrame(
+        picks, columns=["step", "vec_id", "rel", "penalty", "mmr_score"]
     )
 
 
