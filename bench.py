@@ -83,6 +83,30 @@ TRIALS = 3
 #: r6→r7 "17% regression" was exactly this drift).
 CALIB_SPARK_REF = 0.43
 CALIB_DUCK_REF = 0.40
+#: Floor-aware normalization (VERDICT r9 item 5): the round-2
+#: decomposition (BASELINE.md) measured each headline query as a fixed
+#: scheduling floor (Catalyst planning + codegen + stage quanta,
+#: ~0.3–0.5 s at sf0.1, NOT proportional to host kernel drift) plus a
+#: data term that does scale with host speed. A single divide by the
+#: drift factor over-corrects floor-bound queries, so *_norm_floor
+#: totals subtract the per-query floor, scale only the data term, and
+#: add the floor back: norm = Σ_q [min(t_q, FLOOR) + max(t_q−FLOOR, 0)/drift].
+FLOOR_SEC_PER_QUERY = 0.35
+
+
+def _floor_norm(timings: dict[str, float], drift: float) -> float:
+    """Floor-aware drift normalization over per-query walls (see
+    FLOOR_SEC_PER_QUERY)."""
+    if not drift:
+        return None
+    return round(
+        sum(
+            min(t, FLOOR_SEC_PER_QUERY)
+            + max(t - FLOOR_SEC_PER_QUERY, 0.0) / drift
+            for t in timings.values()
+        ),
+        4,
+    )
 #: Rows and modulus of the calibration kernels — identical constants on
 #: both engines so the two kernels do comparable work (one shuffle
 #: aggregation over 30M generated longs into 4096 groups).
@@ -311,6 +335,14 @@ def main() -> None:
         "calib_spark_drift": drift_spark,
         "calib_duck_drift": drift_duck,
         "value_norm_sec": round(total / drift_spark, 4) if drift_spark else None,
+        # Floor-aware normalization (r10): the honest cross-round form —
+        # the scheduling floor does not speed up or slow down 1:1 with the
+        # calibration kernel, so only the data term is drift-scaled.
+        "floor_sec_per_query": FLOOR_SEC_PER_QUERY,
+        "value_norm_floor_sec": _floor_norm(timings, drift_spark),
+        "original17_norm_floor_sec": _floor_norm(
+            {q: v for q, v in timings.items() if q in ORIGINAL17}, drift_spark
+        ),
     }
     # Amortized-scale leg (sf1) rides in the same artifact when benching the
     # driver-default sf0.1 dir. Guarded: the round headline number must never
@@ -335,12 +367,28 @@ def main() -> None:
             out["sf1_ratio_norm"] = (
                 round(r * drift_duck / drift_spark, 3) if r is not None else None
             )
+            out["sf1_total_norm_floor_sec"] = _floor_norm(
+                out["sf1_queries"], drift_spark
+            )
     # Full-line committed artifact (VERDICT r7 item 1): the driver's
     # 2000-char tail capture truncates the head of this JSON line, so the
-    # complete object is also written to a file the round commits.
+    # complete object is also written to a file the round commits — PLUS a
+    # round-stamped copy (VERDICT r9 item 5: the driver's own bench run
+    # overwrites BENCH_full.json, so each round's builder artifact survives
+    # as BENCH_full_r{N}.json; N = 1 + the highest driver-written round).
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_full.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    stamp = (max(rounds) + 1) if rounds else 0
+    for path in ("BENCH_full.json", f"BENCH_full_r{stamp:02d}.json"):
+        with open(os.path.join(repo, path), "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
     spark.stop()
 
