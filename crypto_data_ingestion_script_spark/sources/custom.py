@@ -175,8 +175,9 @@ def q_source_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 per micro-batch) drained to a memory sink, offset-tracked through
     a checkpoint — the reference's poll loop with exactly-once restart
     semantics. Output equals the batch oracle at the same tick count."""
-    import tempfile
     import uuid
+
+    from ..streaming.jobs import stream_ckpt_dir
 
     register(spark)
     name = f"sim_ticks_{uuid.uuid4().hex[:8]}"
@@ -187,7 +188,7 @@ def q_source_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ds_"))
+        .option("checkpointLocation", stream_ckpt_dir("ckpt_ds_"))
         .start()
     )
     # Python stream sources don't support availableNow (the v2 micro-batch

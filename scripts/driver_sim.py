@@ -5,16 +5,25 @@ column names, row counts, int-vs-float dtype drift, and order-insensitive
 values. Writes per-query wall times so slow queries surface before the
 driver samples them.
 
-Usage: python scripts/driver_sim.py [sf_dir] [only]
+Usage: python scripts/driver_sim.py [sf_dir] [only] [--strict-driver]
   sf_dir: default /root/testdata/sf0.01
   only:   optional comma-separated query names (subset sweep for fast
           verification of just-touched operators)
+  --strict-driver: additionally run the driver-style canonical VALUE-HASH
+          comparison (simlib.canonical_hash — sorted columns, sorted rows,
+          6dp float canonicalization) next to compare_frames, recording
+          per-query hash_match so the 250+ queries the real driver never
+          sampled are checked under the driver's own comparison form, not
+          only the tolerance-based lookalike. Divergences between the two
+          verdicts are the artifact's payload (expected: none).
 """
 import json, time, traceback
 from pyspark.sql import SparkSession
 import sys as _s
-SF_DIR = _s.argv[1] if len(_s.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(_s.argv[2].split(",")) if len(_s.argv) > 2 else None
+_args = [a for a in _s.argv[1:] if a != "--strict-driver"]
+STRICT = "--strict-driver" in _s.argv[1:]
+SF_DIR = _args[0] if len(_args) > 0 else "/root/testdata/sf0.01"
+ONLY = set(_args[1].split(",")) if len(_args) > 1 else None
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 # Warm the JVM + python-worker pool once so the alphabetically-first query's
@@ -85,7 +94,7 @@ import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()
 import duckdb, pandas as pd, numpy as np
 import pandas.api.types as pt
-from simlib import compare_frames
+from simlib import compare_frames, canonical_hash
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     # single-file layout (testdata) or directory-of-part-files (benchdata)
@@ -108,6 +117,13 @@ for name in sorted(qs):
         # Shared comparison semantics (scripts/simlib.py) — identical
         # check in the sf0.01 full sweep and the sf1 structural sweep.
         rec["status"], rec["err"] = compare_frames(s, o)
+        if STRICT:
+            rec["hash_match"] = canonical_hash(s) == canonical_hash(o)
+            if rec["hash_match"] != (rec["status"] == "ok"):
+                rec["strict_divergence"] = (
+                    f"compare_frames={rec['status']} vs "
+                    f"hash_match={rec['hash_match']}"
+                )
     except Exception as ex:
         rec["status"] = "crash"; rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
     results[name] = rec
@@ -117,6 +133,13 @@ with open("/tmp/driver_sim_results.json", "w") as f:
     json.dump(results, f, indent=1)
 bad = {k: v for k, v in results.items() if v["status"] != "ok"}
 print(f"\nSWEEP DONE: {len(results)} queries, {len(bad)} problems")
+if STRICT:
+    div = {k: v["strict_divergence"] for k, v in results.items()
+           if "strict_divergence" in v}
+    print(f"STRICT-DRIVER: {len(div)} verdict divergences "
+          f"(compare_frames vs canonical hash)")
+    for k, d in div.items():
+        print(f"  {k}: {d}")
 for k, v in bad.items():
     print(f"  {k}: {v['status']} {v['err']}")
 slow = sorted(results.items(), key=lambda kv: -(kv[1]["spark_s"] or 0))[:10]

@@ -88,3 +88,47 @@ def compare_frames(s: pd.DataFrame, o: pd.DataFrame):
             ).all():
                 return "values", c
     return "ok", None
+
+
+def canonical_hash(df: pd.DataFrame) -> str:
+    """Canonical value hash reproducing the grading driver's comparison
+    posture (CORRECTNESS_r{N}.json `hash_match`): columns sorted by name,
+    rows sorted by every column (floats via their 6dp rounding, the same
+    key rule _sorted uses), then sha256 over a deterministic per-cell
+    serialization — ints canonicalized through int(), floats through
+    repr(round(x, 6)), NULLs as a sentinel, arrays as tuples. The driver's
+    exact serialization is not public; this form is validated by running
+    it next to compare_frames over the full registry (`--strict-driver`)
+    and recording any query where the two verdicts DIVERGE — a divergence
+    means column-order/dtype assumptions differ, not necessarily a wrong
+    result, and is the thing the artifact exists to surface."""
+    import hashlib
+
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pt.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v,
+                na_action="ignore",
+            )
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return "\0N"
+        if isinstance(v, (bool, np.bool_)):
+            return str(bool(v))
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (float, np.floating)):
+            return repr(round(float(v), 6))
+        return str(v)
+
+    rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort()
+    h = hashlib.sha256()
+    h.update(("|".join(df.columns) + "\n").encode())
+    for r in rows:
+        h.update(("\x1f".join(r) + "\n").encode())
+    return h.hexdigest()
