@@ -423,3 +423,236 @@ def q_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_sample double, mean_abs double"
         ),
     )
+
+
+#: Perceptual-hash image near-dup (VERDICT r9 item 4): dHash geometry
+#: (9×8 source → 8×8 horizontal-gradient bits) and Manku pigeonhole
+#: banding — HAM_BANDS bands of 16 bits guarantee every pair within
+#: Hamming radius HAM_RADIUS = HAM_BANDS − 1 shares at least one exact
+#: band (tests/test_multimodal_dedup.py pins the completeness property).
+PHASH_W, PHASH_H = 9, 8
+HAM_BANDS = 4
+HAM_RADIUS = HAM_BANDS - 1
+
+#: The deterministic synthetic image corpus both engines reconstruct:
+#: docs in the same 4-doc group share a base image (a multiplicative
+#: two-modulus per-pixel mix of the group id — base images are unique
+#: up to lcm(251, 241)·997 ≈ 60k groups, far past every test scale, so
+#: planted near-dup pairs stay LINEAR in corpus size); each doc then
+#: gets a one-pixel +200 perturbation at (doc%9, doc%8), flipping ≤2
+#: gradient bits, so within-group pairs land at Hamming 0–4.
+_PHASH_PX_SQL = """
+d AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
+px AS (SELECT doc_id, g, x.x AS x, y.y AS y,
+       (x.x*7 + y.y*13
+        + ((g % 251)*(x.x*8 + y.y + 1)*104729
+           + (g % 241)*(x.x + 3)*(y.y + 5)*7919) % 997
+        + CASE WHEN x.x = doc_id % 9 AND y.y = doc_id % 8
+               THEN 200 ELSE 0 END) % 256 AS v
+       FROM d, range(9) x(x), range(8) y(y))
+"""
+
+_PHASH_BANDS_SQL = f"""
+{_PHASH_PX_SQL},
+bits AS (SELECT a.doc_id, a.y*8 + a.x AS i,
+                CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+         FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+                            AND b.x = a.x + 1
+         WHERE a.x < 8),
+bands AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS band_idx,
+                 CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS band_val
+          FROM bits GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+               max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+               max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+               max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY doc_id)
+"""
+
+
+def _phash_pixels(doc_id: int):
+    """The synthetic 9×8 grayscale image for one doc (uint8 h×w×3,
+    r=g=b) — the numpy twin of _PHASH_PX_SQL."""
+    import numpy as np
+
+    g = doc_id // 4
+    x = np.arange(PHASH_W, dtype=np.int64)[None, :]
+    y = np.arange(PHASH_H, dtype=np.int64)[:, None]
+    hoff = (
+        (g % 251) * (x * 8 + y + 1) * 104729
+        + (g % 241) * (x + 3) * (y + 5) * 7919
+    ) % 997
+    v = (x * 7 + y * 13 + hoff) % 256
+    v = v.copy()
+    v[doc_id % 8, doc_id % 9] = (v[doc_id % 8, doc_id % 9] + 200) % 256
+    return np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+def dhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, b0..b3): encode the synthetic image as binary
+    PPM, decode the BYTES back with the REAL decoder, grayscale, take the
+    8×8 horizontal-gradient dHash, and pack it as HAM_BANDS 16-bit band
+    ints. All inside mapInPandas — blobs never leave the executor; only
+    the 5-int signature rows shuffle (the LSH contract)."""
+    import numpy as np
+
+    def run(batches):
+        weights = 1 << np.arange(64, dtype=np.int64).reshape(HAM_BANDS, 16) % 16
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                _, _, decoded = decode_image(encode_ppm(_phash_pixels(d)))
+                gray = decoded.astype(np.int64).sum(axis=2) // 3
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                bands = (bits.reshape(HAM_BANDS, 16) * weights).sum(axis=1)
+                out["doc_id"].append(d)
+                for k in range(HAM_BANDS):
+                    out[f"b{k}"].append(int(bands[k]))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+@query(
+    "q_phash_dedup",
+    oracle=f"""
+    WITH {_PHASH_BANDS_SQL},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+              + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+             AS BIGINT) AS hamming
+    FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+       <= {HAM_RADIUS}
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup: dHash every image (REAL PPM
+    encode→decode→grayscale→gradient inside mapInPandas), then find all
+    pairs within Hamming {HAM_RADIUS} via Manku pigeonhole banding —
+    {HAM_BANDS} bands of 16 bits, exact-match band join, exact Hamming
+    verify on the survivors. The image twin of q_simhash_join: the dedup
+    surface a 100 TB image corpus needs (CSAM/spam/mirror detection,
+    trainset dedup) without any all-pairs scan.
+
+    Scale shape: hash = one executor-side map pass (blobs never shuffle;
+    5-int signatures do); candidates = the band equi-join (enumerates
+    proportional to TRUE near-dup pairs — Manku's property, adjudicated
+    for q_simhash_join in SCALE_r09); verify = 4×bit_count on the
+    carried band ints, map-side. The banding guarantees completeness at
+    radius ≤ {HAM_RADIUS} (pigeonhole over {HAM_BANDS} bands; pinned in
+    tests/test_multimodal_dedup.py)."""
+    t = load(spark, sf_dir)
+    sig = dhash_signatures(t.documents).localCheckpoint()
+    return hamming_band_pairs(sig, HAM_RADIUS)
+
+
+def hamming_band_pairs(sig: DataFrame, radius: int = HAM_RADIUS) -> DataFrame:
+    """All (doc_a < doc_b, hamming) pairs within ``radius`` over a
+    (doc_id, b0..b3) 4×16-bit signature table, via Manku pigeonhole
+    banding: pairs within Hamming ≤ {HAM_BANDS}−1 must agree exactly on
+    ≥1 band, so the exact-match band equi-join enumerates a candidate
+    superset, then 4×bit_count verifies. Factored out of q_phash_dedup
+    so the completeness guarantee is pinned on planted signatures
+    (tests/test_multimodal_dedup.py). ``radius`` must be ≤ HAM_BANDS−1
+    for the blocking to be lossless."""
+    bands_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    bands_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx2", "band_val2"
+        ),
+    )
+    ham = (
+        F.bit_count(F.expr("a0 ^ c0"))
+        + F.bit_count(F.expr("a1 ^ c1"))
+        + F.bit_count(F.expr("a2 ^ c2"))
+        + F.bit_count(F.expr("a3 ^ c3"))
+    )
+    return (
+        bands_a.join(
+            bands_b,
+            (F.col("band_idx") == F.col("band_idx2"))
+            & (F.col("band_val") == F.col("band_val2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+    )
+
+
+@query(
+    "q_ahash",
+    oracle=f"""
+    WITH {_PHASH_PX_SQL},
+    m AS (SELECT doc_id, avg(CAST(v AS DOUBLE)) AS mv
+          FROM px WHERE x < 8 GROUP BY doc_id),
+    bits AS (SELECT p.doc_id, p.y*8 + p.x AS i,
+                    CASE WHEN CAST(p.v AS DOUBLE) > m.mv THEN 1 ELSE 0 END
+                      AS bit
+             FROM px p JOIN m USING (doc_id) WHERE p.x < 8),
+    bands AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS band_idx,
+                     CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS band_val,
+                     sum(bit) AS setbits
+              FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+           max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+           max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+           max(CASE WHEN band_idx = 3 THEN band_val END) AS b3,
+           CAST(sum(setbits) AS BIGINT) AS n_set
+    FROM bands GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) per image: REAL PPM decode, 8×8 grayscale
+    grid, bit = pixel brighter than the image mean — the cheaper, more
+    translation-tolerant sibling of q_phash_dedup's dHash, emitted as the
+    same 4×16-bit band layout (so the identical Manku blocking applies)
+    plus the set-bit count. Executor-side end to end via mapInPandas."""
+    import numpy as np
+
+    def run(batches):
+        weights = 1 << np.arange(64, dtype=np.int64).reshape(HAM_BANDS, 16) % 16
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [],
+                   "b3": [], "n_set": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                _, _, decoded = decode_image(encode_ppm(_phash_pixels(d)))
+                gray = decoded.astype(np.int64).sum(axis=2) // 3
+                sub = gray[:, :8].astype(np.float64)
+                bits = (sub > sub.mean()).astype(np.int64)
+                bands = (bits.reshape(HAM_BANDS, 16) * weights).sum(axis=1)
+                out["doc_id"].append(d)
+                for k in range(HAM_BANDS):
+                    out[f"b{k}"].append(int(bands[k]))
+                out["n_set"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    t = load(spark, sf_dir)
+    return t.documents.select("doc_id").mapInPandas(
+        run,
+        schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int, n_set bigint",
+    )
