@@ -656,3 +656,130 @@ def q_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int, n_set bigint",
     )
+
+
+@query(
+    "q_phash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_BANDS_SQL},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+          + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+         <= {HAM_RADIUS}
+    ),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+           node = min(lbl) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "multimodal", "dedup", "iterative"),
+)
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup decision end-to-end: dHash signatures → Hamming
+    ≤ {HAM_RADIUS} pairs (q_phash_dedup's banding) → connected components
+    → (doc_id, cluster_id = min doc id in component, is_canonical). The
+    keep-one-per-cluster verdict a 100 TB image corpus acts on — drop
+    every row where is_canonical is false.
+
+    Scale shape: composition of two adjudicated pieces — the banding
+    join's candidates track true pair count, and connected_components
+    (llm/dedup.py) runs min-label propagation with the adaptive
+    small-graph union-find below its edge cap. Near-dup image components
+    are shallow (a handful of perturbed variants), so rounds = diameter
+    stays tiny; singletons keep their own id without ever joining."""
+    from .dedup import connected_components
+
+    t = load(spark, sf_dir)
+    sig = dhash_signatures(t.documents).localCheckpoint()
+    edges = hamming_band_pairs(sig, HAM_RADIUS).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = t.documents.select(F.col("doc_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+#: Audio fingerprint frame width (samples per energy frame).
+AF_FRAME = 40
+
+
+@query(
+    "q_audio_fingerprint",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, (doc_id % 5 + 1) * 160 AS n FROM documents),
+    smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    vals AS (SELECT doc_id, n, i,
+                    ((i * 37 + doc_id * 11) % 65536) - 32768 AS x
+             FROM smp),
+    eng AS (SELECT doc_id, n, i // {AF_FRAME} AS f, sum(x * x) AS e
+            FROM vals GROUP BY 1, 2, 3),
+    bits AS (SELECT a.doc_id, a.f,
+                    CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+             FROM eng a JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+             WHERE a.f >= 1)
+    SELECT e.doc_id,
+           CAST(max(e.n) // {AF_FRAME} AS INTEGER) AS n_frames,
+           CAST(coalesce(sum(b.bit * (1 << CAST(b.f - 1 AS INTEGER))), 0)
+                AS INTEGER) AS fp,
+           CAST(max(e.e) AS BIGINT) AS max_energy
+    FROM eng e LEFT JOIN bits b ON b.doc_id = e.doc_id AND b.f = e.f
+    GROUP BY e.doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint over the REAL audio decode path (the
+    chromaprint shape at toy scale): per asset, synthesize the
+    deterministic int16 PCM pattern (q_decode_audio's formula), encode as
+    canonical WAV, decode the BYTES back with ``decode_audio``, then
+    frame the samples ({AF_FRAME} samples/frame), take exact integer
+    frame energies (Σx² — int64, no float drift), and fingerprint the
+    energy GRADIENT (bit f = energy rises into frame f) packed little-
+    endian. The oracle recomputes everything arithmetically from the
+    synthesis formula, so a decoder defect (offset, endianness, width)
+    breaks the hash. Executor-side via mapInPandas; only the fixed-width
+    fingerprint rows shuffle."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "fp": [], "max_energy": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = (d % 5 + 1) * 160
+                i = np.arange(n, dtype=np.int64)
+                x = ((i * 37 + d * 11) % 65536) - 32768
+                _, decoded = decode_audio(
+                    encode_wav(x.astype(np.int16), rate=16000)
+                )
+                xs = decoded.astype(np.int64)
+                eng = (xs * xs).reshape(-1, AF_FRAME).sum(axis=1)
+                bits = (eng[1:] > eng[:-1]).astype(np.int64)
+                fp = int((bits << np.arange(len(bits))).sum())
+                out["doc_id"].append(d)
+                out["n_frames"].append(len(eng))
+                out["fp"].append(fp)
+                out["max_energy"].append(int(eng.max()))
+            yield pd.DataFrame(out)
+
+    t = load(spark, sf_dir)
+    return t.documents.select("doc_id").mapInPandas(
+        run,
+        schema="doc_id bigint, n_frames int, fp int, max_energy bigint",
+    )
