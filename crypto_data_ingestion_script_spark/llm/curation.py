@@ -2060,3 +2060,70 @@ def q_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*rows)).alias("r")
     ).select("r.min_tokens", "r.docs_kept", "r.tokens_kept", "r.doc_share",
              "r.token_share")
+
+
+#: Blocklist screening (the harmful-content / spam-term filter stage of a
+#: pretraining pipeline — C4's badwords pass, at toy vocabulary): flagged
+#: terms, and the per-mille token threshold above which a doc is dropped.
+BLOCKLIST = ("slow", "dup", "big")
+BLOCK_PER_MILLE = 50
+
+
+@query(
+    "q_wordlist_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('slow', 'dup', 'big'))) AS hits
+      FROM documents
+    ),
+    v AS (SELECT source, n_tokens, hits,
+                 hits * 1000 > n_tokens * {BLOCK_PER_MILLE} AS dropped
+          FROM feats)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           round(sum(hits) / CAST(sum(n_tokens) AS DOUBLE), 8)
+             AS corpus_hit_rate
+    FROM v GROUP BY source
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening (the C4 badwords stage): per doc, count exact
+    token hits against the {len(BLOCKLIST)}-term blocklist, drop docs
+    whose hit density exceeds {BLOCK_PER_MILLE}‰ of tokens (integer-exact
+    comparison — hits·1000 > tokens·threshold, no float boundary), and
+    roll up per source: doc counts, drop counts, total hits, corpus hit
+    rate. Everything is ONE map-side projection (split + higher-order
+    filter over the token array — no explode, no per-term scan) feeding
+    one source-grain aggregate; at 100 TB the blocklist (real ones are
+    ~10³ terms) broadcasts as a literal array and the fact never
+    shuffles wider than the source-grain partial aggregates."""
+    t = load(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(
+        F.filter(toks, lambda w: w.isin(*BLOCKLIST))
+    )
+    feats = t.documents.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        hits.alias("hits"),
+    ).withColumn(
+        "dropped",
+        F.col("hits") * 1000 > F.col("n_tokens") * BLOCK_PER_MILLE,
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.round(
+            F.sum("hits") / F.sum("n_tokens").cast("double"), 8
+        ).alias("corpus_hit_rate"),
+    )
