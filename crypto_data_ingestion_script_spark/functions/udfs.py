@@ -119,8 +119,9 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
-           value - avg(value) OVER (PARTITION BY event_type, CAST(ts AS DATE))
-                             AS value_centered,
+           round(value - avg(value) OVER (PARTITION BY event_type,
+                                          CAST(ts AS DATE)), 8)
+             AS value_centered,
            event_id
     FROM events
     """,
@@ -129,7 +130,12 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-(event_type, day) mean-centering — a
     custom transform that genuinely needs whole-group context. Groups are
-    bounded (one key-day), so group-at-a-time memory is safe at scale."""
+    bounded (one key-day), so group-at-a-time memory is safe at scale.
+    Centered values round to 8dp on BOTH engines: the group means differ
+    between pandas and DuckDB only by summation order (~1e-14), but a raw
+    centered value can land exactly on a 6dp rounding boundary, flipping
+    a downstream 6dp canonical hash while tolerance compares pass (found
+    by --strict-driver, r10)."""
     t = load(spark, sf_dir)
     with_day = t.events.select(
         "event_id", "event_type", F.to_date("ts").alias("d"), "value"
@@ -143,7 +149,9 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_day.groupBy("event_type", "d").applyInPandas(
         center, schema="event_type string, d date, value_centered double, event_id bigint"
     )
-    return out.withColumn("d", F.col("d").cast("timestamp_ntz"))
+    return out.withColumn("d", F.col("d").cast("timestamp_ntz")).withColumn(
+        "value_centered", F.round("value_centered", 8)
+    )
 
 
 @query(

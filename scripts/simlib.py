@@ -115,6 +115,8 @@ def canonical_hash(df: pd.DataFrame) -> str:
             )
 
     def cell(v):
+        import datetime as _dt
+
         if v is None or (isinstance(v, float) and np.isnan(v)):
             return "\0N"
         if isinstance(v, (bool, np.bool_)):
@@ -123,6 +125,13 @@ def canonical_hash(df: pd.DataFrame) -> str:
             return str(int(v))
         if isinstance(v, (float, np.floating)):
             return repr(round(float(v), 6))
+        # Dates and timestamps canonicalize to one ISO form: Spark's
+        # DateType arrives as datetime.date objects while DuckDB's DATE
+        # cast arrives as midnight datetime64 — str() of those differ
+        # ('2026-01-01' vs '2026-01-01 00:00:00') even though the values
+        # are equal (found by --strict-driver on q_retention/q_sink_bronze).
+        if isinstance(v, (_dt.date, _dt.datetime, pd.Timestamp)):
+            return pd.Timestamp(v).isoformat()
         return str(v)
 
     rows = [tuple(cell(v) for v in row) for row in df.itertuples(index=False)]
