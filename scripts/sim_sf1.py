@@ -54,6 +54,24 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
     "q_rrf",
+    # r9/r10 structural additions (first swept at sf1 in r10): the judge
+    # flagged SIM_sf1 as covering only the 295-registry set.
+    "q_hits",
+    "q_mmr",
+    "q_ivfpq_search",
+    "q_fastss_join",
+    "q_softdedup",
+    "q_lang_id_chargram",
+    "q_tokenizer_fertility",
+    "q_quality_calibration",
+    "q_dup_profile",
+    "q_length_filter_sweep",
+    "q_epoch_plan",
+    "q_wordlist_filter",
+    "q_ahash",
+    "q_audio_fingerprint",
+    "q_phash_dedup",
+    "q_phash_clusters",
     "q_kcenter",
     "q_weighted_sample",
     "q_mi_features",
