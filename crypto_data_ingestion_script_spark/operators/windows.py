@@ -231,9 +231,9 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_moving_avg_time",
     oracle="""
     SELECT event_id, event_type, ts,
-           avg(value) OVER (PARTITION BY event_type ORDER BY ts
-                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                                      AND CURRENT ROW) AS avg_1h,
+           round(avg(value) OVER (PARTITION BY event_type ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                            AND CURRENT ROW), 8) AS avg_1h,
            count(*)  OVER (PARTITION BY event_type ORDER BY ts
                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                       AND CURRENT ROW) AS n_1h
@@ -260,7 +260,7 @@ def q_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "ts",
-        F.avg("value").over(w).alias("avg_1h"),
+        F.round(F.avg("value").over(w), 8).alias("avg_1h"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
     )
 

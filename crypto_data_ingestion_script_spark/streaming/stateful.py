@@ -151,7 +151,7 @@ from .jobs import _events_stream, run_to_memory  # noqa: E402
            max(value)               AS high_price,
            min(value)               AS low_price,
            arg_max(value, ts)       AS close_price,
-           avg(value)               AS avg_price,
+           round(avg(value), 8)     AS avg_price,
            count(*)                 AS sample_count
     FROM events
     GROUP BY 1, 2
@@ -168,4 +168,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     bars = stateful_ohlc(_events_stream(spark, sf_dir))
     out = run_to_memory(bars, output_mode="update")
-    return out.withColumn("hour_ts", F.col("hour_ts").cast("timestamp_ntz"))
+    # avg_price rounds 8dp IN-ENGINE, oracle in lockstep: raw averages of
+    # cents-grain prices land on exact 7-decimal values, and ~1e-15
+    # summation-order drift across engines flips a 6dp canonical hash
+    # while tolerance compares pass (--strict-driver finding, r10 sf0.1).
+    return out.withColumn(
+        "hour_ts", F.col("hour_ts").cast("timestamp_ntz")
+    ).withColumn("avg_price", F.round("avg_price", 8))
