@@ -967,3 +967,71 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_t") - F.col("value")) / (F.col("cnt_t") - 1), 6
         ).alias("loo_mean"),
     )
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH rx AS (
+      SELECT l_returnflag AS flag, l_quantity, l_extendedprice,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                  - 1) / 2.0 AS rank_x,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag,
+                                 l_extendedprice)
+                  - 1) / 2.0 AS rank_y
+      FROM lineitem
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           round(corr(rank_x, rank_y), 6) AS spearman_rho,
+           round(corr(l_quantity, l_extendedprice), 6) AS pearson_r
+    FROM rx GROUP BY flag ORDER BY flag
+    """,
+    tags=("stats", "agg", "window"),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag (with the Pearson r alongside for contrast) — the
+    monotone-association readout that survives outliers and nonlinear
+    pricing, standard in metric drift and feature screening.
+
+    Ranks use the average-rank tie convention: min-rank (rank()) plus
+    (tie_count−1)/2, computed with two window passes per column over the
+    group — then Spearman IS Pearson on the ranks, one group-grain
+    aggregate. Scale note: ranking is the one primitive that genuinely
+    range-exchanges the fact (once per ranked column); for quantized
+    columns the q_mann_whitney distinct-value-grain trick applies
+    instead, and at 100 TB a binned-rank approximation (KLL sketch
+    quantile buckets) replaces exact ranks — this operator is the exact
+    small/medium-scale anchor those approximations are verified against.
+    Rounded to 6dp for accumulation-order differences.
+    """
+    t = load(spark, sf_dir)
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tq = Window.partitionBy("l_returnflag", "l_quantity")
+    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    rx = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+        "l_extendedprice",
+        (
+            F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0
+        ).alias("rank_x"),
+        (
+            F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0
+        ).alias("rank_y"),
+    )
+    return (
+        rx.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.corr("rank_x", "rank_y"), 6).alias("spearman_rho"),
+            F.round(
+                F.corr("l_quantity", "l_extendedprice"), 6
+            ).alias("pearson_r"),
+        )
+        .orderBy("flag")
+    )

@@ -669,3 +669,314 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drifted",
         )
     )
+
+
+@query(
+    "q_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m,
+             var_samp(value) AS v
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT count(*) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(n * m) / sum(n) AS grand_mean
+      FROM g
+    ),
+    s AS (
+      SELECT k, n_total,
+             sum(n * (m - grand_mean) * (m - grand_mean)) AS ssb,
+             sum((n - 1) * v) AS ssw
+      FROM g CROSS JOIN tot
+      GROUP BY k, n_total
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups, n_total,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat
+    FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of event value across all event-type
+    arms — the k-arm generalization of q_ttest, the readout for
+    multi-variant experiments and per-source quality comparisons.
+
+    Decomposition, not definition: SS_between = Σ n_g(m_g − m̄)² and
+    SS_within = Σ (n_g−1)s_g² come from ONE group-grain aggregation over
+    the fact table (map-side combinable; k rows out), the grand mean from
+    a k-row reduce, the F ratio from scalar arithmetic. No second fact
+    scan for residuals — the within-group sum of squares IS (n−1)·s² per
+    group. At 100 TB this is one shuffle at arm grain regardless of N.
+    Rounded to 6dp: the engines' variance accumulation orders differ.
+    """
+    t = load(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand_mean"),
+    )
+    ssb = F.sum(
+        F.col("n") * (F.col("m") - F.col("grand_mean"))
+        * (F.col("m") - F.col("grand_mean"))
+    )
+    ssw = F.sum((F.col("n") - 1) * F.col("v"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_total")
+        .agg(ssb.alias("ssb"), ssw.alias("ssw"))
+        .select(
+            F.col("k").cast("bigint").alias("n_groups"),
+            "n_total",
+            F.round(F.col("ssb"), 6).alias("ss_between"),
+            F.round(F.col("ssw"), 6).alias("ss_within"),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+                6,
+            ).alias("f_stat"),
+        )
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type = 'click' AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    vg AS (
+      SELECT value, count(*) AS cnt,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+      FROM s GROUP BY value
+    ),
+    rk AS (
+      SELECT cnt, cnt_a,
+             sum(cnt) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) - cnt
+               + (cnt + 1) / 2.0 AS avg_rank,
+             cnt * cnt * cnt - cnt AS tie_term
+      FROM vg
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n1,
+             CAST(sum(cnt - cnt_a) AS BIGINT) AS n2,
+             sum(cnt_a * avg_rank) AS r1,
+             sum(tie_term) AS ties
+      FROM rk
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - ties / (CAST(n1 + n2 AS DOUBLE)
+                                     * (n1 + n2 - 1)))), 6) AS z_stat
+    FROM agg
+    """,
+    tags=("stats", "agg"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between the click and
+    purchase value distributions — the nonparametric sibling of q_ttest,
+    the robust readout when values are skewed or heavy-tailed (as metric
+    distributions at 100 TB invariably are). Average ranks for ties and
+    the tie-corrected normal approximation (Σt³−t variance deflation).
+
+    Rank WITHOUT sorting the fact: ranks are computed at DISTINCT-VALUE
+    grain — one fact-scale groupBy(value) produces (value, cnt, cnt_a),
+    then a value-grain running sum yields each value's average rank
+    (cum_before + (cnt+1)/2) and the U statistic is a weighted sum over
+    that grain. The fact table is never range-exchanged; only the
+    distinct-value table (bounded by value cardinality, not N) sees a
+    window. This is the scale-correct shape for rank statistics over
+    quantized metrics."""
+    t = load(spark, sf_dir)
+    s = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "value", (F.col("event_type") == "click").alias("is_a")
+    )
+    vg = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    rk = vg.select(
+        "cnt",
+        "cnt_a",
+        (
+            F.sum("cnt").over(w) - F.col("cnt")
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+        (
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_term"),
+    )
+    agg = rk.agg(
+        F.sum("cnt_a").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n2"),
+        F.sum(F.col("cnt_a") * F.col("avg_rank")).alias("r1"),
+        F.sum("tie_term").alias("ties"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n_tot = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1") * F.col("n2") / 12.0
+        * (
+            (n_tot + 1)
+            - F.col("ties") / (n_tot.cast("double") * (n_tot - 1))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            (u - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(var), 6
+        ).alias("z_stat"),
+    )
+
+
+#: Poisson-bootstrap replicate count and the Poisson(1) CDF cut points
+#: (P(X<=k) for k = 0..4; u above the last bucket draws weight 5).
+BOOT_B = 32
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+
+
+def _boot_case_sql(b: int) -> str:
+    u = (
+        "CAST(CAST(concat('0x', substr(md5('pb{b}-' || "
+        "CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)"
+        " / 4294967296.0"
+    ).format(b=b)
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {whens} ELSE 5 END"
+
+
+_BOOT_ORACLE = f"""
+    WITH proj AS (
+      SELECT value,
+             {", ".join(f"{_boot_case_sql(b)} AS k{b}" for b in range(BOOT_B))}
+      FROM events
+    ),
+    one AS (
+      SELECT count(*) AS n_rows, sum(value) AS sv,
+             {", ".join(
+                 f"sum(k{b} * value) AS sw{b}, sum(k{b}) AS sk{b}"
+                 for b in range(BOOT_B)
+             )}
+      FROM proj
+    ),
+    reps AS (
+      SELECT n_rows, sv,
+             unnest([{", ".join(f"sw{b} / sk{b}" for b in range(BOOT_B))}])
+               AS mean_b
+      FROM one
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           round(sv / n_rows, 6) AS point_mean,
+           CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           round(avg(mean_b), 6) AS boot_mean,
+           round(stddev_samp(mean_b), 6) AS boot_se,
+           round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+    FROM reps GROUP BY n_rows, sv
+"""
+
+
+@query("q_poisson_bootstrap", oracle=_BOOT_ORACLE, tags=("stats", "agg"))
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean event value: {BOOT_B} resampling
+    replicates, each reweighting every row by an independent Poisson(1)
+    draw — the distributed bootstrap (Poisson counts approximate
+    multinomial resampling without needing N up front, so replicas
+    stream map-side; the standard trick for CIs over cluster-scale
+    data where classic resampling is impossible).
+
+    Determinism: the draw for (row, replicate b) inverts the Poisson(1)
+    CDF at u = md5("pb{{b}}-" || event_id) / 2³², so both engines and
+    every rerun produce byte-identical replicates. Shape: the replicate
+    axis EXPLODES map-side (row × {BOOT_B}, one small u/k expression —
+    a {BOOT_B}-wide column design blows janino's 64 KB per-function
+    codegen limit and silently falls back to interpreted evaluation,
+    measured 6.9 s vs 1.5 s here), then ONE map-side-combinable
+    groupBy(b) reduces straight back to {BOOT_B} rows — the shuffle
+    carries {BOOT_B} partials per map task, never the expanded rows.
+    At 100 TB: a single scan, B-invariant shuffle width.
+    """
+    t = load(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit("pb"),
+                            F.col("b").cast("string"),
+                            F.lit("-"),
+                            F.col("event_id").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    k = F.lit(5)
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < float(_POIS1_CDF[i]), i).otherwise(k)
+    expanded = t.events.select(
+        "event_id",
+        "value",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(BOOT_B)])
+        ).alias("b"),
+    ).select("value", "b", k.alias("k"))
+    one = expanded.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("k") * F.col("value")).alias("sw"),
+        F.sum("k").alias("sk"),
+    )
+    reps = one.select(
+        "n_rows", "sv", (F.col("sw") / F.col("sk")).alias("mean_b")
+    )
+    return reps.groupBy("n_rows", "sv").agg(
+        F.round(F.avg("mean_b"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("mean_b"), 6).alias("boot_se"),
+        F.round(F.percentile("mean_b", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.975)), 6).alias("ci_hi"),
+    ).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("sv") / F.col("n_rows"), 6).alias("point_mean"),
+        F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+        "boot_mean",
+        "boot_se",
+        "ci_lo",
+        "ci_hi",
+    )

@@ -1,0 +1,135 @@
+"""Independent-recomputation tests for the round-10 statistics batch
+(q_anova, q_mann_whitney, q_spearman, q_poisson_bootstrap): each operator's
+output is re-derived from the raw sf0.001 parquet with numpy — no Spark, no
+DuckDB — so a shared mis-derivation in the operator and its oracle cannot
+pass silently (both engines implementing the same wrong formula would fool
+test_oracle_match; a third implementation won't).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from crypto_data_ingestion_script_spark.operators.quality import (
+    BOOT_B,
+    _POIS1_CDF,
+)
+from crypto_data_ingestion_script_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def events(sf_dir) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def lineitem(sf_dir) -> pd.DataFrame:
+    return pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+
+
+def _avg_ranks(x: np.ndarray) -> np.ndarray:
+    """Average-rank (ties share the mean of their positions), scipy-free."""
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_anova_matches_numpy(spark, sf_dir, events):
+    row = SPECS["q_anova"].fn(spark, sf_dir).collect()[0]
+    groups = [g["value"].to_numpy() for _, g in events.groupby("event_type")]
+    k, n = len(groups), sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["n_groups"] == k and row["n_total"] == n
+    assert row["ss_between"] == pytest.approx(ssb, rel=1e-6)
+    assert row["ss_within"] == pytest.approx(ssw, rel=1e-6)
+    assert row["f_stat"] == pytest.approx(f, rel=1e-6)
+
+
+def test_mann_whitney_matches_numpy(spark, sf_dir, events):
+    row = SPECS["q_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    a = events.loc[events.event_type == "click", "value"].to_numpy()
+    b = events.loc[events.event_type == "purchase", "value"].to_numpy()
+    pooled = np.concatenate([a, b])
+    ranks = _avg_ranks(pooled)
+    n1, n2 = len(a), len(b)
+    r1 = ranks[:n1].sum()
+    u = r1 - n1 * (n1 + 1) / 2.0
+    _, counts = np.unique(pooled, return_counts=True)
+    ties = float((counts.astype(np.float64) ** 3 - counts).sum())
+    n = n1 + n2
+    var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["u_stat"] == pytest.approx(u, abs=1e-6)
+    assert row["z_stat"] == pytest.approx(z, abs=1e-5)
+
+
+def test_spearman_matches_numpy(spark, sf_dir, lineitem):
+    got = {
+        r["flag"]: r for r in SPECS["q_spearman"].fn(spark, sf_dir).collect()
+    }
+    for flag, g in lineitem.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy(dtype=np.float64)
+        y = g["l_extendedprice"].to_numpy(dtype=np.float64)
+        rho = np.corrcoef(_avg_ranks(x), _avg_ranks(y))[0, 1]
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[flag]["n"] == len(g)
+        assert got[flag]["spearman_rho"] == pytest.approx(rho, abs=1e-5)
+        assert got[flag]["pearson_r"] == pytest.approx(r, abs=1e-5)
+
+
+def _pois_k(event_id: int, b: int) -> int:
+    h = hashlib.md5(f"pb{b}-{event_id}".encode()).hexdigest()
+    u = int(h[:8], 16) / 4294967296.0
+    for k, c in enumerate(_POIS1_CDF):
+        if u < float(c):
+            return k
+    return 5
+
+
+def test_poisson_bootstrap_matches_hand_replicates(spark, sf_dir, events):
+    row = SPECS["q_poisson_bootstrap"].fn(spark, sf_dir).collect()[0]
+    ids = events["event_id"].to_numpy()
+    vals = events["value"].to_numpy(dtype=np.float64)
+    means = []
+    for b in range(BOOT_B):
+        k = np.array([_pois_k(int(i), b) for i in ids], dtype=np.float64)
+        means.append(float((k * vals).sum() / k.sum()))
+    m = np.asarray(means)
+    assert row["n_rows"] == len(events)
+    assert row["point_mean"] == pytest.approx(vals.mean(), abs=1e-6)
+    assert row["n_replicates"] == BOOT_B
+    assert row["boot_mean"] == pytest.approx(m.mean(), abs=1e-6)
+    assert row["boot_se"] == pytest.approx(m.std(ddof=1), abs=1e-6)
+    # percentile CI via linear interpolation (matches F.percentile /
+    # quantile_cont)
+    assert row["ci_lo"] == pytest.approx(
+        np.quantile(m, 0.025, method="linear"), abs=1e-6
+    )
+    assert row["ci_hi"] == pytest.approx(
+        np.quantile(m, 0.975, method="linear"), abs=1e-6
+    )
+    # the weights really are Poisson(1)-shaped: mean weight ~ 1
+    k0 = np.array([_pois_k(int(i), 0) for i in ids], dtype=np.float64)
+    assert abs(k0.mean() - 1.0) < 0.2
