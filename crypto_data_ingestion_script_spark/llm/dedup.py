@@ -3041,3 +3041,126 @@ def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_rate"),
         )
     )
+
+
+#: URL synthesis shared by q_dedup_url's two engines: a deterministic mix of
+#: scheme/host case noise, a default port, a www prefix, tracking params,
+#: param-order shuffling and fragments — the exact variant axes crawl
+#: frontiers must collapse (rules follow RFC 3986 §6 normalization plus the
+#: utm-strip convention every web-corpus pipeline applies).
+_URL_SQL = (
+    "'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' "
+    "|| CAST(doc_id % 40 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 "
+    "  THEN '?utm_source=feed&utm_campaign=x&id=' "
+    "       || CAST(doc_id % 5 AS VARCHAR) "
+    "WHEN doc_id % 3 = 1 "
+    "  THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_medium=social' "
+    "ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) END || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "  THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END"
+)
+
+
+@query(
+    "q_dedup_url",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, source, {_URL_SQL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                 '^www\\.', ''),
+               ':443$', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, host, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(query, '&'),
+                                       x -> NOT starts_with(x, 'utm_'))),
+                 '&') AS cq
+        FROM parts
+      )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keep_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    ORDER BY canonical_url
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup — the crawl-frontier stage that
+    runs BEFORE any content dedup at 100 TB (collapsing URL variants is
+    ~free and removes whole fetches; content dedup costs a corpus pass).
+    Rules: lowercase scheme+host, strip leading www., strip the default
+    :443 port, drop the fragment, strip the trailing path slash, remove
+    utm_* tracking params, and sort surviving query params — RFC 3986 §6
+    normalization plus the tracking-param strip every web pipeline adds.
+
+    Everything is ONE map-side projection (regexp field extraction +
+    higher-order filter/sort on the param array — no explode, no UDF)
+    followed by the q_dedup_exact policy (min doc_id per canonical key).
+    At 100 TB the only exchange is the canonical-key groupBy; the raw
+    URL string never shuffles (the canonical form is strictly shorter).
+    The synthetic URL derivation is shared verbatim with the oracle, so
+    the test exercises the CANONICALIZER, not the generator."""
+    t = load(spark, sf_dir)
+    # identical derivation; Spark spells the string cast STRING, not VARCHAR
+    url = F.expr(_URL_SQL.replace("AS VARCHAR", "AS STRING"))
+    raw = t.documents.select("doc_id", "source", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    qparams = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda x: ~x.startswith("utm_"),
+        )
+    )
+    cq = F.array_join(qparams, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(cq == "", "").otherwise(F.concat(F.lit("?"), cq)),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+        .orderBy("canonical_url")
+    )

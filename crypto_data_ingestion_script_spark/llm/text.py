@@ -2229,3 +2229,93 @@ def q_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("labeled_lang") == F.col("lang")).alias("is_correct"),
         )
     )
+
+
+@query(
+    "q_readability",
+    oracle="""
+    WITH feats AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syllables
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             206.835 - 1.015 * (words / CAST(sentences AS DOUBLE))
+                     - 84.6 * (syllables / CAST(words AS DOUBLE))
+               AS flesch,
+             0.39 * (words / CAST(sentences AS DOUBLE))
+               + 11.8 * (syllables / CAST(words AS DOUBLE)) - 15.59
+               AS fk_grade
+      FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(flesch), 6) AS avg_flesch,
+           round(avg(fk_grade), 6) AS avg_fk_grade,
+           round(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS share_hard
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring per source: Flesch reading ease and
+    Flesch–Kincaid grade from whitespace words, sentence-punctuation
+    runs, and vowel-group syllable counts — the classic curation filter
+    (too-hard and too-easy text both correlate with boilerplate/OCR
+    noise; FineWeb-style pipelines bucket on exactly these scores).
+
+    Syllables are approximated as [aeiouy]+ runs over the whole lowered
+    text (word-boundary-free, engine-neutral); sentence count floors at 1
+    so punctuation-free docs stay defined. All three counters are
+    map-side regexp/split counts in one projection — no explode, no UDF,
+    no shuffle wider than the source-grain rollup. At 100 TB this is a
+    pure scan stage that fuses with whatever filter pipeline runs next.
+    """
+    t = load(spark, sf_dir)
+    words = F.size(F.split(F.col("text"), " "))
+    sentences = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")),
+        F.lit(1),
+    )
+    feats = t.documents.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    flesch = (
+        206.835
+        - 1.015 * (F.col("words") / F.col("sentences").cast("double"))
+        - 84.6 * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    fk = (
+        0.39 * (F.col("words") / F.col("sentences").cast("double"))
+        + 11.8 * (F.col("syllables") / F.col("words").cast("double"))
+        - 15.59
+    )
+    return (
+        feats.select(
+            "source", flesch.alias("flesch"), fk.alias("fk_grade")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.round(F.avg("fk_grade"), 6).alias("avg_fk_grade"),
+            F.round(
+                F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("share_hard"),
+        )
+        .orderBy("source")
+    )

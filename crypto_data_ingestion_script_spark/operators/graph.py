@@ -658,3 +658,147 @@ def _round_half_up_vec(xs, scale: int):
         ],
         dtype="float64",
     )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous majority-vote LPA: per round, each node adopts
+    the label with the greatest incident edge weight (ties -> min label)."""
+    head = """
+    WITH directed AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM directed
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM directed
+      ) GROUP BY src, dst
+    ),
+    lbl0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    steps = []
+    for i in range(LPA_ITERS):
+        steps.append(f""",
+    votes{i} AS (
+      SELECT e.dst AS node, l.label, sum(e.w) AS vw
+      FROM edges e JOIN lbl{i} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    lbl{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY vw DESC, label) AS rn
+        FROM votes{i}
+      ) WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT CAST(node AS INTEGER) AS node,
+           CAST(label AS INTEGER) AS label
+    FROM lbl{LPA_ITERS} ORDER BY node
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q_label_prop", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted majority-vote label propagation (Raghavan 2007), the
+    linear-time community-detection workhorse, on the undirected
+    nation trade network: {LPA_ITERS} synchronous rounds, each node
+    adopting the label with the greatest total incident edge weight
+    (deterministic min-label tie-break — classic LPA's random tie-break
+    would never hash-match an oracle). Communities of densely-trading
+    nations emerge; the same operator clusters domain link graphs and
+    near-dup document graphs at corpus scale.
+
+    Scale shape (the q_hits single-batch template): the fact table
+    distills ONCE into the content-bound weighted edge list (≤|nations|²
+    rows, broadcast dim joins, symmetrized by a union+re-aggregate);
+    then ALL {LPA_ITERS} rounds run in ONE Arrow batch — integer-exact
+    vote sums, no rounding contract needed at all. At a billion-node
+    graph grain the batch step swaps for the per-round join+window
+    form the oracle spells (same semantics, node-keyed exchanges);
+    here iteration grain sits below task grain, so one vectorized task
+    is the idiomatic plan."""
+    t = load(spark, sf_dir)
+    directed = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        directed.select("src", "dst", "w")
+        .unionAll(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    return (
+        edges.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(_lpa_batch, "node int, label int")
+        .orderBy("node")
+    )
+
+
+def _lpa_batch(pdf):
+    """All {LPA_ITERS} LPA rounds over one distilled edge-list batch:
+    synchronous updates, integer vote sums, (max weight, min label)
+    argmax — exactly the oracle's window trajectory."""
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["src"].to_numpy().astype("int64")
+    dst = pdf["dst"].to_numpy().astype("int64")
+    w = pdf["w"].to_numpy().astype("int64")
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[int(s)] for s in src), dtype="int64", count=len(src))
+    di = np.fromiter((idx[int(d)] for d in dst), dtype="int64", count=len(dst))
+    label = nodes.copy().astype("int64")
+    n = len(nodes)
+    for _ in range(LPA_ITERS):
+        new = label.copy()
+        for v in range(n):
+            mask = di == v
+            if not mask.any():
+                continue
+            lbls = label[si[mask]]
+            ws = w[mask]
+            best_w, best_l = -1, None
+            for lb in np.unique(lbls):
+                vw = int(ws[lbls == lb].sum())
+                if vw > best_w or (vw == best_w and lb < best_l):
+                    best_w, best_l = vw, int(lb)
+            new[v] = best_l
+        label = new
+    return pd.DataFrame(
+        {"node": nodes.astype("int32"), "label": label.astype("int32")}
+    )

@@ -1,0 +1,186 @@
+"""Targeted semantics tests for the round-10 session-2 additions:
+
+- q_hilbert: the unrolled bit-arithmetic reproduces the reference xy2d
+  algorithm exactly, AND the curve is a true Hilbert curve (consecutive
+  indices are always grid neighbors — the locality property Morton lacks,
+  checked over the full first-quadrant subgrid);
+- q_label_prop: the single-batch kernel finds planted communities on a
+  two-cluster toy graph and is invariant to edge-row order;
+- q_dedup_url: canonical groups collapse exactly the variant axes the
+  rules promise (case, www, :443, utm params, param order, fragment,
+  trailing slash) — recomputed from the generator in pandas;
+- q_readability: Flesch / FK-grade re-derived for sample docs in Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from crypto_data_ingestion_script_spark.operators.graph import _lpa_batch
+from crypto_data_ingestion_script_spark.operators.layout import HILBERT_BITS
+from crypto_data_ingestion_script_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def xy2d(order_bits: int, x: int, y: int) -> int:
+    """Reference Hilbert index (Wikipedia convert routine), scalar."""
+    d = 0
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def d2xy(order_bits: int, d: int) -> tuple[int, int]:
+    x = y = 0
+    s = 1
+    while s < (1 << order_bits):
+        rx = 1 & (d // 2)
+        ry = 1 & (d ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        d //= 4
+        s *= 2
+    return x, y
+
+
+def test_hilbert_consecutive_cells_are_neighbors():
+    # Full curve at order 6 (4096 cells): every step moves exactly one
+    # grid unit. A Morton curve fails this at every quadrant seam.
+    pts = [d2xy(6, d) for d in range(4096)]
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
+    # and the two conversions invert each other at the operator's order
+    for d in range(0, 1 << (2 * HILBERT_BITS), 997):
+        x, y = d2xy(HILBERT_BITS, d)
+        assert xy2d(HILBERT_BITS, x, y) == d
+
+
+def test_hilbert_matches_reference_xy2d(spark, sf_dir):
+    got = {
+        r["bucket"]: (r["n"], r["min_h"], r["max_h"])
+        for r in SPECS["q_hilbert"].fn(spark, sf_dir).collect()
+    }
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).to_pandas()
+    mx = (1 << HILBERT_BITS) - 1
+
+    def quant(col):
+        lo, hi = col.min(), col.max()
+        span = (hi - lo) if hi > lo else 1.0
+        q = np.floor((col - lo) / span * mx).astype("int64")
+        return np.clip(q, 0, mx)
+
+    xs, ys = quant(ev["user_id"].astype(float)), quant(ev["value"])
+    ds = np.array(
+        [xy2d(HILBERT_BITS, int(x), int(y)) for x, y in zip(xs, ys)]
+    )
+    ref = (
+        pd.DataFrame({"bucket": ds // 1024, "d": ds})
+        .groupby("bucket")["d"]
+        .agg(["count", "min", "max"])
+    )
+    assert got == {
+        int(b): (int(r["count"]), int(r["min"]), int(r["max"]))
+        for b, r in ref.iterrows()
+    }
+
+
+def _toy_edges(shuffle_seed=None) -> pd.DataFrame:
+    # two triangles {0,1,2} and {10,11,12} bridged by a weak 2-10 edge
+    und = [
+        (0, 1, 5), (1, 2, 5), (0, 2, 5),
+        (10, 11, 5), (11, 12, 5), (10, 12, 5),
+        (2, 10, 1),
+    ]
+    rows = [(s, d, w) for s, d, w in und] + [(d, s, w) for s, d, w in und]
+    df = pd.DataFrame(rows, columns=["src", "dst", "w"])
+    if shuffle_seed is not None:
+        df = df.sample(frac=1.0, random_state=shuffle_seed).reset_index(
+            drop=True
+        )
+    return df
+
+
+def test_lpa_finds_planted_communities():
+    out = _lpa_batch(_toy_edges()).set_index("node")["label"]
+    assert set(out[[0, 1, 2]]) == {0}
+    assert set(out[[10, 11, 12]]) == {10}
+
+
+def test_lpa_invariant_to_edge_order():
+    base = _lpa_batch(_toy_edges()).sort_values("node").to_numpy()
+    for seed in (1, 2, 3):
+        got = (
+            _lpa_batch(_toy_edges(shuffle_seed=seed))
+            .sort_values("node")
+            .to_numpy()
+        )
+        assert (got == base).all()
+
+
+def test_dedup_url_collapses_exactly_the_variant_axes(spark, sf_dir):
+    got = SPECS["q_dedup_url"].fn(spark, sf_dir).collect()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    # the generator varies only case/port/www/utm/order/fragment across
+    # docs sharing (source, doc_id%40, doc_id%5) — the canonical groups
+    # must be exactly those collision classes
+    docs["key"] = list(
+        zip(docs["source"], docs["doc_id"] % 40, docs["doc_id"] % 5)
+    )
+    ref = docs.groupby("key")["doc_id"].agg(["count", "min"])
+    ref = ref[ref["count"] >= 2]
+    assert len(got) == len(ref)
+    got_pairs = sorted((r["n_dups"], r["keep_id"]) for r in got)
+    ref_pairs = sorted(zip(ref["count"].astype(int), ref["min"].astype(int)))
+    assert got_pairs == ref_pairs
+    # spot-check one canonical string: lowercase, no www, no :443, no utm,
+    # no fragment, params sorted
+    url = got[0]["canonical_url"]
+    assert url.startswith("https://src")
+    assert "www." not in url and ":443" not in url
+    assert "utm_" not in url and "#" not in url
+
+
+def test_readability_matches_python(spark, sf_dir):
+    import re
+
+    rows = SPECS["q_readability"].fn(spark, sf_dir).collect()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).to_pandas()
+    for r in rows:
+        sub = docs[docs.source == r["source"]]
+        fl, fk, hard = [], [], 0
+        for text in sub["text"]:
+            w = len(text.split(" "))
+            s = max(len(re.findall(r"[.!?]+", text)), 1)
+            syl = max(len(re.findall(r"[aeiouy]+", text.lower())), 1)
+            f = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+            fl.append(f)
+            fk.append(0.39 * (w / s) + 11.8 * (syl / w) - 15.59)
+            hard += f < 30
+        assert r["n_docs"] == len(sub)
+        assert r["avg_flesch"] == pytest.approx(np.mean(fl), abs=1e-5)
+        assert r["avg_fk_grade"] == pytest.approx(np.mean(fk), abs=1e-5)
+        assert r["share_hard"] == pytest.approx(hard / len(sub), abs=1e-9)
