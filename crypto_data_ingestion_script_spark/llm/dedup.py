@@ -3164,3 +3164,150 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dups") >= 2)
         .orderBy("canonical_url")
     )
+
+
+#: Content-defined chunking: a token whose 32-bit md5 prefix is ≡ 0 mod
+#: CDC_MOD opens a new chunk (expected chunk length = CDC_MOD tokens).
+CDC_MOD = 8
+
+
+@query(
+    "q_chunk_cdc",
+    oracle=f"""
+    WITH tl AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok,
+             CASE WHEN CAST(CAST(concat('0x', substr(md5(toks[i]), 1, 8))
+                             AS UBIGINT) AS BIGINT) % {CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM tl, unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    assigned AS (
+      SELECT doc_id, pos, tok,
+             coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS chunk_idx
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+             count(*) AS n_toks
+      FROM assigned GROUP BY doc_id, chunk_idx
+    ),
+    by_fp AS (
+      SELECT md5(chunk_text) AS fp, count(*) AS mult,
+             min(n_toks) AS n_toks
+      FROM chunks GROUP BY md5(chunk_text)
+    ),
+    tot AS (SELECT sum(mult) AS n_total FROM by_fp)
+    SELECT CAST(mult AS BIGINT) AS dup_count,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(mult * count(*) AS BIGINT) AS n_instances,
+           round(mult * count(*) / CAST(n_total AS DOUBLE), 8)
+             AS instance_share,
+           round(avg(n_toks), 6) AS avg_tokens
+    FROM by_fp CROSS JOIN tot
+    GROUP BY mult, n_total ORDER BY dup_count
+    """,
+    tags=("llm", "dedup"),
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC idea at token grain):
+    chunk boundaries fire where md5(token) ≡ 0 mod {CDC_MOD}, so
+    boundaries depend on CONTENT, not position — insert one word at the
+    top of a near-duplicate document and every q_segment_dedup fixed
+    window shifts and misses, while CDC chunks realign immediately after
+    the edit. This is the storage-dedup / shift-robust-near-dup
+    primitive; output is the corpus chunk-multiplicity profile (the
+    q_dup_profile grain, at sub-document resolution).
+
+    Scale shape: tokenize+boundary is map-side; chunk assignment is an
+    exclusive prefix sum over ONE doc-keyed window (each partition is a
+    single document — bounded state); reassembly groups by (doc, chunk);
+    the multiplicity profile re-keys by chunk digest, where hot
+    boilerplate chunks are exactly the AQE-skew-split case q_segment_dedup
+    documents. No stage ever holds more than a document or a digest
+    group."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(t.documents)
+    by_fp = chunks.groupBy(
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("fp")
+    ).agg(
+        F.count(F.lit(1)).alias("mult"), F.min("n_toks").alias("n_toks")
+    )
+    tot = by_fp.agg(F.sum("mult").alias("n_total"))
+    return (
+        by_fp.crossJoin(F.broadcast(tot))
+        .groupBy("mult", "n_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        )
+        .select(
+            F.col("mult").cast("bigint").alias("dup_count"),
+            "n_chunks",
+            (F.col("mult") * F.col("n_chunks"))
+            .cast("bigint")
+            .alias("n_instances"),
+            F.round(
+                F.col("mult") * F.col("n_chunks")
+                / F.col("n_total").cast("double"),
+                8,
+            ).alias("instance_share"),
+            "avg_tokens",
+        )
+        .orderBy("dup_count")
+    )
+
+
+def cdc_chunks(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
+    """Content-defined chunking of a ``(doc_id, text)`` corpus into
+    ``(doc_id, chunk_idx, chunk_text, n_toks)`` — the composable core of
+    :func:`q_chunk_cdc` (semantics documented there); exposed so tests
+    can pin the shift-robustness property (an edit realigns at the next
+    boundary) on a toy corpus."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 8),
+                   16, 10).cast("bigint")
+            % mod
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("boundary").over(w), F.lit(0)).alias("chunk_idx"),
+    )
+    return assigned.groupBy("doc_id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )

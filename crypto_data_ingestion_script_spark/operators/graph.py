@@ -802,3 +802,117 @@ def _lpa_batch(pdf):
     return pd.DataFrame(
         {"node": nodes.astype("int32"), "label": label.astype("int32")}
     )
+
+
+BF_SOURCE = 0
+BF_ROUNDS = 3
+
+
+def _bf_oracle() -> str:
+    """Unrolled Bellman-Ford relaxation over the integer-cost edge list."""
+    head = f"""
+    WITH edges AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(1000000 // count(*) AS BIGINT) + 1 AS w
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      GROUP BY 1, 2
+    ),
+    d0 AS (SELECT {BF_SOURCE} AS node, CAST(0 AS BIGINT) AS dist)"""
+    steps = []
+    for i in range(BF_ROUNDS):
+        steps.append(f""",
+    d{i + 1} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )""")
+    tail = f"""
+    SELECT CAST(node AS INTEGER) AS node, dist
+    FROM d{BF_ROUNDS} ORDER BY node
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q_bellman_ford", oracle=_bf_oracle(), tags=("graph", "iterative"))
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths (Bellman-Ford, {BF_ROUNDS}
+    relaxation rounds) over the nation trade graph with integer
+    inverse-capacity edge costs (1e6/shipment-count — thin trade links
+    cost more). Completes the semiring family of graph templates:
+    q_pagerank propagates mass (+,×), q_bfs hop counts (min,+1), q_hits
+    mutual scores, q_label_prop votes — this is the general (min,+)
+    relaxation, the routing/ETL-dependency-cost shape.
+
+    Integer-exact end to end (costs and path sums are BIGINTs — no float
+    contract). Scale shape: fact distills ONCE to the content-bound edge
+    list (broadcast dim joins); all {BF_ROUNDS} relaxations run in ONE
+    Arrow batch over it (the q_hits/q_label_prop single-batch template —
+    iteration grain below task grain). At billion-edge grain the batch
+    swaps for per-round join+min folds with node-keyed exchanges,
+    exactly what the oracle's unrolled CTEs spell."""
+    t = load(spark, sf_dir)
+    edges = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            (
+                F.floor(F.lit(1000000) / F.count(F.lit(1))).cast("bigint")
+                + 1
+            ).alias("w")
+        )
+    )
+    return (
+        edges.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(_bf_batch, "node int, dist bigint")
+        .orderBy("node")
+    )
+
+
+def _bf_batch(pdf):
+    """All {BF_ROUNDS} Bellman-Ford relaxations over one distilled
+    edge-list batch — integer min-plus folds, following the oracle's
+    round trajectory exactly (unreached nodes stay absent)."""
+    import pandas as pd
+
+    edges = list(
+        zip(
+            pdf["src"].astype(int),
+            pdf["dst"].astype(int),
+            pdf["w"].astype(int),
+        )
+    )
+    dist = {BF_SOURCE: 0}
+    for _ in range(BF_ROUNDS):
+        new = dict(dist)
+        for s, d, w in edges:
+            if s in dist:
+                cand = dist[s] + w
+                if d not in new or cand < new[d]:
+                    new[d] = cand
+        dist = new
+    nodes = sorted(dist)
+    return pd.DataFrame(
+        {"node": nodes, "dist": [dist[n] for n in nodes]}
+    ).astype({"node": "int32", "dist": "int64"})

@@ -980,3 +980,167 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@query(
+    "q_kanon",
+    oracle="""
+    WITH classes AS (
+      SELECT user_id % 100 AS qi_bucket,
+             CAST(ts AS DATE) AS qi_date,
+             event_type AS qi_type,
+             count(*) AS k,
+             count(DISTINCT CAST(floor(value) AS BIGINT) % 10) AS l_div
+      FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(k) AS n_rows_tot FROM classes)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           round(sum(k) / CAST(n_rows_tot AS DOUBLE), 8) AS row_share,
+           k >= 5 AS meets_k5,
+           round(avg(l_div), 6) AS avg_l_diversity
+    FROM classes CROSS JOIN tot
+    GROUP BY k, n_rows_tot ORDER BY k
+    """,
+    tags=("privacy", "quality"),
+)
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (user bucket, event
+    date, event type): the re-identification risk profile a dataset must
+    pass before release — how many equivalence classes exist at each
+    size k, what share of rows sit in classes below the k=5 bar (those
+    rows need suppression or coarser generalization), and the classes'
+    l-diversity (distinct sensitive-value count — a k-anonymous class
+    with ONE sensitive value still leaks, Machanavajjhala 2007).
+
+    Shape: one fact-scale groupBy to QI-class grain (count + distinct
+    fold), then a class-grain histogram by k. The sensitive attribute
+    never leaves the class aggregate. At 100 TB: one QI-keyed exchange;
+    the k histogram is bounded by max class size, not N."""
+    t = load(spark, sf_dir)
+    classes = t.events.groupBy(
+        (F.col("user_id") % 100).alias("qi_bucket"),
+        F.col("ts").cast("date").alias("qi_date"),
+        F.col("event_type").alias("qi_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct(
+            F.floor(F.col("value")).cast("bigint") % 10
+        ).alias("l_div"),
+    )
+    tot = classes.agg(F.sum("k").alias("n_rows_tot"))
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_rows_tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+            F.round(F.avg("l_div"), 6).alias("avg_l_diversity"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_classes",
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.col("n_rows_tot").cast("double"), 8
+            ).alias("row_share"),
+            (F.col("k") >= 5).alias("meets_k5"),
+            "avg_l_diversity",
+        )
+        .orderBy("k")
+    )
+
+
+#: DP release parameters: epsilon per released statistic, and the clamp
+#: bound that fixes the sum query's sensitivity.
+DP_EPS = 1.0
+DP_CLAMP = 10.0
+
+
+def _laplace_sql(tag: str, scale: float) -> str:
+    u = (
+        f"CAST(CAST(concat('0x', substr(md5('dp-' || event_type "
+        f"|| '-{tag}'), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0"
+    )
+    return (
+        f"-{scale} * sign({u} - 0.5) * ln(1 - 2 * abs({u} - 0.5))"
+    )
+
+
+@query(
+    "q_dp_noise",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             sum(least(greatest(value, 0.0), {DP_CLAMP})) AS clamped_sum
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS true_count,
+           round(n + {_laplace_sql("c", 1.0 / DP_EPS)}, 6) AS noisy_count,
+           round(clamped_sum, 6) AS true_clamped_sum,
+           round(clamped_sum + {_laplace_sql("s", DP_CLAMP / DP_EPS)}, 6)
+             AS noisy_sum
+    FROM g ORDER BY event_type
+    """,
+    tags=("privacy", "agg"),
+)
+def q_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private aggregate release (Laplace mechanism,
+    ε={DP_EPS} per statistic): per-arm counts (sensitivity 1 → scale
+    1/ε) and value sums with inputs clamped to [0, {DP_CLAMP}] (clamping
+    FIXES the sensitivity — an unbounded sum has unbounded sensitivity
+    and no finite noise scale; this is the mistake the mechanism's shape
+    prevents). The Laplace draw inverts the CDF at an md5-derived
+    uniform, so both engines release identical noise — a production
+    release would use a real RNG; determinism here is the test contract,
+    the mechanism algebra is exactly the shipped one. True columns ride
+    along for verification only (a release drops them).
+
+    Shape: one map-side clamp + one arm-grain aggregate; noise is scalar
+    arithmetic on the k-row result. 100 TB: identical plan to q_anova's
+    single exchange."""
+    t = load(spark, sf_dir)
+    g = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(DP_CLAMP))
+        ).alias("clamped_sum"),
+    )
+
+    def lap(tag: str, scale: float):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(
+                                F.lit("dp-"),
+                                F.col("event_type"),
+                                F.lit(f"-{tag}"),
+                            ),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 4294967296.0
+        )
+        return -F.lit(scale) * F.signum(u - 0.5) * F.log(
+            1 - 2 * F.abs(u - 0.5)
+        )
+
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.round(F.col("n") + lap("c", 1.0 / DP_EPS), 6).alias("noisy_count"),
+        F.round(F.col("clamped_sum"), 6).alias("true_clamped_sum"),
+        F.round(
+            F.col("clamped_sum") + lap("s", DP_CLAMP / DP_EPS), 6
+        ).alias("noisy_sum"),
+    ).orderBy("event_type")

@@ -184,3 +184,103 @@ def test_readability_matches_python(spark, sf_dir):
         assert r["avg_flesch"] == pytest.approx(np.mean(fl), abs=1e-5)
         assert r["avg_fk_grade"] == pytest.approx(np.mean(fk), abs=1e-5)
         assert r["share_hard"] == pytest.approx(hard / len(sub), abs=1e-9)
+
+
+# ---- batch 3: bellman-ford / CDC chunking / privacy ----
+
+from crypto_data_ingestion_script_spark.operators.graph import _bf_batch
+
+
+def test_bellman_ford_prefers_cheap_long_path():
+    # 0->1->2->3 each cost 1 (total 3) vs direct 0->3 cost 10: the
+    # weighted answer (3 hops, cost 3) differs from BFS's 1-hop choice.
+    edges = pd.DataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)],
+        columns=["src", "dst", "w"],
+    )
+    out = _bf_batch(edges).set_index("node")["dist"]
+    assert out[3] == 3 and out[1] == 1 and out[2] == 2 and out[0] == 0
+
+
+def test_bellman_ford_respects_round_horizon():
+    # cost-1 chain of length 4 with a direct cost-10 edge: within
+    # BF_ROUNDS=3 relaxations the 4-hop path is NOT yet available, so
+    # the direct edge wins — the fixed-horizon contract the oracle
+    # unrolls.
+    edges = pd.DataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (0, 4, 10)],
+        columns=["src", "dst", "w"],
+    )
+    out = _bf_batch(edges).set_index("node")["dist"]
+    assert out[4] == 10
+
+
+def test_cdc_chunks_realign_after_prefix_edit(spark, sf_dir):
+    from crypto_data_ingestion_script_spark.llm.dedup import cdc_chunks
+
+    base = (
+        "key agg row scan slow fast table value part hash value table "
+        "part a row fast merge batch part value fast spark"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zzznew " + base)], "doc_id bigint, text string"
+    )
+    got = cdc_chunks(docs).collect()
+    c1 = {r["chunk_text"] for r in got if r["doc_id"] == 1}
+    c2 = {r["chunk_text"] for r in got if r["doc_id"] == 2}
+    # every chunk of doc 1 except (at most) its first survives verbatim
+    # in doc 2 — fixed segmentation (q_segment_dedup) shares none
+    shared = c1 & c2
+    assert len(shared) >= len(c1) - 1
+
+
+def test_kanon_matches_pandas(spark, sf_dir):
+    got = {r["k"]: r for r in SPECS["q_kanon"].fn(spark, sf_dir).collect()}
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    ev["qi_bucket"] = ev.user_id % 100
+    ev["qi_date"] = ev.ts.dt.date
+    ev["sens"] = np.floor(ev.value).astype("int64") % 10
+    cls = ev.groupby(["qi_bucket", "qi_date", "event_type"]).agg(
+        k=("event_id", "size"), l_div=("sens", "nunique")
+    )
+    hist = cls.groupby("k").agg(
+        n_classes=("k", "size"), avg_l=("l_div", "mean")
+    )
+    assert set(got) == set(hist.index)
+    for kk, row in hist.iterrows():
+        assert got[kk]["n_classes"] == row["n_classes"]
+        assert got[kk]["n_rows"] == kk * row["n_classes"]
+        assert got[kk]["avg_l_diversity"] == pytest.approx(
+            row["avg_l"], abs=1e-6
+        )
+        assert got[kk]["meets_k5"] == (kk >= 5)
+
+
+def test_dp_noise_matches_hand_laplace(spark, sf_dir):
+    import hashlib
+    import math
+
+    from crypto_data_ingestion_script_spark.operators.quality import (
+        DP_CLAMP,
+        DP_EPS,
+    )
+
+    rows = SPECS["q_dp_noise"].fn(spark, sf_dir).collect()
+    assert rows, "no arms released"
+
+    def lap(event_type, tag, scale):
+        h = hashlib.md5(f"dp-{event_type}-{tag}".encode()).hexdigest()
+        u = int(h[:8], 16) / 4294967296.0
+        return -scale * math.copysign(1.0, u - 0.5) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+
+    for r in rows:
+        want_c = r["true_count"] + lap(r["event_type"], "c", 1.0 / DP_EPS)
+        want_s = r["true_clamped_sum"] + lap(
+            r["event_type"], "s", DP_CLAMP / DP_EPS
+        )
+        assert r["noisy_count"] == pytest.approx(want_c, abs=1e-5)
+        assert r["noisy_sum"] == pytest.approx(want_s, abs=1e-5)
+        # clamped sum really is bounded by n * clamp
+        assert 0 <= r["true_clamped_sum"] <= r["true_count"] * DP_CLAMP
