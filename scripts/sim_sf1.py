@@ -54,6 +54,20 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
     "q_rrf",
+    # r10 session-2 additions (stats / pipeline / layout / graph /
+    # privacy batches)
+    "q_anova",
+    "q_mann_whitney",
+    "q_spearman",
+    "q_poisson_bootstrap",
+    "q_dedup_url",
+    "q_readability",
+    "q_hilbert",
+    "q_label_prop",
+    "q_bellman_ford",
+    "q_chunk_cdc",
+    "q_kanon",
+    "q_dp_noise",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",
