@@ -529,3 +529,79 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("bigint").alias("f_score"),
         F.ntile(5).over(wm).cast("bigint").alias("m_score"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS touch_ts
+      FROM events
+    )
+    SELECT CASE WHEN touch_ts >= ts - INTERVAL 60 MINUTE
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(sum(value), 4) AS attributed_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("behavior", "window"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent click/view within a 60-minute lookback (outside
+    it: 'direct') — the revenue-accounting readout behind every
+    channel-spend decision, and the canonical use of running
+    last-non-null state over an event stream.
+
+    One user-keyed ordered window carries (touch type, touch ts) as two
+    IGNORE-NULLS last_value folds — both pick the same touch row, so the
+    pair stays consistent without a struct; the purchase row then
+    classifies map-side and rolls up to channel grain. Scale: a single
+    user-keyed range exchange (users are hash-spread; no global sort),
+    then an arm-grain aggregate — the same shape q_funnel_windowed
+    proved skew-safe. Ties break on event_id so replays are exact."""
+    t = load(spark, sf_dir)
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = t.events.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    conv = tagged.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts")
+            >= F.col("ts") - F.expr("INTERVAL 60 MINUTES"),
+            F.col("touch_type"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        "value",
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -27,7 +27,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -720,3 +720,64 @@ _REGISTRY["q_stream_quality_gate"].oracle = f"""
           FROM documents)
     GROUP BY doc_id
 """
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT hour_ts, event_type, n, total_value,
+             row_number() OVER (PARTITION BY hour_ts
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT hour_ts, event_type, CAST(n AS BIGINT) AS n,
+           total_value, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY hour_ts, rnk
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: the stream maintains per-(hour, type)
+    counts+sums in complete mode (the trending-topics / hot-keys query
+    every event platform serves); the rank cut runs on the SERVING read
+    of the materialized state — exactly where production top-k lives
+    (state stores hold additive aggregates; ranking is not an
+    incremental-friendly operator, so it belongs on the read path, not
+    in the update path).
+
+    Deterministic ties (count desc, then type) so replays hash-match.
+    Scale: streaming state is (windows × types) — bounded, additive,
+    map-side-combinable per micro-batch; the serving rank is a
+    window-grain exchange over that summary, never over events."""
+    load(spark, sf_dir)
+    counts = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    out = run_to_memory(counts, output_mode="complete")
+    w = Window.partitionBy("hour_ts").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        out.select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_ts"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "total_value",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("hour_ts", "rnk")
+    )

@@ -284,3 +284,50 @@ def test_dp_noise_matches_hand_laplace(spark, sf_dir):
         assert r["noisy_sum"] == pytest.approx(want_s, abs=1e-5)
         # clamped sum really is bounded by n * clamp
         assert 0 <= r["true_clamped_sum"] <= r["true_count"] * DP_CLAMP
+
+
+# ---- batch 4: attribution / streaming top-k ----
+
+
+def test_attribution_matches_pandas(spark, sf_dir):
+    got = {
+        r["channel"]: r
+        for r in SPECS["q_attribution"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        pq.read_table(f"{sf_dir}/events.parquet")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    agg = {}
+    for _, g in ev.groupby("user_id"):
+        touch_ts, touch_ty = None, None
+        for _, r in g.iterrows():
+            if r.event_type in ("click", "view"):
+                touch_ts, touch_ty = r.ts, r.event_type
+            if r.event_type == "purchase":
+                if touch_ts is not None and touch_ts >= r.ts - pd.Timedelta(
+                    minutes=60
+                ):
+                    ch = touch_ty
+                else:
+                    ch = "direct"
+                n, v = agg.get(ch, (0, 0.0))
+                agg[ch] = (n + 1, v + r.value)
+    assert set(got) == set(agg)
+    for ch, (n, v) in agg.items():
+        assert got[ch]["n_conversions"] == n
+        assert got[ch]["attributed_value"] == pytest.approx(v, abs=1e-3)
+
+
+def test_stream_topk_rank_structure(spark, sf_dir):
+    rows = SPECS["q_stream_topk"].fn(spark, sf_dir).collect()
+    by_hour = {}
+    for r in rows:
+        by_hour.setdefault(r["hour_ts"], []).append(r)
+    for hour, rs in by_hour.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        ns = [r["n"] for r in rs]
+        assert ns == sorted(ns, reverse=True)
