@@ -68,6 +68,8 @@ FULL = [
     "q_chunk_cdc",
     "q_kanon",
     "q_dp_noise",
+    "q_attribution",
+    "q_stream_topk",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",
