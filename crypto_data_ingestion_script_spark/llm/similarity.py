@@ -2457,3 +2457,88 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("rank").cast("int").alias("rank"),
                 "vec_id", "cell", "adc")
     )
+
+
+@query(
+    "q_embedding_isotropy",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT i AS dim, CAST(embedding[i] AS DOUBLE) / nrm AS c
+      FROM v, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    dims AS (
+      SELECT dim, sum(c) AS s FROM comp GROUP BY dim
+    ),
+    sq AS (SELECT sum(s * s) AS s2 FROM dims),
+    norms AS (
+      SELECT count(*) AS n, avg(nrm) AS mean_norm,
+             stddev_samp(nrm) AS std_norm
+      FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(mean_norm, 6) AS mean_norm,
+           round(std_norm, 6) AS std_norm,
+           round((s2 - n) / (n * CAST(n - 1 AS DOUBLE)), 6)
+             AS avg_pairwise_cos,
+           round(sqrt(s2) / n, 6) AS mean_cos_to_centroid
+    FROM norms CROSS JOIN sq
+    """,
+    tags=("llm", "similarity", "quality"),
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit: norm distribution plus the EXACT
+    mean pairwise cosine of the whole corpus — computed WITHOUT pairs,
+    via the identity Σᵢ≠ⱼ cos(i,j) = ‖Σ v̂ᵢ‖² − n (v̂ = unit-normalized).
+    High mean pairwise cosine = anisotropic, common-direction-dominated
+    embeddings (the 'representation degeneration' failure that tanks
+    retrieval and clustering; Mu & Viswanath 2018's audit target), and
+    mean cosine to the centroid = ‖Σv̂‖/n falls out of the same sum.
+
+    Scale shape: normalize map-side, ONE dim-grain exchange (explode to
+    64·n component rows, groupBy(dim) — partial-aggregated, so the
+    shuffle carries 64 partials per map task), square-sum the 64-row
+    result. An O(n²) statistic at O(n) cost — the reason to ship the
+    identity instead of sampling pairs."""
+    t = load(spark, sf_dir)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            emb_d, F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    v = t.embeddings.select(
+        "vec_id", emb_d.alias("e"), nrm.alias("nrm")
+    )
+    comp = v.select(
+        F.posexplode(F.col("e")).alias("dim0", "x"),
+        F.col("nrm"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        (F.col("x") / F.col("nrm")).alias("c"),
+    )
+    dims = comp.groupBy("dim").agg(F.sum("c").alias("s"))
+    sq = dims.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    norms = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("nrm").alias("mean_norm"),
+        F.stddev_samp("nrm").alias("std_norm"),
+    )
+    return norms.crossJoin(F.broadcast(sq)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mean_norm"), 6).alias("mean_norm"),
+        F.round(F.col("std_norm"), 6).alias("std_norm"),
+        F.round(
+            (F.col("s2") - F.col("n"))
+            / (F.col("n") * (F.col("n") - 1).cast("double")),
+            6,
+        ).alias("avg_pairwise_cos"),
+        F.round(F.sqrt(F.col("s2")) / F.col("n"), 6).alias(
+            "mean_cos_to_centroid"
+        ),
+    )

@@ -1144,3 +1144,213 @@ def q_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("clamped_sum") + lap("s", DP_CLAMP / DP_EPS), 6
         ).alias("noisy_sum"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_auc",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score, event_type = 'purchase' AS is_pos
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    vg AS (
+      SELECT score, count(*) AS cnt,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_pos
+      FROM s GROUP BY score
+    ),
+    rk AS (
+      SELECT cnt, cnt_pos,
+             sum(cnt) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) - cnt
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM vg
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+             CAST(sum(cnt - cnt_pos) AS BIGINT) AS n_neg,
+             sum(cnt_pos * avg_rank) AS r_pos
+      FROM rk
+    )
+    SELECT n_pos, n_neg,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * CAST(n_neg AS DOUBLE)), 8) AS auc,
+           round(2 * (r_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * CAST(n_neg AS DOUBLE)) - 1, 8) AS gini
+    FROM agg
+    """,
+    tags=("stats", "ml", "agg"),
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (and Gini = 2·AUC−1) of the event value as a
+    predictor of purchase-vs-click — the model-evaluation readout every
+    training pipeline gates on. AUC is computed as the normalized
+    Mann-Whitney U statistic (AUC = U/(n₊·n₋), the rank formulation —
+    identical to integrating the ROC curve, with ties handled exactly by
+    average ranks, where the naive threshold sweep approximates).
+
+    Same scale-correct shape as q_mann_whitney: one fact-scale
+    groupBy(score) to distinct-value grain, a value-grain running sum
+    for average ranks, a weighted sum for U — the fact table never
+    range-exchanges, so exact AUC stays computable at 100 TB (the usual
+    'sample 1M rows for AUC' compromise is unnecessary on this plan)."""
+    t = load(spark, sf_dir)
+    s = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    vg = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    rk = vg.select(
+        "cnt",
+        "cnt_pos",
+        (
+            F.sum("cnt").over(w) - F.col("cnt")
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = rk.agg(
+        F.sum("cnt_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("cnt_pos")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("cnt_pos") * F.col("avg_rank")).alias("r_pos"),
+    )
+    u = F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    auc = u / (F.col("n_pos") * F.col("n_neg").cast("double"))
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 8).alias("auc"),
+        F.round(2 * auc - 1, 8).alias("gini"),
+    )
+
+
+@query(
+    "q_woe_iv",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score, event_type = 'purchase' AS is_pos
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    bounds AS (
+      SELECT quantile_cont(score, 0.1) AS b1, quantile_cont(score, 0.2) AS b2,
+             quantile_cont(score, 0.3) AS b3, quantile_cont(score, 0.4) AS b4,
+             quantile_cont(score, 0.5) AS b5, quantile_cont(score, 0.6) AS b6,
+             quantile_cont(score, 0.7) AS b7, quantile_cont(score, 0.8) AS b8,
+             quantile_cont(score, 0.9) AS b9
+      FROM s
+    ),
+    binned AS (
+      SELECT (CASE WHEN score > b1 THEN 1 ELSE 0 END
+            + CASE WHEN score > b2 THEN 1 ELSE 0 END
+            + CASE WHEN score > b3 THEN 1 ELSE 0 END
+            + CASE WHEN score > b4 THEN 1 ELSE 0 END
+            + CASE WHEN score > b5 THEN 1 ELSE 0 END
+            + CASE WHEN score > b6 THEN 1 ELSE 0 END
+            + CASE WHEN score > b7 THEN 1 ELSE 0 END
+            + CASE WHEN score > b8 THEN 1 ELSE 0 END
+            + CASE WHEN score > b9 THEN 1 ELSE 0 END) AS bin,
+             is_pos
+      FROM s CROSS JOIN bounds
+    ),
+    bc AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_neg
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM bc),
+    woe AS (
+      SELECT bin, n_pos, n_neg,
+             ln(((n_pos + 0.5) / (tp + 5.0))
+                / ((n_neg + 0.5) / (tn + 5.0))) AS w,
+             (n_pos + 0.5) / (tp + 5.0)
+               - (n_neg + 0.5) / (tn + 5.0) AS gap
+      FROM bc CROSS JOIN tot
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_pos, n_neg,
+           round(w, 8) AS woe,
+           round(sum(gap * w) OVER (), 8) AS iv_total
+    FROM woe ORDER BY bin
+    """,
+    tags=("stats", "ml", "agg"),
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature scoring: the event
+    value is decile-binned and each bin's WOE = ln(smoothed pos share /
+    neg share) measures its separation of purchase vs click; IV =
+    Σ (share gap)·WOE is the classic keep/drop threshold for features
+    (credit-scoring lineage, now standard tabular feature screening).
+    Laplace (+0.5) smoothing keeps empty-class bins finite.
+
+    Bins come from exact decile BOUNDS (one percentile aggregate,
+    broadcast back — the q_psi shape), NOT ntile: ntile would globally
+    range-sort the fact, the bounds approach is one scan + one arm-grain
+    exchange, and at 100 TB the percentile aggregate swaps for a KLL
+    sketch with everything downstream unchanged."""
+    t = load(spark, sf_dir)
+    s = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    bounds = s.agg(
+        *[
+            F.percentile("score", F.lit(k / 10.0)).alias(f"b{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bin_expr = sum(
+        [
+            F.when(F.col("score") > F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(1, 10)
+        ],
+        F.lit(0),
+    )
+    bc = (
+        s.crossJoin(F.broadcast(bounds))
+        .select(bin_expr.alias("bin"), "is_pos")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+    tot = bc.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    pos_share = (F.col("n_pos") + 0.5) / (F.col("tp") + 5.0)
+    neg_share = (F.col("n_neg") + 0.5) / (F.col("tn") + 5.0)
+    woe = F.log(pos_share / neg_share)
+    enriched = bc.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_pos",
+        "n_neg",
+        woe.alias("w"),
+        ((pos_share - neg_share) * woe).alias("gap_w"),
+    )
+    return enriched.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("w"), 8).alias("woe"),
+        F.round(
+            F.sum("gap_w").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            8,
+        ).alias("iv_total"),
+    ).orderBy("bin")

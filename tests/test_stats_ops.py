@@ -133,3 +133,74 @@ def test_poisson_bootstrap_matches_hand_replicates(spark, sf_dir, events):
     # the weights really are Poisson(1)-shaped: mean weight ~ 1
     k0 = np.array([_pois_k(int(i), 0) for i in ids], dtype=np.float64)
     assert abs(k0.mean() - 1.0) < 0.2
+
+
+@pytest.fixture(scope="module")
+def embeddings(sf_dir) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+
+
+def test_auc_matches_rank_and_trapezoid(spark, sf_dir, events):
+    row = SPECS["q_auc"].fn(spark, sf_dir).collect()[0]
+    sub = events[events.event_type.isin(["click", "purchase"])]
+    score = sub["value"].to_numpy(dtype=np.float64)
+    pos = (sub.event_type == "purchase").to_numpy()
+    ranks = _avg_ranks(score)
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0
+    auc_rank = u / (n_pos * n_neg)
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    assert row["auc"] == pytest.approx(auc_rank, abs=1e-8)
+    assert row["gini"] == pytest.approx(2 * auc_rank - 1, abs=1e-8)
+    # the rank formulation IS the ROC integral: trapezoidal sweep over
+    # every distinct threshold gives the same number
+    order = np.argsort(-score, kind="mergesort")
+    sp, spos = score[order], pos[order]
+    tps = np.cumsum(spos)
+    fps = np.cumsum(~spos)
+    last = np.r_[np.diff(sp) != 0, True]
+    tpr = np.r_[0, tps[last] / n_pos]
+    fpr = np.r_[0, fps[last] / n_neg]
+    auc_trap = np.trapz(tpr, fpr)
+    assert row["auc"] == pytest.approx(auc_trap, abs=1e-8)
+
+
+def test_woe_iv_matches_pandas(spark, sf_dir, events):
+    rows = SPECS["q_woe_iv"].fn(spark, sf_dir).collect()
+    sub = events[events.event_type.isin(["click", "purchase"])]
+    score = sub["value"].to_numpy(dtype=np.float64)
+    pos = (sub.event_type == "purchase").to_numpy()
+    bounds = np.quantile(score, np.arange(0.1, 1.0, 0.1), method="linear")
+    bins = (score[:, None] > bounds[None, :]).sum(axis=1)
+    tp, tn = pos.sum(), (~pos).sum()
+    got = {r["bin"]: r for r in rows}
+    iv = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        npos, nneg = int(pos[m].sum()), int((~pos[m]).sum())
+        ps, ns = (npos + 0.5) / (tp + 5.0), (nneg + 0.5) / (tn + 5.0)
+        woe = np.log(ps / ns)
+        iv += (ps - ns) * woe
+        assert got[b]["n_pos"] == npos and got[b]["n_neg"] == nneg
+        assert got[b]["woe"] == pytest.approx(woe, abs=1e-7)
+    for r in rows:
+        assert r["iv_total"] == pytest.approx(iv, abs=1e-7)
+
+
+def test_isotropy_identity_vs_brute_force(spark, sf_dir, embeddings):
+    row = SPECS["q_embedding_isotropy"].fn(spark, sf_dir).collect()[0]
+    e = np.stack(embeddings["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(e, axis=1)
+    unit = e / nrm[:, None]
+    n = len(unit)
+    # brute force: mean over all ordered pairs i != j
+    gram = unit @ unit.T
+    brute = (gram.sum() - np.trace(gram)) / (n * (n - 1))
+    assert row["n"] == n
+    assert row["mean_norm"] == pytest.approx(nrm.mean(), abs=1e-5)
+    assert row["std_norm"] == pytest.approx(nrm.std(ddof=1), abs=1e-5)
+    assert row["avg_pairwise_cos"] == pytest.approx(brute, abs=1e-5)
+    s = unit.sum(axis=0)
+    assert row["mean_cos_to_centroid"] == pytest.approx(
+        np.linalg.norm(s) / n, abs=1e-5
+    )
