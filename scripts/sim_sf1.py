@@ -70,6 +70,9 @@ FULL = [
     "q_dp_noise",
     "q_attribution",
     "q_stream_topk",
+    "q_auc",
+    "q_woe_iv",
+    "q_embedding_isotropy",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",
