@@ -1035,3 +1035,135 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q_pacf",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close_price
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, close_price,
+             lag(close_price, 1) OVER w AS p1,
+             lag(close_price, 2) OVER w AS p2,
+             lag(close_price, 3) OVER w AS p3,
+             lag(close_price, 4) OVER w AS p4
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    ),
+    acf AS (
+      SELECT event_type,
+             round(corr(close_price, p1), 8) AS r1,
+             round(corr(close_price, p2), 8) AS r2,
+             round(corr(close_price, p3), 8) AS r3,
+             round(corr(close_price, p4), 8) AS r4
+      FROM lagged GROUP BY event_type
+    ),
+    l2 AS (
+      SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS p22 FROM acf
+    ),
+    l2b AS (
+      SELECT *, r1 - p22 * r1 AS p21 FROM l2
+    ),
+    l3 AS (
+      SELECT *, (r3 - p21 * r2 - p22 * r1)
+                / (1 - p21 * r1 - p22 * r2) AS p33
+      FROM l2b
+    ),
+    l3b AS (
+      SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM l3
+    ),
+    l4 AS (
+      SELECT *, (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+                / (1 - p31 * r1 - p32 * r2 - p33 * r3) AS p44
+      FROM l3b
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, acf, pacf FROM (
+      SELECT event_type, 1 AS lag, r1 AS acf, round(r1, 8) AS pacf FROM l4
+      UNION ALL
+      SELECT event_type, 2, r2, round(p22, 8) FROM l4
+      UNION ALL
+      SELECT event_type, 3, r3, round(p33, 8) FROM l4
+      UNION ALL
+      SELECT event_type, 4, r4, round(p44, 8) FROM l4
+    ) ORDER BY event_type, lag
+    """,
+    tags=("agg", "stats", "finance"),
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (Durbin-Levinson recursion, lags 1-4) of
+    each type's hourly close series, alongside the raw ACF — the AR-order
+    diagnostic that completes q_autocorr: ACF says "correlated at lag k",
+    PACF says "correlated at lag k AFTER removing shorter lags", which is
+    what actually picks the AR(p) model.
+
+    Lockstep contract: the r_k feed the recursion ROUNDED to 8dp in both
+    engines (the q_hits/round-10 technique — identical inputs make the
+    pure double algebra bit-reproducible); the DL unroll itself is scalar
+    arithmetic on a per-type row. Scale: one hour-grain rollup (map-side
+    combinable), 4 lag windows at BAR grain (≤ hours×types rows — never
+    the fact), one aggregate, then closed-form algebra. The 100 TB cost
+    is the rollup scan; everything after is constant."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close_price"))
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    lagged = bars.select(
+        "event_type",
+        "close_price",
+        *[
+            F.lag("close_price", k).over(w).alias(f"p{k}")
+            for k in range(1, 5)
+        ],
+    )
+    acf = lagged.groupBy("event_type").agg(
+        *[
+            F.round(F.corr("close_price", f"p{k}"), 8).alias(f"r{k}")
+            for k in range(1, 5)
+        ]
+    )
+    r1, r2, r3, r4 = [F.col(f"r{k}") for k in range(1, 5)]
+    l2 = acf.withColumn("p22", (r2 - r1 * r1) / (1 - r1 * r1))
+    l2b = l2.withColumn("p21", r1 - F.col("p22") * r1)
+    p21, p22 = F.col("p21"), F.col("p22")
+    l3 = l2b.withColumn(
+        "p33",
+        (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2),
+    )
+    p33 = F.col("p33")
+    l3b = l3.withColumn("p31", p21 - p33 * p22).withColumn(
+        "p32", p22 - p33 * p21
+    )
+    p31, p32 = F.col("p31"), F.col("p32")
+    l4 = l3b.withColumn(
+        "p44",
+        (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+        / (1 - p31 * r1 - p32 * r2 - p33 * r3),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("lag"), r1.alias("acf"),
+            F.round(r1, 8).alias("pacf"),
+        ),
+        F.struct(
+            F.lit(2).alias("lag"), r2.alias("acf"),
+            F.round(F.col("p22"), 8).alias("pacf"),
+        ),
+        F.struct(
+            F.lit(3).alias("lag"), r3.alias("acf"),
+            F.round(F.col("p33"), 8).alias("pacf"),
+        ),
+        F.struct(
+            F.lit(4).alias("lag"), r4.alias("acf"),
+            F.round(F.col("p44"), 8).alias("pacf"),
+        ),
+    )
+    return (
+        l4.select("event_type", F.explode(rows).alias("r"))
+        .select("event_type", "r.lag", "r.acf", "r.pacf")
+        .orderBy("event_type", "lag")
+    )

@@ -605,3 +605,56 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 8)
+             AS p
+    FROM pairs ORDER BY cur, nxt
+    """,
+    tags=("behavior", "window"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) — the behavioral-model core
+    behind next-action prediction, Sankey/path visualizations, and
+    anomaly scoring of navigation flows (an improbable transition run
+    flags bot traffic).
+
+    One user-keyed ordered window produces (current, next) via lead();
+    pair counts and row-normalization both live at TYPE² grain — bounded
+    by the event vocabulary, not the corpus. Scale: the same single
+    user-keyed exchange as q_attribution (per-user partitions are
+    bounded session histories), then two tiny aggregates; ties break on
+    event_id so replays hash-match."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wc).cast("double"), 8
+        ).alias("p"),
+    ).orderBy("cur", "nxt")

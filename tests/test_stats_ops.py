@@ -204,3 +204,55 @@ def test_isotropy_identity_vs_brute_force(spark, sf_dir, embeddings):
     assert row["mean_cos_to_centroid"] == pytest.approx(
         np.linalg.norm(s) / n, abs=1e-5
     )
+
+
+def test_markov_transitions_matches_pandas(spark, sf_dir, events):
+    got = {
+        (r["cur"], r["nxt"]): r
+        for r in SPECS["q_markov_transitions"].fn(spark, sf_dir).collect()
+    }
+    ev = events.sort_values(["user_id", "ts", "event_id"])
+    pairs = {}
+    for _, g in ev.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    assert set(got) == set(pairs)
+    row_tot = {}
+    for (a, _), n in pairs.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    for (a, b), n in pairs.items():
+        assert got[(a, b)]["n"] == n
+        assert got[(a, b)]["p"] == pytest.approx(n / row_tot[a], abs=1e-8)
+    # rows of the transition matrix sum to 1
+    for a in row_tot:
+        s = sum(r["p"] for (c, _), r in got.items() if c == a)
+        assert s == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pacf_matches_yule_walker_solve(spark, sf_dir, events):
+    rows = SPECS["q_pacf"].fn(spark, sf_dir).collect()
+    bars = (
+        events.assign(hour=events.ts.dt.floor("h"))
+        .sort_values("ts")
+        .groupby(["event_type", "hour"])["value"]
+        .last()
+        .reset_index()
+    )
+    for et, g in bars.groupby("event_type"):
+        x = g.sort_values("hour")["value"].to_numpy(dtype=np.float64)
+        # corr-based acf at lags 1..4, rounded 8dp (the operator's
+        # lockstep inputs)
+        r = [
+            round(float(np.corrcoef(x[k:], x[:-k])[0, 1]), 8)
+            for k in range(1, 5)
+        ]
+        mine = {q["lag"]: q for q in rows if q["event_type"] == et}
+        for k in range(1, 5):
+            assert mine[k]["acf"] == pytest.approx(r[k - 1], abs=1e-8)
+            # pacf_k = last coeff of the Yule-Walker solve at order k —
+            # an independent derivation of the Durbin-Levinson value
+            rr = np.array([1.0] + r)
+            R = np.array([[rr[abs(i - j)] for j in range(k)] for i in range(k)])
+            phi = np.linalg.solve(R, rr[1 : k + 1])
+            assert mine[k]["pacf"] == pytest.approx(phi[-1], abs=1e-6)
