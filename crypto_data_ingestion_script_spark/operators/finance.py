@@ -1083,3 +1083,88 @@ def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_segments"),
         )
     )
+
+
+ROLL_CORR_W = 24
+
+
+@query(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH bars AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             arg_max(value, ts) AS close_price
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.hour_ts, a.close_price AS x, b.close_price AS y
+      FROM bars a JOIN bars b USING (hour_ts)
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ),
+    sums AS (
+      SELECT hour_ts,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM paired
+      WINDOW w AS (ORDER BY hour_ts
+                   ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour_ts,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS roll_corr
+    FROM sums WHERE n = {ROLL_CORR_W} ORDER BY hour_ts
+    """,
+    tags=("finance", "window", "stats"),
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLL_CORR_W}-bar correlation between the click and
+    purchase hourly close series — the co-movement monitor behind pair
+    trading, hedging ratios, and cross-metric drift alarms (a correlation
+    regime break is often the first observable failure signal).
+
+    The correlation is assembled from SIX windowed running sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) rather than a corr() window call — the
+    sums form is engine-portable, numerically explicit, and computes all
+    six in ONE window pass over the bar series. Scale: the fact rolls up
+    to hour grain first (map-side combinable), the window runs at BAR
+    grain (hours, not events); emitted only where the window is full so
+    every row is a true {ROLL_CORR_W}-bar statistic."""
+    t = load(spark, sf_dir)
+    bars = (
+        t.events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        )
+        .agg(F.max_by("value", "ts").alias("close_price"))
+    )
+    a = bars.filter(F.col("event_type") == "click").select(
+        "hour_ts", F.col("close_price").alias("x")
+    )
+    b = bars.filter(F.col("event_type") == "purchase").select(
+        "hour_ts", F.col("close_price").alias("y")
+    )
+    paired = a.join(b, "hour_ts")
+    w = Window.orderBy("hour_ts").rowsBetween(-(ROLL_CORR_W - 1), 0)
+    sums = paired.select(
+        "hour_ts",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return (
+        sums.filter(F.col("n") == ROLL_CORR_W)
+        .select("hour_ts", F.round(corr, 6).alias("roll_corr"))
+        .orderBy("hour_ts")
+    )

@@ -781,3 +781,78 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("hour_ts", "rnk")
     )
+
+
+@query(
+    "q_watermark_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events
+    ),
+    lat AS (
+      SELECT CAST(floor(epoch(frontier - ts) / 60) AS BIGINT) AS late_min
+      FROM arr
+    ),
+    tot AS (SELECT count(*) AS n FROM lat)
+    SELECT least(late_min, 10) AS late_bucket_min,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) / CAST(n AS DOUBLE), 8) AS share,
+           CAST(least(late_min, 10) <= 5 AS BOOLEAN) AS within_5m_watermark
+    FROM lat CROSS JOIN tot
+    GROUP BY least(late_min, 10), n ORDER BY late_bucket_min
+    """,
+    tags=("streaming", "quality"),
+)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: how late does data actually arrive?
+    Lateness of each event = event-time frontier at its ARRIVAL (running
+    max of ts in arrival order, event_id being the arrival sequence)
+    minus its own ts — exactly the quantity a streaming watermark
+    subtracts against. The bucketed histogram (minutes, capped at 10+)
+    with a ≤5-minute flag is the evidence for choosing
+    withWatermark("ts", ...): pick the bucket where cumulative share
+    crosses your completeness SLO, and everything later is the fraction
+    the pipeline will drop.
+
+    Batch plan on the same events the streaming jobs consume: one
+    arrival-ordered running max (the sole range exchange, same
+    contract as q_running_sum), map-side bucketing, bucket-grain
+    rollup. This is the operator that SIZES the watermarks the
+    q_stream_* family declares."""
+    t = load(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    arr = t.events.select(
+        "ts", F.max("ts").over(w).alias("frontier")
+    )
+    lat = arr.select(
+        F.floor(
+            (
+                F.unix_micros(F.col("frontier").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            / 60_000_000
+        )
+        .cast("bigint")
+        .alias("late_min")
+    )
+    tot = lat.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lat.select(F.least(F.col("late_min"), F.lit(10)).alias("late_bucket_min"))
+        .groupBy("late_bucket_min")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "late_bucket_min",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("n").cast("double"), 8
+            ).alias("share"),
+            (F.col("late_bucket_min") <= 5).alias("within_5m_watermark"),
+        )
+        .orderBy("late_bucket_min")
+    )

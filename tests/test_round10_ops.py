@@ -331,3 +331,61 @@ def test_stream_topk_rank_structure(spark, sf_dir):
         assert len(rs) <= 3
         ns = [r["n"] for r in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+# ---- batch 7: watermark lateness / rolling correlation ----
+
+
+def test_watermark_lateness_matches_pandas(spark, sf_dir):
+    got = {
+        r["late_bucket_min"]: r
+        for r in SPECS["q_watermark_lateness"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    frontier = ev["ts"].cummax()
+    late_min = (
+        ((frontier - ev["ts"]).dt.total_seconds() // 60)
+        .astype("int64")
+        .clip(upper=10)
+    )
+    ref = late_min.value_counts().sort_index()
+    assert set(got) == set(ref.index)
+    n = len(ev)
+    for b, cnt in ref.items():
+        assert got[b]["n_events"] == cnt
+        assert got[b]["share"] == pytest.approx(cnt / n, abs=1e-8)
+        assert got[b]["within_5m_watermark"] == (b <= 5)
+
+
+def test_rolling_corr_matches_pandas(spark, sf_dir):
+    from crypto_data_ingestion_script_spark.operators.finance import (
+        ROLL_CORR_W,
+    )
+
+    rows = SPECS["q_rolling_corr"].fn(spark, sf_dir).collect()
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ).to_pandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    ev["hour"] = ev.ts.dt.floor("h")
+    bars = (
+        ev.sort_values("ts")
+        .groupby(["event_type", "hour"])["value"]
+        .last()
+        .unstack(0)
+        .dropna()
+    )
+    roll = (
+        bars["click"]
+        .rolling(ROLL_CORR_W)
+        .corr(bars["purchase"])
+        .dropna()
+    )
+    got = {r["hour_ts"]: r["roll_corr"] for r in rows}
+    assert len(got) == len(roll)
+    for hour, want in roll.items():
+        assert got[hour.to_pydatetime()] == pytest.approx(want, abs=1e-5)
