@@ -305,3 +305,76 @@ def q_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Compaction bin target in bytes (toy scale; production uses 128-1024 MiB).
+COMPACT_TARGET = 1500
+
+
+@query(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id % 7 AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, doc_id % 7
+    ),
+    planned AS (
+      SELECT source, file_id, bytes,
+             CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+                     ORDER BY file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // {COMPACT_TARGET} AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes
+    FROM planned GROUP BY source, bin ORDER BY source, bin
+    """,
+    tags=("layout", "planning"),
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE bin-packing step):
+    given a per-partition file-size inventory (derived here from the
+    documents table at (source, file) grain so the plan is
+    engine-checkable), assign contiguous files to output bins by
+    cumulative-offset binning — bin = floor(prefix_bytes / target) —
+    Delta-style planning that turns N small files into ~total/target
+    right-sized writes. The plan is the QUERY; q_compact executes the
+    rewrite it implies.
+
+    Shape: file inventory is metadata-scale (one groupBy); binning is an
+    exclusive-prefix sum over a partition-keyed window at FILE grain
+    (thousands of rows per partition at worst — planning never touches
+    data bytes). At 100 TB the same plan runs over the transaction log's
+    file listing, not a table scan."""
+    t = load(spark, sf_dir)
+    from pyspark.sql import Window
+
+    files = t.documents.groupBy(
+        "source", (F.col("doc_id") % 7).alias("file_id")
+    ).agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "source",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / COMPACT_TARGET
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        planned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        )
+        .orderBy("source", "bin")
+    )

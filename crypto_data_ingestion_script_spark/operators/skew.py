@@ -223,3 +223,68 @@ def mg_candidates(tokens: DataFrame, k: int) -> DataFrame:
             yield pd.DataFrame({"token": list(counters.keys())})
 
     return tokens.mapInPandas(mg_sketch, "token string").distinct()
+
+
+@query(
+    "q_skew_stats",
+    oracle="""
+    WITH kc AS (
+      SELECT user_id AS key, count(*) AS c FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_key_rows,
+             round(quantile_cont(c, 0.99), 4) AS p99_key_rows,
+             round(max(c) / avg(c), 4) AS skew_ratio,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 8) AS top_key_share
+      FROM kc
+    )
+    SELECT n_keys, n_rows, max_key_rows, p99_key_rows, skew_ratio,
+           top_key_share,
+           CASE WHEN n_keys <= 10000 THEN 'broadcast'
+                WHEN skew_ratio > 20 THEN 'salt_or_aqe_skew_join'
+                ELSE 'plain_shuffle_join' END AS recommended_strategy
+    FROM s
+    """,
+    tags=("skew", "planning", "agg"),
+)
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight check a 100 TB pipeline
+    runs BEFORE choosing a join strategy: key cardinality, rows behind
+    the hottest key, p99 key multiplicity, skew ratio (max/avg), the
+    hottest key's row share, and the strategy the numbers imply
+    (broadcast below dimension size; salting/AQE skew-join when one key
+    dominates; plain shuffle otherwise). q_join_salted and the AQE
+    skew tests prove the REMEDIES; this operator is the detector that
+    decides among them, as a query over the data itself.
+
+    Shape: one fact-scale groupBy(key) (map-side combinable) then a
+    key-grain reduce — the diagnostic costs one exchange at key grain,
+    which is exactly what the join it guards would pay anyway."""
+    t = load(spark, sf_dir)
+    kc = t.events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.round(F.percentile("c", F.lit(0.99)), 4).alias("p99_key_rows"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        F.round(
+            F.max("c") / F.sum("c").cast("double"), 8
+        ).alias("top_key_share"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "p99_key_rows",
+        "skew_ratio",
+        "top_key_share",
+        F.when(F.col("n_keys") <= 10000, "broadcast")
+        .when(F.col("skew_ratio") > 20, "salt_or_aqe_skew_join")
+        .otherwise("plain_shuffle_join")
+        .alias("recommended_strategy"),
+    )

@@ -77,6 +77,8 @@ FULL = [
     "q_pacf",
     "q_watermark_lateness",
     "q_rolling_corr",
+    "q_skew_stats",
+    "q_compaction_plan",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",

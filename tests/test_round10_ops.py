@@ -389,3 +389,63 @@ def test_rolling_corr_matches_pandas(spark, sf_dir):
     assert len(got) == len(roll)
     for hour, want in roll.items():
         assert got[hour.to_pydatetime()] == pytest.approx(want, abs=1e-5)
+
+
+# ---- batch 8: skew diagnostic / compaction planning ----
+
+
+def test_skew_stats_matches_pandas(spark, sf_dir):
+    row = SPECS["q_skew_stats"].fn(spark, sf_dir).collect()[0]
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).to_pandas()
+    kc = ev.groupby("user_id").size()
+    assert row["n_keys"] == len(kc)
+    assert row["n_rows"] == int(kc.sum())
+    assert row["max_key_rows"] == int(kc.max())
+    assert row["p99_key_rows"] == pytest.approx(
+        np.quantile(kc.to_numpy(), 0.99, method="linear"), abs=1e-3
+    )
+    assert row["skew_ratio"] == pytest.approx(
+        kc.max() / kc.mean(), abs=1e-3
+    )
+    want = (
+        "broadcast"
+        if len(kc) <= 10000
+        else ("salt_or_aqe_skew_join" if kc.max() / kc.mean() > 20
+              else "plain_shuffle_join")
+    )
+    assert row["recommended_strategy"] == want
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    from crypto_data_ingestion_script_spark.operators.layout import (
+        COMPACT_TARGET,
+    )
+
+    rows = SPECS["q_compaction_plan"].fn(spark, sf_dir).collect()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+    files = (
+        docs.assign(file_id=docs.doc_id % 7)
+        .groupby(["source", "file_id"])["n_chars"]
+        .sum()
+        .reset_index()
+    )
+    # plan conserves bytes and files per source
+    for src, g in files.groupby("source"):
+        mine = [r for r in rows if r["source"] == src]
+        assert sum(r["n_files"] for r in mine) == len(g)
+        assert sum(r["bin_bytes"] for r in mine) == int(g["n_chars"].sum())
+        # offset-binning: bin index of each file equals
+        # floor(exclusive_prefix / target) over file_id order
+        gg = g.sort_values("file_id")
+        prefix = gg["n_chars"].cumsum().shift(fill_value=0)
+        want_bins = (prefix // COMPACT_TARGET).astype(int)
+        got_bins = sorted(
+            b for r in mine for b in [r["bin"]] * r["n_files"]
+        )
+        assert got_bins == sorted(want_bins.tolist())
+    # compaction actually compacts: fewer bins than files overall
+    assert sum(r["n_files"] for r in rows) > len(rows)
