@@ -862,11 +862,14 @@ _POIS1_CDF = (
 
 
 def _boot_case_sql(b: int) -> str:
+    # Replicate b draws its uniform from 32-bit slice b%4 of md5 block
+    # b//4 — one md5 feeds FOUR replicates (the digest has 128 i.i.d.
+    # bits; burning 96 of them was 4x the hash cost for nothing).
     u = (
-        "CAST(CAST(concat('0x', substr(md5('pb{b}-' || "
-        "CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)"
+        "CAST(CAST(concat('0x', substr(md5('pb{j}-' || "
+        "CAST(event_id AS VARCHAR)), {pos}, 8)) AS UBIGINT) AS DOUBLE)"
         " / 4294967296.0"
-    ).format(b=b)
+    ).format(j=b // 4, pos=1 + 8 * (b % 4))
     whens = " ".join(
         f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
     )
@@ -913,35 +916,45 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream map-side; the standard trick for CIs over cluster-scale
     data where classic resampling is impossible).
 
-    Determinism: the draw for (row, replicate b) inverts the Poisson(1)
-    CDF at u = md5("pb{{b}}-" || event_id) / 2³², so both engines and
-    every rerun produce byte-identical replicates. Shape: the replicate
-    axis EXPLODES map-side (row × {BOOT_B}, one small u/k expression —
-    a {BOOT_B}-wide column design blows janino's 64 KB per-function
-    codegen limit and silently falls back to interpreted evaluation,
-    measured 6.9 s vs 1.5 s here), then ONE map-side-combinable
-    groupBy(b) reduces straight back to {BOOT_B} rows — the shuffle
-    carries {BOOT_B} partials per map task, never the expanded rows.
-    At 100 TB: a single scan, B-invariant shuffle width.
+    Determinism: replicate b inverts the Poisson(1) CDF at the b%4-th
+    32-bit slice of md5("pb{{b//4}}-" || event_id) — one digest feeds
+    FOUR replicates (128 i.i.d. bits; burning 96 was 4× the hash cost
+    for nothing: sf0.1 wall 5.7 s → ~2 s), and both engines and every
+    rerun produce byte-identical replicates. Shape: the replicate axis
+    EXPLODES map-side in two levels — digest block j (row × {BOOT_B}//4,
+    ONE md5 each), then slice (×4) — never as a {BOOT_B}-wide column
+    design, which blows janino's 64 KB per-function codegen limit and
+    silently falls back to interpreted evaluation (measured 6.9 s vs
+    1.5 s). ONE map-side-combinable groupBy(b) reduces straight back to
+    {BOOT_B} rows; the shuffle carries {BOOT_B} partials per map task,
+    never the expanded rows. At 100 TB: a single scan, B-invariant
+    shuffle width.
     """
     t = load(spark, sf_dir)
+    blocks = t.events.select(
+        "event_id",
+        "value",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(BOOT_B // 4)])
+        ).alias("j"),
+    ).select(
+        "value",
+        "j",
+        F.md5(
+            F.encode(
+                F.concat(
+                    F.lit("pb"),
+                    F.col("j").cast("string"),
+                    F.lit("-"),
+                    F.col("event_id").cast("string"),
+                ),
+                "UTF-8",
+            )
+        ).alias("h"),
+    )
     u = (
         F.conv(
-            F.substring(
-                F.md5(
-                    F.encode(
-                        F.concat(
-                            F.lit("pb"),
-                            F.col("b").cast("string"),
-                            F.lit("-"),
-                            F.col("event_id").cast("string"),
-                        ),
-                        "UTF-8",
-                    )
-                ),
-                1,
-                8,
-            ),
+            F.substring(F.col("h"), F.lit(1) + F.lit(8) * F.col("slot"), 8),
             16,
             10,
         ).cast("double")
@@ -950,13 +963,16 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.lit(5)
     for i in range(len(_POIS1_CDF) - 1, -1, -1):
         k = F.when(u < float(_POIS1_CDF[i]), i).otherwise(k)
-    expanded = t.events.select(
-        "event_id",
+    expanded = blocks.select(
         "value",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(BOOT_B)])
-        ).alias("b"),
-    ).select("value", "b", k.alias("k"))
+        "j",
+        "h",
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("slot"),
+    ).select(
+        "value",
+        (F.col("j") * 4 + F.col("slot")).alias("b"),
+        k.alias("k"),
+    )
     one = expanded.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("value").alias("sv"),

@@ -100,8 +100,10 @@ def test_spearman_matches_numpy(spark, sf_dir, lineitem):
 
 
 def _pois_k(event_id: int, b: int) -> int:
-    h = hashlib.md5(f"pb{b}-{event_id}".encode()).hexdigest()
-    u = int(h[:8], 16) / 4294967296.0
+    # replicate b reads 32-bit slice b%4 of md5 block b//4
+    h = hashlib.md5(f"pb{b // 4}-{event_id}".encode()).hexdigest()
+    s = 8 * (b % 4)
+    u = int(h[s : s + 8], 16) / 4294967296.0
     for k, c in enumerate(_POIS1_CDF):
         if u < float(c):
             return k
