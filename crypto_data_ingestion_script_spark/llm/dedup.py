@@ -3311,3 +3311,97 @@ def cdc_chunks(docs: DataFrame, mod: int = CDC_MOD) -> DataFrame:
         ).alias("chunk_text"),
         F.count(F.lit(1)).alias("n_toks"),
     )
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH sd AS (
+      SELECT DISTINCT md5(text) AS digest, source FROM documents
+    ),
+    src AS (
+      SELECT source, count(*) AS n_digests FROM sd GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_texts
+      FROM sd a JOIN sd b ON a.digest = b.digest
+      WHERE a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(shared_texts AS BIGINT) AS shared_texts,
+           CAST(sa.n_digests AS BIGINT) AS n_a,
+           CAST(sb.n_digests AS BIGINT) AS n_b,
+           round(shared_texts /
+                 CAST(sa.n_digests + sb.n_digests - shared_texts AS DOUBLE),
+                 8) AS jaccard
+    FROM pairs
+    JOIN src sa ON sa.source = pairs.source_a
+    JOIN src sb ON sb.source = pairs.source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("llm", "dedup", "audit"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every source pair, how
+    many distinct texts they SHARE, and the Jaccard of their digest sets
+    — the dataset-composition audit run before mixing corpora (CC vs C4
+    vs Books overlap is the canonical example: double-counting shared
+    mass silently re-weights the mixture and double-trains on dups).
+
+    Shape: digests dedup to (digest, source) grain first (one exchange),
+    then the overlap join runs DIGEST-keyed — each digest group is the
+    handful of sources carrying that text (≤|sources|, never corpus-
+    sized), so the 'self-join' is output-proportional, and the per-source
+    totals broadcast back. At 100 TB this is the q_dedup_exact shuffle
+    plus a bounded-fanout join; the |sources|² matrix is the output, not
+    the work."""
+    t = load(spark, sf_dir)
+    sd = t.documents.select(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("digest"), "source"
+    ).distinct()
+    src = sd.groupBy("source").agg(F.count(F.lit(1)).alias("n_digests"))
+    a = sd.select("digest", F.col("source").alias("source_a"))
+    b = sd.select("digest", F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_digests").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_digests").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_texts",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("shared_texts")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("shared_texts")
+                ).cast("double"),
+                8,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1370,3 +1370,88 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("iv_total"),
     ).orderBy("bin")
+
+
+@query(
+    "q_calibration_curve",
+    oracle="""
+    WITH s AS (
+      SELECT 1.0 / (1.0 + exp(-(value - 5.0))) AS p,
+             CAST(event_type = 'purchase' AS INTEGER) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y FROM s
+    ),
+    bc AS (
+      SELECT bin, count(*) AS n, avg(p) AS mean_pred, avg(y) AS obs_rate,
+             sum((p - y) * (p - y)) AS se
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(se) / sum(n) AS brier,
+             sum(n * abs(mean_pred - obs_rate)) / sum(n) AS ece
+      FROM bc
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(mean_pred, 8) AS mean_pred,
+           round(obs_rate, 8) AS obs_rate,
+           round(brier, 8) AS brier,
+           round(ece, 8) AS ece
+    FROM bc CROSS JOIN tot ORDER BY bin
+    """,
+    tags=("stats", "ml", "agg"),
+)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit of a score (here: a logistic
+    transform of the event value predicting purchase-vs-click): the
+    reliability diagram's bins (mean predicted probability vs observed
+    rate per decile of p), the Brier score, and the expected calibration
+    error (ECE) — the standard check that a classifier's probabilities
+    MEAN something before they gate data (quality filters and LLM-judge
+    scores are exactly such gates; an uncalibrated 0.9 is a lie).
+
+    One map-side transform + one bin-grain aggregate carries everything:
+    Σ(p−y)² per bin gives Brier without a second pass, and ECE is the
+    n-weighted |gap| fold over the 10-row bin table. Completes the
+    q_auc/q_woe_iv evaluation family: AUC ranks, WOE/IV separates,
+    this one checks honesty."""
+    t = load(spark, sf_dir)
+    s = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        (1.0 / (1.0 + F.exp(-(F.col("value") - 5.0)))).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    binned = s.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    bc = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("mean_pred"),
+        F.avg("y").alias("obs_rate"),
+        F.sum(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+        ).alias("se"),
+    )
+    tot = bc.agg(
+        (F.sum("se") / F.sum("n")).alias("brier"),
+        (
+            F.sum(F.col("n") * F.abs(F.col("mean_pred") - F.col("obs_rate")))
+            / F.sum("n")
+        ).alias("ece"),
+    )
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("mean_pred"), 8).alias("mean_pred"),
+            F.round(F.col("obs_rate"), 8).alias("obs_rate"),
+            F.round(F.col("brier"), 8).alias("brier"),
+            F.round(F.col("ece"), 8).alias("ece"),
+        )
+        .orderBy("bin")
+    )

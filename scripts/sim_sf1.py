@@ -79,6 +79,8 @@ FULL = [
     "q_rolling_corr",
     "q_skew_stats",
     "q_compaction_plan",
+    "q_source_overlap",
+    "q_calibration_curve",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",

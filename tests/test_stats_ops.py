@@ -258,3 +258,56 @@ def test_pacf_matches_yule_walker_solve(spark, sf_dir, events):
             R = np.array([[rr[abs(i - j)] for j in range(k)] for i in range(k)])
             phi = np.linalg.solve(R, rr[1 : k + 1])
             assert mine[k]["pacf"] == pytest.approx(phi[-1], abs=1e-6)
+
+
+def test_source_overlap_matches_pandas(spark, sf_dir):
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in SPECS["q_source_overlap"].fn(spark, sf_dir).collect()
+    }
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    ).to_pandas()
+    sets = {
+        src: set(hashlib.md5(t.encode()).hexdigest() for t in g["text"])
+        for src, g in docs.groupby("source")
+    }
+    srcs = sorted(sets)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sh = len(sets[a] & sets[b])
+            if sh:
+                want[(a, b)] = sh
+    assert set(got) == set(want)
+    for (a, b), sh in want.items():
+        r = got[(a, b)]
+        assert r["shared_texts"] == sh
+        assert r["n_a"] == len(sets[a]) and r["n_b"] == len(sets[b])
+        assert r["jaccard"] == pytest.approx(
+            sh / len(sets[a] | sets[b]), abs=1e-8
+        )
+
+
+def test_calibration_curve_matches_pandas(spark, sf_dir, events):
+    rows = SPECS["q_calibration_curve"].fn(spark, sf_dir).collect()
+    sub = events[events.event_type.isin(["click", "purchase"])]
+    p = 1.0 / (1.0 + np.exp(-(sub["value"].to_numpy() - 5.0)))
+    y = (sub.event_type == "purchase").to_numpy().astype(float)
+    bins = np.minimum((p * 10).astype(int), 9)
+    brier = float(((p - y) ** 2).mean())
+    ece = 0.0
+    ref = {}
+    for b in np.unique(bins):
+        m = bins == b
+        ref[b] = (int(m.sum()), p[m].mean(), y[m].mean())
+        ece += m.sum() * abs(p[m].mean() - y[m].mean())
+    ece /= len(p)
+    assert {r["bin"] for r in rows} == set(ref)
+    for r in rows:
+        n, mp, orate = ref[r["bin"]]
+        assert r["n"] == n
+        assert r["mean_pred"] == pytest.approx(mp, abs=1e-7)
+        assert r["obs_rate"] == pytest.approx(orate, abs=1e-7)
+        assert r["brier"] == pytest.approx(brier, abs=1e-7)
+        assert r["ece"] == pytest.approx(ece, abs=1e-7)
