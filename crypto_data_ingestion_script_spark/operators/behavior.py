@@ -658,3 +658,67 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(wc).cast("double"), 8
         ).alias("p"),
     ).orderBy("cur", "nxt")
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             date_trunc('week', CAST(ts AS DATE)) AS wk,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS wk,
+             count(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d.wk AS DATE) AS week_start,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(avg(d.dau), 4) AS avg_dau,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(d.dau) / w.wau, 6) AS stickiness
+    FROM daily d JOIN weekly w USING (wk)
+    GROUP BY d.wk, w.wau ORDER BY week_start
+    """,
+    tags=("behavior", "agg"),
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — the engagement-intensity ratio
+    (what fraction of the week's actives show up on an average day),
+    the growth metric next to q_active_users' raw counts and q_cohort's
+    retention triangles.
+
+    Two COUNT(DISTINCT user) aggregations at different time grains
+    (day and week) joined at week grain: each plans as Spark's two-phase
+    distinct expand — partial dedup map-side, so the shuffle carries
+    (grain, user) pairs once, not events. At 100 TB the day/week grains
+    would share one (date, user)-deduped intermediate; at this
+    cardinality the two independent scans are cheaper than materializing
+    it."""
+    t = load(spark, sf_dir)
+    d = F.col("ts").cast("date")
+    daily = t.events.groupBy(
+        d.alias("d"), F.date_trunc("week", d).alias("wk")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    weekly = t.events.groupBy(
+        F.date_trunc("week", d).alias("wk")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.join(weekly, "wk")
+        .groupBy("wk", "wau")
+        .agg(
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .select(
+            F.col("wk").cast("date").alias("week_start"),
+            F.col("wau").cast("bigint").alias("wau"),
+            "avg_dau",
+            "n_days",
+            "stickiness",
+        )
+        .orderBy("week_start")
+    )

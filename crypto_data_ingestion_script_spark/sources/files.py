@@ -297,3 +297,84 @@ def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_chars_total"
         ),
     )
+
+
+@query(
+    "q_scan_text_roundtrip",
+    oracle="""
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+    """,
+    tags=("source", "text"),
+)
+def q_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → line-delimited text files → read back via the ``text``
+    source (one row per line, a single ``value`` column) and re-key by
+    parsing the id prefix — the rawest corpus interchange format (a web
+    crawl's WET files, log shipping, any line-oriented dump). The write
+    embeds doc_id as a tab-separated prefix because the text format
+    carries NO schema; the read path must reconstruct typed columns
+    itself, which is exactly the parse-on-read contract this row
+    exercises. Texts survive byte-for-byte (no newlines in the corpus;
+    a production pipeline would escape them at write)."""
+    t = load(spark, sf_dir)
+    subset = t.documents.filter(F.col("doc_id") < 100).select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias(
+            "value"
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="text_roundtrip_"), "docs_txt")
+    subset.coalesce(1).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    sep = F.instr(F.col("value"), "\t")
+    return raw.select(
+        F.substring(F.col("value"), F.lit(1), sep - 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+
+
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("sink", "layout"),
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style date-partitioned sink + partition-pruned read-back: the
+    canonical lake layout (README.md:41-42 suggests exactly this
+    time-partitioning). Events write ``partitionBy(event_date)``; the
+    read filters one week, and the filter must resolve at PLANNING time
+    against directory names — zero data files outside the week are
+    opened (the PartitionFilters line tests/test_partition_pruning.py
+    pins on this layout). The aggregate then proves the partitioned
+    round-trip is content-lossless against the unpartitioned oracle.
+
+    At 100 TB, date-partition pruning is the first 100-1000× scan
+    reducer every time-ranged query gets for free; this op is the sink
+    half of that contract."""
+    t = load(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_part_"), "events_part")
+    (
+        t.events.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    return (
+        back.groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -81,6 +81,9 @@ FULL = [
     "q_compaction_plan",
     "q_source_overlap",
     "q_calibration_curve",
+    "q_scan_text_roundtrip",
+    "q_sink_partitioned",
+    "q_stickiness",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 import pyarrow.parquet as pq
 import pytest
 
@@ -449,3 +450,68 @@ def test_compaction_plan_invariants(spark, sf_dir):
         assert got_bins == sorted(want_bins.tolist())
     # compaction actually compacts: fewer bins than files overall
     assert sum(r["n_files"] for r in rows) > len(rows)
+
+
+# ---- batch 10: sources/sinks / engagement ----
+
+
+def test_scan_text_roundtrip_bytes_exact(spark, sf_dir):
+    rows = SPECS["q_scan_text_roundtrip"].fn(spark, sf_dir).collect()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = docs[docs.doc_id < 100].set_index("doc_id")["text"]
+    assert len(rows) == len(want)
+    for r in rows:
+        assert r["text"] == want[r["doc_id"]]
+
+
+def test_sink_partitioned_prunes(spark, sf_dir):
+    import os
+    import tempfile
+
+    from crypto_data_ingestion_script_spark.catalog import load as _load
+
+    t = _load(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="prune_t_"), "ev")
+    (
+        t.events.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the scan's selected partition count equals the week, not the month
+    n_dirs = len(
+        [p for p in os.listdir(out) if p.startswith("event_date=")]
+    )
+    sel = back.select("event_date").distinct().count()
+    assert sel <= 7 < n_dirs
+
+
+def test_stickiness_matches_pandas(spark, sf_dir):
+    got = {
+        r["week_start"]: r
+        for r in SPECS["q_stickiness"].fn(spark, sf_dir).collect()
+    }
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).to_pandas()
+    ev["d"] = ev.ts.dt.date
+    ev["wk"] = ev.ts.dt.to_period("W-SUN").apply(
+        lambda p: p.start_time.date()
+    )
+    for wk, g in ev.groupby("wk"):
+        wau = g.user_id.nunique()
+        dau = g.groupby("d")["user_id"].nunique()
+        r = got[wk]
+        assert r["wau"] == wau
+        assert r["n_days"] == len(dau)
+        assert r["avg_dau"] == pytest.approx(dau.mean(), abs=1e-3)
+        assert r["stickiness"] == pytest.approx(
+            dau.mean() / wau, abs=1e-5
+        )
