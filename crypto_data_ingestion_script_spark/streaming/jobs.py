@@ -817,17 +817,22 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses your completeness SLO, and everything later is the fraction
     the pipeline will drop.
 
-    Batch plan on the same events the streaming jobs consume: one
-    arrival-ordered running max (the sole range exchange, same
-    contract as q_running_sum), map-side bucketing, bucket-grain
+    Batch plan on the same events the streaming jobs consume: the
+    arrival-ordered running max uses ranking.py's TWO-PASS plan
+    (per-range local running maxes + a broadcast exclusive prefix max
+    of range summaries) — a bare Window.orderBy would funnel every row
+    through ONE task (measured 5.9 s vs 1.6 s at 10M rows, SCALE_r10;
+    fatal at 100 TB). Then map-side bucketing and a bucket-grain
     rollup. This is the operator that SIZES the watermarks the
     q_stream_* family declares."""
+    from ..ranking import global_running_max
+
     t = load(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    arr = t.events.select(
-        "ts", F.max("ts").over(w).alias("frontier")
+    arr = global_running_max(
+        t.events.select("event_id", "ts"),
+        "ts",
+        "event_id",
+        out_col="frontier",
     )
     lat = arr.select(
         F.floor(
