@@ -1455,3 +1455,97 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_wasserstein",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type = 'click' AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    vg AS (
+      SELECT value, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM s GROUP BY value
+    ),
+    tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM vg
+    ),
+    walk AS (
+      SELECT value,
+             sum(ca) OVER w / CAST(na AS DOUBLE) AS fa,
+             sum(cb) OVER w / CAST(nb AS DOUBLE) AS fb,
+             lead(value) OVER (ORDER BY value) AS nxt,
+             na, nb
+      FROM vg CROSS JOIN tot
+      WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sum(abs(fa - fb) * (nxt - value)), 8) AS wasserstein_1,
+           round(max(abs(fa - fb)), 8) AS ks_stat
+    FROM walk WHERE nxt IS NOT NULL GROUP BY na, nb
+    """,
+    tags=("stats", "agg"),
+)
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the click and
+    purchase value distributions — W₁ = ∫|F_a − F_b| dx, the drift
+    metric with MAGNITUDE: KS (reported alongside, same pass) says only
+    how far apart the CDFs get; W₁ says how much probability mass must
+    move how far, which is what makes it the metric of choice for
+    distribution-shift monitoring and for comparing quality-score
+    distributions across corpus versions.
+
+    Same scale shape as q_mann_whitney/q_auc: ONE fact-scale
+    groupBy(value) to distinct-value grain, both ECDFs from one
+    value-grain running sum, the integral as Σ|F_a−F_b|·Δvalue over
+    consecutive distinct values. The fact table never range-exchanges;
+    the value-grain window is content-bounded (13k rows at any corpus
+    size here, NEW_OPS_SCALE_r10)."""
+    t = load(spark, sf_dir)
+    s = t.events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("value", (F.col("event_type") == "click").alias("is_a"))
+    vg = s.groupBy("value").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = vg.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("value")
+    walk = vg.crossJoin(F.broadcast(tot)).select(
+        "value",
+        (F.sum("ca").over(w) / F.col("na").cast("double")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("nb").cast("double")).alias("fb"),
+        F.lead("value").over(wl).alias("nxt"),
+        "na",
+        "nb",
+    )
+    return (
+        walk.filter(F.col("nxt").isNotNull())
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("fa") - F.col("fb"))
+                    * (F.col("nxt") - F.col("value"))
+                ),
+                8,
+            ).alias("wasserstein_1"),
+            F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 8).alias(
+                "ks_stat"
+            ),
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "wasserstein_1",
+            "ks_stat",
+        )
+    )

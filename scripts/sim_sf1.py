@@ -84,6 +84,7 @@ FULL = [
     "q_scan_text_roundtrip",
     "q_sink_partitioned",
     "q_stickiness",
+    "q_wasserstein",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",

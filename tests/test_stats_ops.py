@@ -311,3 +311,22 @@ def test_calibration_curve_matches_pandas(spark, sf_dir, events):
         assert r["obs_rate"] == pytest.approx(orate, abs=1e-7)
         assert r["brier"] == pytest.approx(brier, abs=1e-7)
         assert r["ece"] == pytest.approx(ece, abs=1e-7)
+
+
+def test_wasserstein_matches_numpy(spark, sf_dir, events):
+    row = SPECS["q_wasserstein"].fn(spark, sf_dir).collect()[0]
+    a = np.sort(
+        events.loc[events.event_type == "click", "value"].to_numpy()
+    )
+    b = np.sort(
+        events.loc[events.event_type == "purchase", "value"].to_numpy()
+    )
+    # scipy-free W1: integrate |ECDF_a - ECDF_b| over the pooled grid
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(grid)))
+    ks = float(np.max(np.abs(fa - fb)))
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["wasserstein_1"] == pytest.approx(w1, abs=1e-7)
+    assert row["ks_stat"] == pytest.approx(ks, abs=1e-7)
