@@ -2319,3 +2319,147 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _lang_confusion_oracle() -> str:
+    """Nest q_lang_id_chargram's full oracle as the prediction CTE —
+    composition at the SQL layer mirrors the Spark-side composition."""
+    from ..registry import REGISTRY
+
+    preds = REGISTRY["q_lang_id_chargram"].oracle
+    return f"""
+    WITH preds AS ({preds}),
+    by_true AS (
+      SELECT labeled_lang AS lang,
+             CAST(count(*) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN is_correct THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp
+      FROM preds GROUP BY labeled_lang
+    ),
+    by_pred AS (
+      SELECT predicted_lang AS lang, count(*) AS pcnt
+      FROM preds GROUP BY predicted_lang
+    ),
+    cls AS (
+      SELECT t.lang, t.support, t.tp,
+             coalesce(p.pcnt, 0) - t.tp AS fp,
+             t.support - t.tp AS fn,
+             CASE WHEN coalesce(p.pcnt, 0) > 0
+                  THEN t.tp / CAST(p.pcnt AS DOUBLE) ELSE 0.0 END AS prec,
+             t.tp / CAST(t.support AS DOUBLE) AS rec
+      FROM by_true t LEFT JOIN by_pred p ON p.lang = t.lang
+    ),
+    scored AS (
+      SELECT lang, support, tp, CAST(fp AS BIGINT) AS fp,
+             CAST(fn AS BIGINT) AS fn,
+             round(prec, 6) AS precision_,
+             round(rec, 6) AS recall_,
+             round(CASE WHEN prec + rec > 0
+                        THEN 2 * prec * rec / (prec + rec)
+                        ELSE 0.0 END, 6) AS f1
+      FROM cls
+    )
+    SELECT lang, support, tp, fp, fn,
+           precision_ AS precision, recall_ AS recall, f1,
+           round(avg(f1) OVER (), 6) AS macro_f1,
+           round(sum(tp) OVER () / CAST(sum(support) OVER () AS DOUBLE), 6)
+             AS accuracy
+    FROM scored ORDER BY lang
+    """
+
+
+@query(
+    "q_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("llm", "text", "ml", "quality"),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation of the in-repo trained model: per-class
+    precision / recall / F1, macro-F1 and accuracy of
+    q_lang_id_chargram's held-out predictions against the labeled
+    truth — the eval harness every model-based curation filter needs
+    BEFORE its verdicts gate data (q_auc ranks scores; this scores hard
+    predictions). Composition, not duplication: the Spark side consumes
+    the registered operator's output frame; the oracle nests the
+    operator's full oracle as its prediction CTE, so the two stay in
+    lockstep BY CONSTRUCTION as the model op evolves.
+
+    Eval-side cost is class-grain: two tiny aggregates over the
+    prediction frame plus window folds over |languages| rows — the
+    expensive part is the model op itself, already adjudicated
+    scale-safe (one fact-scale explode, content-bound model grain)."""
+    from pyspark.sql import Window
+
+    preds = q_lang_id_chargram(spark, sf_dir)
+    # ONE pass over the prediction frame: everything below derives from
+    # the |langs|^2-grain confusion matrix (two independent aggregates
+    # would re-execute the whole chargram DAG — measured 6.4 s vs 3.4 s).
+    conf = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)  # |langs|^2 rows: summary-grain pin
+    # so the two marginal aggregates below don't each re-run the model
+    by_true = conf.groupBy(
+        F.col("labeled_lang").alias("lang")
+    ).agg(
+        F.sum("n").cast("bigint").alias("support"),
+        F.sum(
+            F.when(
+                F.col("labeled_lang") == F.col("predicted_lang"),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    by_pred = conf.groupBy(
+        F.col("predicted_lang").alias("lang")
+    ).agg(F.sum("n").alias("pcnt"))
+    cls = by_true.join(F.broadcast(by_pred), "lang", "left").select(
+        "lang",
+        "support",
+        "tp",
+        (F.coalesce(F.col("pcnt"), F.lit(0)) - F.col("tp"))
+        .cast("bigint")
+        .alias("fp"),
+        (F.col("support") - F.col("tp")).cast("bigint").alias("fn"),
+        F.when(
+            F.coalesce(F.col("pcnt"), F.lit(0)) > 0,
+            F.col("tp") / F.col("pcnt").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("prec"),
+        (F.col("tp") / F.col("support").cast("double")).alias("rec"),
+    )
+    f1 = F.when(
+        F.col("prec") + F.col("rec") > 0,
+        2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")),
+    ).otherwise(0.0)
+    scored = cls.select(
+        "lang",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("prec"), 6).alias("precision"),
+        F.round(F.col("rec"), 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "lang",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        "precision",
+        "recall",
+        "f1",
+        F.round(F.avg("f1").over(wall), 6).alias("macro_f1"),
+        F.round(
+            F.sum("tp").over(wall)
+            / F.sum("support").over(wall).cast("double"),
+            6,
+        ).alias("accuracy"),
+    ).orderBy("lang")

@@ -330,3 +330,37 @@ def test_wasserstein_matches_numpy(spark, sf_dir, events):
     assert (row["n_a"], row["n_b"]) == (len(a), len(b))
     assert row["wasserstein_1"] == pytest.approx(w1, abs=1e-7)
     assert row["ks_stat"] == pytest.approx(ks, abs=1e-7)
+
+
+def test_lang_confusion_consistent_with_predictions(spark, sf_dir):
+    preds = (
+        SPECS["q_lang_id_chargram"].fn(spark, sf_dir).toPandas()
+    )
+    rows = SPECS["q_lang_confusion"].fn(spark, sf_dir).collect()
+    f1s = []
+    tp_tot = 0
+    for r in rows:
+        sub = preds[preds.labeled_lang == r["lang"]]
+        tp = int((sub.predicted_lang == r["lang"]).sum())
+        pcnt = int((preds.predicted_lang == r["lang"]).sum())
+        assert r["support"] == len(sub)
+        assert r["tp"] == tp
+        assert r["fp"] == pcnt - tp
+        assert r["fn"] == len(sub) - tp
+        prec = tp / pcnt if pcnt else 0.0
+        rec = tp / len(sub)
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        assert r["precision"] == pytest.approx(prec, abs=1e-6)
+        assert r["recall"] == pytest.approx(rec, abs=1e-6)
+        assert r["f1"] == pytest.approx(f1, abs=1e-6)
+        f1s.append(f1)
+        tp_tot += tp
+    # every labeled class appears exactly once
+    assert sorted(r["lang"] for r in rows) == sorted(
+        preds.labeled_lang.unique()
+    )
+    for r in rows:
+        assert r["macro_f1"] == pytest.approx(np.mean(f1s), abs=1e-6)
+        assert r["accuracy"] == pytest.approx(
+            tp_tot / len(preds), abs=1e-6
+        )
