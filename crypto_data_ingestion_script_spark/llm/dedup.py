@@ -1263,10 +1263,17 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansions don't recompute the tokenize-join-aggregate chain four
     times.
     """
-    tau = 0.9
-    t = load(spark, sf_dir)
+    return jaccard_pairs(load(spark, sf_dir).documents, 0.9)
+
+
+def jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
+    """PPJoin prefix-filter set-similarity self-join core of
+    :func:`q_jaccard_join` (semantics and scale defenses documented
+    there), parameterized by the Jaccard threshold so tuning sweeps
+    (q_jaccard_sweep) can run it once at their loosest cut. Returns
+    (doc_a, doc_b, jaccard) rounded 6dp, unordered."""
     tok = (
-        t.documents.select(
+        docs.select(
             "doc_id",
             F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
                 "tok"
@@ -3404,4 +3411,117 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+#: Jaccard-threshold tuning sweep grid (loosest first — the single
+#: prefix-filter pass runs at SWEEP_TAUS[0]).
+SWEEP_TAUS = (0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
+
+
+@query(
+    "q_jaccard_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_sort(list_distinct(
+               string_split(lower(text), ' '))) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS j
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ),
+    kept AS (SELECT doc_a, doc_b, j FROM pairs WHERE j >= {SWEEP_TAUS[0]}),
+    docs_n AS (SELECT count(*) AS n_docs FROM documents),
+    grid AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_TAUS)}]) AS tau),
+    per AS (
+      SELECT g.tau,
+             CAST(count(*) FILTER (WHERE k.j >= g.tau) AS BIGINT)
+               AS n_pairs,
+             CAST(count(DISTINCT CASE WHEN k.j >= g.tau THEN k.doc_a END)
+                  + count(DISTINCT CASE WHEN k.j >= g.tau THEN k.doc_b END)
+                  - count(DISTINCT CASE WHEN k.j >= g.tau
+                          AND k.doc_b IN (
+                            SELECT doc_a FROM kept k2
+                            WHERE k2.j >= g.tau) THEN k.doc_b END)
+               AS BIGINT) AS _unused
+      FROM grid g LEFT JOIN kept k ON true GROUP BY g.tau
+    ),
+    docside AS (
+      SELECT g.tau,
+             CAST(count(DISTINCT d.doc) AS BIGINT) AS n_docs_affected
+      FROM grid g LEFT JOIN (
+        SELECT doc_a AS doc, j FROM kept
+        UNION ALL SELECT doc_b AS doc, j FROM kept
+      ) d ON d.j >= g.tau
+      GROUP BY g.tau
+    )
+    SELECT p.tau, p.n_pairs, ds.n_docs_affected,
+           round(ds.n_docs_affected / CAST(n.n_docs AS DOUBLE), 8)
+             AS doc_share
+    FROM per p JOIN docside ds ON ds.tau = p.tau CROSS JOIN docs_n n
+    ORDER BY p.tau
+    """,
+    tags=("llm", "dedup", "tuning"),
+)
+def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: pair counts and affected-document
+    share at every candidate Jaccard cut {SWEEP_TAUS} — the evidence for
+    CHOOSING the near-dup threshold (too low deletes real content, too
+    high leaves boilerplate; pipelines pick the knee of exactly this
+    curve). The q_length_filter_sweep pattern applied to similarity.
+
+    ONE prefix-filter pass at the LOOSEST cut ({SWEEP_TAUS[0]}) produces
+    every pair any threshold in the grid can keep (prefix filtering is
+    monotone: candidates(τ) ⊆ candidates(τ') for τ ≥ τ'), and the whole
+    grid aggregates from that single STREAMED pair table: each pair
+    explodes to its two doc rows, then ONE aggregate computes every
+    threshold's pair count (Σ1{{j≥τ}}/2 — each pair contributes exactly
+    two doc rows) and affected-doc count (conditional countDistinct,
+    whose partial aggregation collapses to doc grain map-side). The pair
+    table is NEVER materialized — a localCheckpoint here put ~10⁹ sf1
+    pair rows on the driver heap and OOM'd (the summary-grain-only
+    checkpoint rule exists for exactly this); as written the pairs flow
+    straight into combinable partials. At 100 TB: one PPJoin plus an
+    output-grain reduce."""
+    t = load(spark, sf_dir)
+    pairs = jaccard_pairs(t.documents, SWEEP_TAUS[0])
+    n_docs = t.documents.count()
+    docs_long = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard"
+    )
+    one = docs_long.agg(
+        *[
+            a
+            for i, tau in enumerate(SWEEP_TAUS)
+            for a in (
+                (
+                    F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0))
+                    / 2
+                )
+                .cast("bigint")
+                .alias(f"p{i}"),
+                F.countDistinct(
+                    F.when(F.col("jaccard") >= tau, F.col("doc"))
+                ).alias(f"d{i}"),
+            )
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(tau).alias("tau"),
+            F.col(f"p{i}").alias("n_pairs"),
+            F.col(f"d{i}").cast("bigint").alias("n_docs_affected"),
+            F.round(F.col(f"d{i}") / F.lit(float(n_docs)), 8).alias(
+                "doc_share"
+            ),
+        )
+        for i, tau in enumerate(SWEEP_TAUS)
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.tau", "r.n_pairs", "r.n_docs_affected", "r.doc_share")
+        .orderBy("tau")
     )

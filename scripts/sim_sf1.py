@@ -178,6 +178,7 @@ FULL = [
 #: deterministic benchdata/sf1; None means "print to pin".
 ROWS_ONLY: dict = {
     "q_simhash_join": None,  # oracle is all-pairs bit_count over 50k docs
+    "q_jaccard_sweep": None,  # one PPJoin pass at tau=0.7; oracle all-pairs
     "q_containment_join": None,
     "q_containment_topk": None,
     "q_jaccard_join": None,

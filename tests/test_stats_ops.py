@@ -364,3 +364,41 @@ def test_lang_confusion_consistent_with_predictions(spark, sf_dir):
         assert r["accuracy"] == pytest.approx(
             tp_tot / len(preds), abs=1e-6
         )
+
+
+def test_jaccard_sweep_matches_quadratic_pandas(spark, sf_dir):
+    from crypto_data_ingestion_script_spark.llm.dedup import SWEEP_TAUS
+
+    rows = {
+        r["tau"]: r
+        for r in SPECS["q_jaccard_sweep"].fn(spark, sf_dir).collect()
+    }
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    sets = {
+        int(r.doc_id): frozenset(r.text.lower().split(" "))
+        for r in docs.itertuples()
+    }
+    ids = sorted(sets)
+    pair_j = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= SWEEP_TAUS[0]:
+                pair_j[(a, b)] = round(j, 6)
+    for tau in SWEEP_TAUS:
+        kept = {p: j for p, j in pair_j.items() if j >= tau}
+        affected = {d for p in kept for d in p}
+        r = rows[tau]
+        assert r["n_pairs"] == len(kept), tau
+        assert r["n_docs_affected"] == len(affected), tau
+        assert r["doc_share"] == pytest.approx(
+            len(affected) / len(ids), abs=1e-8
+        )
+    # monotone: tighter threshold never keeps more
+    ps = [rows[t]["n_pairs"] for t in SWEEP_TAUS]
+    assert ps == sorted(ps, reverse=True)
