@@ -2463,3 +2463,121 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     ).orderBy("lang")
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+    WITH {bm25_scored_ctes()},
+    preds AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+      FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id LIMIT 10
+    ),
+    graded AS (
+      SELECT p.pos, p.doc_id, p.score,
+             CASE WHEN d.lang = 'en' AND d.source = 'src0' THEN 2
+                  WHEN d.lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM preds p JOIN documents d USING (doc_id)
+    ),
+    dcg AS (
+      SELECT pos, doc_id, rel,
+             (pow(2, rel) - 1) / log2(pos + 1) AS gain,
+             row_number() OVER (ORDER BY rel DESC, pos) AS ideal_pos
+      FROM graded
+    ),
+    folded AS (
+      SELECT pos, doc_id, CAST(rel AS INTEGER) AS rel,
+             sum(gain) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS dcg_cum,
+             sum(gain) OVER () AS dcg_total,
+             sum((pow(2, rel) - 1) / log2(ideal_pos + 1)) OVER ()
+               AS idcg_total
+      FROM dcg
+    )
+    SELECT pos, doc_id, rel, round(dcg_cum, 6) AS dcg_cum,
+           round(CASE WHEN idcg_total > 0 THEN dcg_total / idcg_total
+                      ELSE 0.0 END, 6) AS ndcg_10
+    FROM folded ORDER BY pos
+    """
+
+
+@query("q_ndcg", oracle=_ndcg_oracle(), tags=("text", "search", "ml"))
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 retrieval against a graded relevance intent
+    (the query 'wants' English docs, ideally from src0: rel 2/1/0) — the
+    RANKING-quality member of the eval family (q_auc scores
+    classification, q_calibration_curve scores probabilities, this
+    scores result ORDER: a list with the same hits in worse positions
+    loses exactly the log-discounted gain). Ideal ranking is the
+    retrieved list's own best permutation (NDCG@k local form; ties break
+    by original position — deterministic).
+
+    Composition: the shared bm25_scored core (q_bm25 / q_rrf's lexical
+    leg) produces the list; grading joins the 10-row list against the
+    doc dims (broadcast); the DCG/IDCG folds are windows over 10 rows.
+    Eval cost beyond the scorer is O(k)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    preds = (
+        bm25_scored(t.documents)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+    )
+    graded = preds.join(
+        t.documents.select("doc_id", "lang", "source"), "doc_id"
+    ).select(
+        "pos",
+        "doc_id",
+        F.when((F.col("lang") == "en") & (F.col("source") == "src0"), 2)
+        .when(F.col("lang") == "en", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    dcg = graded.select(
+        "pos",
+        "doc_id",
+        "rel",
+        gain.alias("gain"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), "pos"))
+        .alias("ideal_pos"),
+    )
+    w_run = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ideal_gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(
+        F.col("ideal_pos") + 1
+    )
+    folded = dcg.select(
+        "pos",
+        "doc_id",
+        F.col("rel").cast("int").alias("rel"),
+        F.sum("gain").over(w_run).alias("dcg_cum"),
+        F.sum("gain").over(w_all).alias("dcg_total"),
+        F.sum(ideal_gain).over(w_all).alias("idcg_total"),
+    )
+    return folded.select(
+        "pos",
+        "doc_id",
+        "rel",
+        F.round(F.col("dcg_cum"), 6).alias("dcg_cum"),
+        F.round(
+            F.when(
+                F.col("idcg_total") > 0,
+                F.col("dcg_total") / F.col("idcg_total"),
+            ).otherwise(0.0),
+            6,
+        ).alias("ndcg_10"),
+    ).orderBy("pos")

@@ -402,3 +402,34 @@ def test_jaccard_sweep_matches_quadratic_pandas(spark, sf_dir):
     # monotone: tighter threshold never keeps more
     ps = [rows[t]["n_pairs"] for t in SWEEP_TAUS]
     assert ps == sorted(ps, reverse=True)
+
+
+def test_ndcg_matches_hand_computation(spark, sf_dir):
+    import math
+
+    rows = SPECS["q_ndcg"].fn(spark, sf_dir).collect()
+    bm25 = SPECS["q_bm25"].fn(spark, sf_dir).collect()[:10]
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    ).to_pandas().set_index("doc_id")
+    rels = []
+    for r in bm25:
+        d = docs.loc[r["doc_id"]]
+        rels.append(
+            2 if (d.lang == "en" and d.source == "src0")
+            else (1 if d.lang == "en" else 0)
+        )
+    dcg = sum(
+        (2**rel - 1) / math.log2(pos + 2) for pos, rel in enumerate(rels)
+    )
+    idcg = sum(
+        (2**rel - 1) / math.log2(pos + 2)
+        for pos, rel in enumerate(sorted(rels, reverse=True))
+    )
+    want = dcg / idcg if idcg > 0 else 0.0
+    assert len(rows) == len(bm25)
+    assert [r["rel"] for r in sorted(rows, key=lambda r: r["pos"])] == rels
+    for r in rows:
+        assert r["ndcg_10"] == pytest.approx(want, abs=1e-6)
+    assert rows[-1]["dcg_cum"] == pytest.approx(dcg, abs=1e-6)
+    assert 0.0 <= rows[0]["ndcg_10"] <= 1.0
