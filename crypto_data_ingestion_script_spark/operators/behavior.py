@@ -722,3 +722,89 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "q_concentration",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, sum(value) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(total, 0.9) AS p90,
+             quantile_cont(total, 0.99) AS p99,
+             sum(total) AS grand, count(*) AS n_users
+      FROM u
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           round(p90, 6) AS p90_cut,
+           round(p99, 6) AS p99_cut,
+           CAST(sum(CASE WHEN total > p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top10,
+           round(sum(CASE WHEN total > p90 THEN total ELSE 0 END)
+                 / grand, 6) AS top10_share,
+           round(sum(CASE WHEN total > p99 THEN total ELSE 0 END)
+                 / grand, 6) AS top1_share
+    FROM u CROSS JOIN cuts
+    GROUP BY n_users, p90, p99, grand
+    """,
+    tags=("behavior", "agg"),
+)
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) audit: what share of purchase value
+    comes from the top 10% / top 1% of users (by exact p90/p99 spend
+    cuts) — the whale-dependence readout next to q_gini's single
+    inequality number; a corpus-curation twin decides domain caps the
+    same way (q_domain_cap acts on what this measures).
+
+    Shape: one fact-scale groupBy(user) (combinable), exact percentile
+    cuts as a 1-row broadcast, one conditional re-aggregate over the
+    user-grain table — the fact is touched once, everything after runs
+    at user grain; at 100 TB the percentile aggregate swaps for a KLL
+    sketch with the rest unchanged (the q_woe_iv pattern)."""
+    t = load(spark, sf_dir)
+    u = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+    )
+    cuts = u.agg(
+        F.percentile("total", F.lit(0.9)).alias("p90"),
+        F.percentile("total", F.lit(0.99)).alias("p99"),
+        F.sum("total").alias("grand"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return (
+        u.crossJoin(F.broadcast(cuts))
+        .groupBy("n_users", "p90", "p99", "grand")
+        .agg(
+            F.sum(F.when(F.col("total") > F.col("p90"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top10"),
+            F.round(
+                F.sum(
+                    F.when(F.col("total") > F.col("p90"), F.col("total"))
+                    .otherwise(0.0)
+                )
+                / F.col("grand"),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("total") > F.col("p99"), F.col("total"))
+                    .otherwise(0.0)
+                )
+                / F.col("grand"),
+                6,
+            ).alias("top1_share"),
+        )
+        .select(
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("p90"), 6).alias("p90_cut"),
+            F.round(F.col("p99"), 6).alias("p99_cut"),
+            "n_top10",
+            "top10_share",
+            "top1_share",
+        )
+    )

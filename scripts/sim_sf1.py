@@ -87,6 +87,7 @@ FULL = [
     "q_wasserstein",
     "q_lang_confusion",
     "q_ndcg",
+    "q_concentration",
     # r9/r10 structural additions (first swept at sf1 in r10): the judge
     # flagged SIM_sf1 as covering only the 295-registry set.
     "q_hits",

@@ -433,3 +433,26 @@ def test_ndcg_matches_hand_computation(spark, sf_dir):
         assert r["ndcg_10"] == pytest.approx(want, abs=1e-6)
     assert rows[-1]["dcg_cum"] == pytest.approx(dcg, abs=1e-6)
     assert 0.0 <= rows[0]["ndcg_10"] <= 1.0
+
+
+def test_concentration_matches_pandas(spark, sf_dir, events):
+    row = SPECS["q_concentration"].fn(spark, sf_dir).collect()[0]
+    u = (
+        events[events.event_type == "purchase"]
+        .groupby("user_id")["value"]
+        .sum()
+    )
+    p90 = np.quantile(u, 0.9, method="linear")
+    p99 = np.quantile(u, 0.99, method="linear")
+    grand = u.sum()
+    assert row["n_users"] == len(u)
+    assert row["p90_cut"] == pytest.approx(p90, abs=1e-5)
+    assert row["p99_cut"] == pytest.approx(p99, abs=1e-5)
+    assert row["n_top10"] == int((u > p90).sum())
+    assert row["top10_share"] == pytest.approx(
+        u[u > p90].sum() / grand, abs=1e-6
+    )
+    assert row["top1_share"] == pytest.approx(
+        u[u > p99].sum() / grand, abs=1e-6
+    )
+    assert row["top1_share"] <= row["top10_share"] <= 1.0
