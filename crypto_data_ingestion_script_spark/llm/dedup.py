@@ -1266,12 +1266,19 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf_dir).documents, 0.9)
 
 
-def jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, tau: float, rounded: bool = True
+) -> DataFrame:
     """PPJoin prefix-filter set-similarity self-join core of
     :func:`q_jaccard_join` (semantics and scale defenses documented
     there), parameterized by the Jaccard threshold so tuning sweeps
     (q_jaccard_sweep) can run it once at their loosest cut. Returns
-    (doc_a, doc_b, jaccard) rounded 6dp, unordered."""
+    (doc_a, doc_b, jaccard) unordered; ``rounded=True`` (the default,
+    what q_jaccard_join's oracle compares) rounds jaccard to 6dp,
+    ``rounded=False`` keeps the exact |∩|/|∪| ratio so threshold
+    comparisons downstream (q_jaccard_sweep's grid) classify a pair the
+    same way an unrounded oracle does even when the true ratio sits
+    within 5e-7 of a grid cut."""
     tok = (
         docs.select(
             "doc_id",
@@ -1381,8 +1388,9 @@ def jaccard_pairs(docs: DataFrame, tau: float) -> DataFrame:
     # 100 TB sorting the pair list is exactly the exchange this plan
     # exists to avoid (r7: the equivalent sort on q_containment_join's
     # 828M rows was ~10 s of its 23 s wall).
+    jac = F.round("jaccard", 6) if rounded else F.col("jaccard")
     return within.unionByName(cross).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 
@@ -3174,7 +3182,9 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Content-defined chunking: a token whose 32-bit md5 prefix is ≡ 0 mod
-#: CDC_MOD opens a new chunk (expected chunk length = CDC_MOD tokens).
+#: CDC_MOD CLOSES the current chunk — the boundary token is the chunk's
+#: last token and the NEXT token starts a new chunk (exclusive prefix
+#: sum of boundary flags; expected chunk length = CDC_MOD tokens).
 CDC_MOD = 8
 
 
@@ -3223,8 +3233,10 @@ CDC_MOD = 8
 )
 def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the Rabin/FastCDC idea at token grain):
-    chunk boundaries fire where md5(token) ≡ 0 mod {CDC_MOD}, so
-    boundaries depend on CONTENT, not position — insert one word at the
+    a token with md5(token) ≡ 0 mod {CDC_MOD} CLOSES the current chunk
+    (it is the chunk's last token; the next token starts a new chunk —
+    exclusive prefix sum of boundary flags, identically in both
+    engines), so boundaries depend on CONTENT, not position — insert one word at the
     top of a near-duplicate document and every q_segment_dedup fixed
     window shifts and misses, while CDC chunks realign immediately after
     the edit. This is the storage-dedup / shift-robust-near-dup
@@ -3239,8 +3251,6 @@ def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents. No stage ever holds more than a document or a digest
     group."""
     t = load(spark, sf_dir)
-    from pyspark.sql import Window
-
     chunks = cdc_chunks(t.documents)
     by_fp = chunks.groupBy(
         F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("fp")
@@ -3487,7 +3497,10 @@ def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight into combinable partials. At 100 TB: one PPJoin plus an
     output-grain reduce."""
     t = load(spark, sf_dir)
-    pairs = jaccard_pairs(t.documents, SWEEP_TAUS[0])
+    # rounded=False: the oracle's grid compares the UNROUNDED ratio, so a
+    # pair whose true jaccard sits within 5e-7 of a grid tau must be
+    # classified on the exact value, not the 6dp render (advice r10).
+    pairs = jaccard_pairs(t.documents, SWEEP_TAUS[0], rounded=False)
     n_docs = t.documents.count()
     docs_long = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard"
@@ -3498,7 +3511,15 @@ def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, tau in enumerate(SWEEP_TAUS)
             for a in (
                 (
-                    F.sum(F.when(F.col("jaccard") >= tau, 1).otherwise(0))
+                    # coalesce: agg over a pair-free corpus yields a NULL
+                    # sum where the oracle's grid LEFT JOIN yields 0
+                    # (advice r10) — emit 0 on empty like the oracle.
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("jaccard") >= tau, 1).otherwise(0)
+                        ),
+                        F.lit(0),
+                    )
                     / 2
                 )
                 .cast("bigint")
