@@ -54,6 +54,12 @@ ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 #: a mid-sweep crash still leaves the cheap rows recorded.
 FULL = [
     "q_rrf",
+    # r11 additions (statistics batch 1)
+    "q_kendall_tau",
+    "q_cramers_v",
+    "q_jsd_drift",
+    "q_theilsen",
+    "q_kruskal_wallis",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
