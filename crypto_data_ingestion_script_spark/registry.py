@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-bearing module so REGISTRY is fully populated."""
-    from .operators import aggregates, behavior, finance, graph, joins, layout, quality, relational, rollup, skew, sqlsurface, stats, tpch, windows  # noqa: F401
+    from .operators import aggregates, behavior, evaluation, finance, graph, joins, layout, quality, relational, rollup, skew, sqlsurface, stats, tpch, windows  # noqa: F401
     from .functions import datetime as datetime_fns  # noqa: F401
     from .functions import scalar, udfs  # noqa: F401
     from .llm import curation, dedup, similarity, text  # noqa: F401

@@ -60,6 +60,12 @@ FULL = [
     "q_jsd_drift",
     "q_theilsen",
     "q_kruskal_wallis",
+    # r11 additions (ML evaluation batch)
+    "q_avg_precision",
+    "q_brier_decomp",
+    "q_cohens_kappa",
+    "q_mrr",
+    "q_lift_curve",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
