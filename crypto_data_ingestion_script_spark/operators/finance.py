@@ -1168,3 +1168,418 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hour_ts", F.round(corr, 6).alias("roll_corr"))
         .orderBy("hour_ts")
     )
+
+
+#: Round-11 indicator constants (standard industry defaults).
+MACD_FAST, MACD_SLOW, MACD_SIGNAL = 12, 26, 9
+STOCH_W, STOCH_D = 14, 3
+DONCH_W = 20
+BETA_W = 24
+
+
+def _ema_term_sql(alpha: float, ri: str, rt: str, x: str) -> str:
+    """SQL closed-form EMA term (seed EMA_1 = x_1): the q_ema unroll at
+    bar-pair grain."""
+    r = 1 - alpha
+    return (
+        f"CASE WHEN {ri} = 1 THEN power({r}, {rt} - 1) * {x} "
+        f"ELSE {alpha} * power({r}, {rt} - {ri}) * {x} END"
+    )
+
+
+@query(
+    "q_macd",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, hour_ts, close,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour_ts) AS rn
+      FROM bars
+    ),
+    emas AS (
+      SELECT b.event_type, b.rn, b.hour_ts,
+             sum({_ema_term_sql(2.0 / (MACD_FAST + 1), "a.rn", "b.rn", "a.close")})
+               AS ema_fast,
+             sum({_ema_term_sql(2.0 / (MACD_SLOW + 1), "a.rn", "b.rn", "a.close")})
+               AS ema_slow
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.rn <= b.rn
+      GROUP BY 1, 2, 3
+    ),
+    macd AS (
+      SELECT event_type, rn, hour_ts,
+             round(ema_fast - ema_slow, 8) AS macd8
+      FROM emas
+    ),
+    sig AS (
+      SELECT b.event_type, b.rn,
+             sum({_ema_term_sql(2.0 / (MACD_SIGNAL + 1), "a.rn", "b.rn", "a.macd8")})
+               AS signal
+      FROM macd a JOIN macd b
+        ON a.event_type = b.event_type AND a.rn <= b.rn
+      GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.hour_ts,
+           round(m.macd8, 6) AS macd,
+           round(s.signal, 6) AS signal,
+           round(m.macd8 - s.signal, 6) AS histogram
+    FROM macd m JOIN sig s ON m.event_type = s.event_type AND m.rn = s.rn
+    ORDER BY m.event_type, m.hour_ts
+    """,
+    tags=("finance", "window"),
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) over the hourly close series per event type: the
+    fast/slow EMA spread plus its 9-bar signal EMA and histogram — the
+    classic momentum-crossover indicator the reference's OHLC store
+    exists to feed (dataCollector.py:140-163 stops at bars; this is the
+    first consumer).
+
+    Scale shape: both EMA recursions use the q_ema algebraic closed
+    form (EMA_t = Σᵢ a·r^{t-i}·xᵢ, seeded with x₁), but evaluated at
+    EVERY bar — so instead of a per-row iteration the terms come from a
+    bar-pair self-join at rn_i ≤ rn_t, which is CONTENT-BOUNDED
+    (≤720 bars/type over the fixed corpus window at any data size →
+    ≤260k pair rows per type). One join produces BOTH the fast and slow
+    sums. The MACD series is rounded to 8dp before feeding the signal
+    recursion — the shared-input rule (q_pacf/q_hits) that keeps the
+    second closed form engine-identical. The fact table itself touches
+    only the initial combinable bar rollup."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wseq = Window.partitionBy("event_type").orderBy("hour_ts")
+    idx = bars.select(
+        "event_type",
+        "hour_ts",
+        "close",
+        F.row_number().over(wseq).alias("rn"),
+    ).localCheckpoint(eager=True)
+    # idx is bar-grain (≤720 rows/type): checkpoint before the self-join
+    # so the fact rollup runs once, not once per join side.
+    ai = idx.select(
+        "event_type", F.col("rn").alias("ri"), F.col("close").alias("xi")
+    )
+    bt = idx.select("event_type", "hour_ts", F.col("rn").alias("rt"))
+
+    def term(alpha: float, rt: str = "rt"):
+        # Closed-form EMA contribution of bar ri to the EMA at bar rt
+        # (seed EMA_1 = x_1), matching _ema_term_sql.
+        r = 1 - alpha
+        return F.when(
+            F.col("ri") == 1, F.pow(F.lit(r), F.col(rt) - 1) * F.col("xi")
+        ).otherwise(
+            F.lit(alpha)
+            * F.pow(F.lit(r), F.col(rt) - F.col("ri"))
+            * F.col("xi")
+        )
+
+    emas = (
+        ai.join(bt, "event_type")
+        .filter(F.col("ri") <= F.col("rt"))
+        .groupBy("event_type", "rt", "hour_ts")
+        .agg(
+            F.sum(term(2.0 / (MACD_FAST + 1))).alias("ema_fast"),
+            F.sum(term(2.0 / (MACD_SLOW + 1))).alias("ema_slow"),
+        )
+    )
+    macd = emas.select(
+        "event_type",
+        "rt",
+        "hour_ts",
+        F.round(F.col("ema_fast") - F.col("ema_slow"), 8).alias("macd8"),
+    ).localCheckpoint(eager=True)
+    am = macd.select(
+        "event_type", F.col("rt").alias("ri"), F.col("macd8").alias("xi")
+    )
+    bm = macd.select("event_type", F.col("rt").alias("rt2"))
+    sig = (
+        am.join(bm, "event_type")
+        .filter(F.col("ri") <= F.col("rt2"))
+        .groupBy("event_type", "rt2")
+        .agg(F.sum(term(2.0 / (MACD_SIGNAL + 1), rt="rt2")).alias("signal"))
+    )
+    return (
+        macd.alias("m")
+        .join(
+            sig.alias("s"),
+            (F.col("m.event_type") == F.col("s.event_type"))
+            & (F.col("m.rt") == F.col("s.rt2")),
+        )
+        .select(
+            F.col("m.event_type").alias("event_type"),
+            "hour_ts",
+            F.round(F.col("macd8"), 6).alias("macd"),
+            F.round(F.col("signal"), 6).alias("signal"),
+            F.round(F.col("macd8") - F.col("signal"), 6).alias("histogram"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@query(
+    "q_stochastic",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    ranged AS (
+      SELECT event_type, hour_ts, close,
+             min(close) OVER w AS low_w, max(close) OVER w AS high_w,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour_ts) AS rn
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN {STOCH_W - 1} PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+      SELECT event_type, hour_ts,
+             CASE WHEN high_w = low_w THEN NULL
+                  ELSE 100.0 * (close - low_w) / (high_w - low_w)
+             END AS pct_k
+      FROM ranged WHERE rn >= {STOCH_W}
+    )
+    SELECT event_type, hour_ts,
+           round(pct_k, 6) AS pct_k,
+           round(avg(pct_k) OVER (PARTITION BY event_type ORDER BY hour_ts
+                                  ROWS BETWEEN {STOCH_D - 1} PRECEDING
+                                  AND CURRENT ROW), 6) AS pct_d
+    FROM k ORDER BY event_type, hour_ts
+    """,
+    tags=("finance", "window"),
+)
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over the hourly close series:
+    %K = 100·(close − low₁₄)/(high₁₄ − low₁₄) over the trailing
+    {STOCH_W}-bar range, %D = {STOCH_D}-bar SMA of %K — the classic
+    overbought/oversold gauge, completing the momentum family around
+    q_rsi (which measures gain/loss balance; this measures position
+    within the recent range). Flat-range bars (high = low) yield NULL
+    on both engines rather than a 0/0.
+
+    Scale shape: the q_rolling_corr profile — fact rolls up to hour
+    grain map-side, every window runs at BAR grain partitioned per
+    event_type (≤720 rows/partition at any data size); emitted only
+    from the first full lookback (rn ≥ {STOCH_W}), %D smooths the
+    POST-filter series identically on both engines."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wseq = Window.partitionBy("event_type").orderBy("hour_ts")
+    wr = wseq.rowsBetween(-(STOCH_W - 1), 0)
+    ranged = bars.select(
+        "event_type",
+        "hour_ts",
+        "close",
+        F.min("close").over(wr).alias("low_w"),
+        F.max("close").over(wr).alias("high_w"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    k = ranged.filter(F.col("rn") >= STOCH_W).select(
+        "event_type",
+        "hour_ts",
+        F.when(F.col("high_w") == F.col("low_w"), F.lit(None)).otherwise(
+            100.0
+            * (F.col("close") - F.col("low_w"))
+            / (F.col("high_w") - F.col("low_w"))
+        ).alias("pct_k"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        -(STOCH_D - 1), 0
+    )
+    return k.select(
+        "event_type",
+        "hour_ts",
+        F.round("pct_k", 6).alias("pct_k"),
+        F.round(F.avg("pct_k").over(wd), 6).alias("pct_d"),
+    ).orderBy("event_type", "hour_ts")
+
+
+@query(
+    "q_donchian",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    ch AS (
+      SELECT event_type, hour_ts, close,
+             max(close) OVER cur AS upper_ch,
+             min(close) OVER cur AS lower_ch,
+             max(close) OVER prev AS upper_prev,
+             min(close) OVER prev AS lower_prev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hour_ts) AS rn
+      FROM bars
+      WINDOW cur AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN {DONCH_W - 1} PRECEDING AND CURRENT ROW),
+             prev AS (PARTITION BY event_type ORDER BY hour_ts
+                      ROWS BETWEEN {DONCH_W} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, close,
+           upper_ch, lower_ch,
+           round((upper_ch + lower_ch) / 2.0, 6) AS mid_ch,
+           round(upper_ch - lower_ch, 6) AS width,
+           close > upper_prev AS breakout_up,
+           close < lower_prev AS breakout_dn
+    FROM ch WHERE rn > {DONCH_W}
+    ORDER BY event_type, hour_ts
+    """,
+    tags=("finance", "window"),
+)
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel ({DONCH_W}-bar rolling high/low band, mid-line,
+    width) plus turtle-style breakout flags — a close above the PRIOR
+    {DONCH_W}-bar high (which by construction can never trigger against
+    a window containing the bar itself) signals an upside breakout, and
+    symmetrically below. The channel-width column doubles as a
+    volatility proxy (the non-parametric cousin of q_bollinger's σ
+    bands and q_atr's true range).
+
+    Scale shape: identical to q_stochastic — one map-side combinable
+    bar rollup, two frame variants of the same per-type bar window
+    (current-inclusive channel, one-bar-back breakout reference), rows
+    emitted only once the prior window is full (rn > {DONCH_W})."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wseq = Window.partitionBy("event_type").orderBy("hour_ts")
+    cur = wseq.rowsBetween(-(DONCH_W - 1), 0)
+    prev = wseq.rowsBetween(-DONCH_W, -1)
+    ch = bars.select(
+        "event_type",
+        "hour_ts",
+        "close",
+        F.max("close").over(cur).alias("upper_ch"),
+        F.min("close").over(cur).alias("lower_ch"),
+        F.max("close").over(prev).alias("upper_prev"),
+        F.min("close").over(prev).alias("lower_prev"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    return (
+        ch.filter(F.col("rn") > DONCH_W)
+        .select(
+            "event_type",
+            "hour_ts",
+            "close",
+            "upper_ch",
+            "lower_ch",
+            F.round((F.col("upper_ch") + F.col("lower_ch")) / 2.0, 6).alias(
+                "mid_ch"
+            ),
+            F.round(F.col("upper_ch") - F.col("lower_ch"), 6).alias("width"),
+            (F.col("close") > F.col("upper_prev")).alias("breakout_up"),
+            (F.col("close") < F.col("lower_prev")).alias("breakout_dn"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@query(
+    "q_rolling_beta",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type, hour_ts,
+             close / lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY hour_ts) - 1 AS ret
+      FROM bars
+    ),
+    nn AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+    mkt AS (
+      SELECT hour_ts, avg(ret) AS mret FROM nn GROUP BY hour_ts
+    ),
+    joined AS (
+      SELECT nn.event_type, nn.hour_ts, nn.ret, mkt.mret,
+             row_number() OVER (PARTITION BY nn.event_type
+                                ORDER BY nn.hour_ts) AS rn
+      FROM nn JOIN mkt USING (hour_ts)
+    ),
+    sums AS (
+      SELECT event_type, hour_ts, rn,
+             count(*) OVER w AS n,
+             sum(ret) OVER w AS sr, sum(mret) OVER w AS sm,
+             sum(ret * mret) OVER w AS srm,
+             sum(mret * mret) OVER w AS smm
+      FROM joined
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN {BETA_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_ts,
+           round((n * srm - sr * sm) / (n * smm - sm * sm), 6) AS beta,
+           round((sr - (n * srm - sr * sm) / (n * smm - sm * sm) * sm)
+                 / n, 6) AS alpha
+    FROM sums WHERE n = {BETA_W}
+    ORDER BY event_type, hour_ts
+    """,
+    tags=("finance", "window", "stats"),
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {BETA_W}-bar CAPM beta (and alpha) of each event type's
+    hourly returns against the equal-weight market return (the
+    cross-type average of that hour's returns) — the systematic-vs-
+    idiosyncratic decomposition behind hedging ratios and factor
+    monitors; q_rolling_corr tracks co-movement DIRECTION, beta tracks
+    its MAGNITUDE in return units.
+
+    Scale shape: fact → hourly bars (map-side combinable), returns via
+    one lag window at bar grain, the market series via a bar-grain
+    groupBy(hour) (≤720 rows — broadcast back), and beta from FIVE
+    windowed running sums in one pass (the q_rolling_corr
+    sums-not-corr() form). Emitted only at full {BETA_W}-bar windows;
+    returns are ratios of PICKED closes (no arithmetic drift), so no
+    pre-rounding is needed before the windowed sums."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wseq = Window.partitionBy("event_type").orderBy("hour_ts")
+    rets = bars.select(
+        "event_type",
+        "hour_ts",
+        (F.col("close") / F.lag("close").over(wseq) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mkt = rets.groupBy("hour_ts").agg(F.avg("ret").alias("mret"))
+    joined = rets.join(F.broadcast(mkt), "hour_ts")
+    w = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        -(BETA_W - 1), 0
+    )
+    sums = joined.select(
+        "event_type",
+        "hour_ts",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("ret").over(w).alias("sr"),
+        F.sum("mret").over(w).alias("sm"),
+        F.sum(F.col("ret") * F.col("mret")).over(w).alias("srm"),
+        F.sum(F.col("mret") * F.col("mret")).over(w).alias("smm"),
+    )
+    beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / (
+        F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    )
+    return (
+        sums.filter(F.col("n") == BETA_W)
+        .select(
+            "event_type",
+            "hour_ts",
+            F.round(beta, 6).alias("beta"),
+            F.round((F.col("sr") - beta * F.col("sm")) / F.col("n"), 6).alias(
+                "alpha"
+            ),
+        )
+        .orderBy("event_type", "hour_ts")
+    )

@@ -66,6 +66,11 @@ FULL = [
     "q_cohens_kappa",
     "q_mrr",
     "q_lift_curve",
+    # r11 additions (finance indicator batch)
+    "q_macd",
+    "q_stochastic",
+    "q_donchian",
+    "q_rolling_beta",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
