@@ -3546,3 +3546,161 @@ def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.tau", "r.n_pairs", "r.n_docs_affected", "r.doc_share")
         .orderBy("tau")
     )
+
+
+#: q_minhash_accuracy signature width (md5-derived, engine-neutral —
+#: xxhash64 signatures from minhash_signature() cannot be replayed by
+#: DuckDB, so the ACCURACY AUDIT uses the md5 four-uniforms-per-digest
+#: construction from the cross-engine determinism toolkit).
+MINACC_H = 32
+
+
+def _minacc_sig_expr() -> str:
+    """Spark SQL md5-MinHash fold: slot i (0..31) hashes shingle||'|'||
+    (i div 4) and takes 32-bit slice i%4 of the digest — 4 uniforms per
+    md5, 8 digests per shingle, min-folded over the shingle set."""
+    return f"""aggregate(sh_set,
+      array_repeat(cast(4294967296 as bigint), {MINACC_H}),
+      (acc, sh) -> zip_with(acc,
+        transform(sequence(0, {MINACC_H - 1}),
+          i -> cast(conv(substr(md5(concat(sh, '|',
+                                           cast(i div 4 as string))),
+                         (i % 4) * 8 + 1, 8), 16, 10) as bigint)),
+        (a, b) -> least(a, b)))"""
+
+
+def _minacc_oracle() -> str:
+    sig_cols = ", ".join(
+        f"""list_min(list_transform(s, sh ->
+           CAST(CAST(concat('0x', substr(md5(sh || '|' || '{i // 4}'),
+                                         {(i % 4) * 8 + 1}, 8))
+                AS UBIGINT) AS BIGINT))) AS m{i}"""
+        for i in range(MINACC_H)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(MINACC_H)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2])
+             )) AS s
+      FROM documents),
+    grams AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.a_id, i.b_id,
+             round(CAST(i.n_common AS DOUBLE)
+                   / (sa.n + sb.n - i.n_common), 6) AS exact_j
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+                   JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE i.n_common * 10 >= (sa.n + sb.n - i.n_common) * 8
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh),
+    est AS (
+      SELECT p.a_id, p.b_id, p.exact_j,
+             ({matches}) / {float(MINACC_H)} AS est_raw
+      FROM pairs p JOIN sigs sa ON sa.doc_id = p.a_id
+                   JOIN sigs sb ON sb.doc_id = p.b_id
+    )
+    SELECT a_id, b_id, exact_j,
+           round(est_raw, 6) AS est_j,
+           round(abs(est_raw - exact_j), 6) AS abs_err,
+           round(avg(abs(est_raw - exact_j)) OVER (), 6) AS mae,
+           round(avg(est_raw - exact_j) OVER (), 6) AS bias,
+           round(max(abs(est_raw - exact_j)) OVER (), 6) AS max_abs_err
+    FROM est ORDER BY a_id, b_id
+    """
+
+
+@query(
+    "q_minhash_accuracy",
+    oracle=_minacc_oracle(),
+    tags=("llm", "dedup", "approx", "dq"),
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every verified near-dup pair
+    (q_dedup_near's exact >= 0.8 set), compare the {MINACC_H}-hash
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature slots)
+    against the EXACT distinct-shingle Jaccard, reporting per-pair
+    error plus corpus MAE / signed bias / max error. This is the audit
+    that justifies every threshold choice in the LSH dedup family: the
+    binomial SE at j=0.8, H={MINACC_H} is √(j(1−j)/H) ≈ 0.071, and the
+    measured MAE/bias prove the deployed sketches sit inside it (an
+    implementation bug — biased hashing, slot reuse — shows up as bias
+    far outside the binomial envelope long before it corrupts dedup
+    output).
+
+    Cross-engine note: the PRODUCTION signatures (minhash_signature)
+    use xxhash64, which DuckDB cannot replay, so the audit derives its
+    signatures from the md5 four-uniforms-per-digest construction — the
+    same unbiased min-over-uniforms estimator, byte-identical on both
+    engines. Scale shape: signatures are one map-side fold over each
+    doc's shingle set (8 md5 digests per shingle); the pair set comes
+    from the exact-verified LSH pipeline (near_dup_pairs — candidate
+    work bounded by banding); the estimate join runs at PAIR grain and
+    the audit stats fold over the pair table. Nothing quadratic ever
+    touches the corpus."""
+    from ..partitioning import ensure_parallelism
+
+    t = load(spark, sf_dir)
+    pairs = near_dup_pairs(t.documents).select(
+        "a_id", "b_id", F.col("jaccard").alias("exact_j")
+    )
+    corpus = ensure_parallelism(t.documents)
+    sigs = corpus.select(
+        "doc_id",
+        F.array_distinct(shingles(_tokens())).alias("sh_set"),
+    ).select("doc_id", F.expr(_minacc_sig_expr()).alias("sig"))
+    est_raw = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sa"), F.col("sb"), lambda x, y: x == y
+                ),
+                lambda b: b,
+            )
+        )
+        / float(MINACC_H)
+    )
+    est = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("a_id"), F.col("sig").alias("sa")
+            ),
+            "a_id",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("b_id"), F.col("sig").alias("sb")
+            ),
+            "b_id",
+        )
+        .select("a_id", "b_id", "exact_j", est_raw.alias("est_raw"))
+    )
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    err = F.col("est_raw") - F.col("exact_j")
+    return est.select(
+        "a_id",
+        "b_id",
+        "exact_j",
+        F.round("est_raw", 6).alias("est_j"),
+        F.round(F.abs(err), 6).alias("abs_err"),
+        F.round(F.avg(F.abs(err)).over(wall), 6).alias("mae"),
+        F.round(F.avg(err).over(wall), 6).alias("bias"),
+        F.round(F.max(F.abs(err)).over(wall), 6).alias("max_abs_err"),
+    ).orderBy("a_id", "b_id")

@@ -916,3 +916,140 @@ def _bf_batch(pdf):
     return pd.DataFrame(
         {"node": nodes, "dist": [dist[n] for n in nodes]}
     ).astype({"node": "int32", "dist": "int64"})
+
+
+#: k-core parameters: degree floor and the fixed peeling horizon. The
+#: part-supplier graph converges well inside KCORE_ROUNDS at every test
+#: scale factor (pinned in tests, the q_bellman_ford fixed-horizon
+#: contract); a cascade that needed more rounds would simply continue
+#: peeling in later rounds on both engines identically.
+KCORE_K = 10
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled synchronous k-core peeling over the bipartite
+    part-supplier graph: each round recomputes degrees among survivors
+    and drops nodes below KCORE_K, mirroring kcore_survivors round for
+    round."""
+    head = """
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    ap0 AS (SELECT DISTINCT p FROM e),
+    as0 AS (SELECT DISTINCT s FROM e)"""
+    steps = []
+    for i in range(KCORE_ROUNDS):
+        steps.append(f""",
+    ee{i} AS (
+      SELECT e.p, e.s FROM e
+      JOIN ap{i} ON e.p = ap{i}.p JOIN as{i} ON e.s = as{i}.s
+    ),
+    ap{i + 1} AS (
+      SELECT p FROM ee{i} GROUP BY p HAVING count(*) >= {KCORE_K}
+    ),
+    as{i + 1} AS (
+      SELECT s FROM ee{i} GROUP BY s HAVING count(*) >= {KCORE_K}
+    )""")
+    r = KCORE_ROUNDS
+    tail = f""",
+    final AS (
+      SELECT e.p, e.s FROM e
+      JOIN ap{r} ON e.p = ap{r}.p JOIN as{r} ON e.s = as{r}.s
+    )
+    SELECT node_kind, node_id, core_deg FROM (
+      SELECT 'part' AS node_kind, p AS node_id,
+             CAST(count(*) AS BIGINT) AS core_deg
+      FROM final GROUP BY p
+      UNION ALL
+      SELECT 'supplier', s, CAST(count(*) AS BIGINT) FROM final GROUP BY s
+    ) ORDER BY node_kind, node_id
+    """
+    return head + "".join(steps) + tail
+
+
+def kcore_survivors(
+    edges: DataFrame, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Synchronous k-core peeling over bipartite edges (p, s): per round,
+    degrees are recomputed over edges whose BOTH endpoints survived the
+    previous round, then every node below ``k`` is dropped. Returns the
+    surviving (p) and (s) node sets after ``rounds`` rounds. Factored
+    out of q_kcore so planted cascade graphs exercise it directly.
+
+    Scale shape: state is two NODE-grain survivor sets, re-derived each
+    round by two semi-joins against the loop-invariant edge table plus
+    one combinable degree aggregate per side — the edge table itself is
+    never mutated or checkpointed (at 100 TB it stays a scan; the
+    node-grain sets are the only things materialized, the q_bfs state
+    discipline). Survivor sets are localCheckpoint'ed each round so the
+    plan doesn't re-derive the whole peeling history per iteration."""
+    alive_p = edges.select("p").distinct().localCheckpoint(eager=True)
+    alive_s = edges.select("s").distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        ee = edges.join(alive_p, "p", "leftsemi").join(
+            alive_s, "s", "leftsemi"
+        )
+        alive_p = (
+            ee.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("p")
+            .localCheckpoint(eager=True)
+        )
+        alive_s = (
+            ee.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+            .localCheckpoint(eager=True)
+        )
+    return alive_p, alive_s
+
+
+@query("q_kcore", oracle=_kcore_oracle(), tags=("graph", "iterative"))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the bipartite part-supplier procurement graph
+    (distinct lineitem (part, supplier) edges): iteratively peel nodes
+    with degree < {KCORE_K} until stable — the dense-subgraph extractor
+    behind spam-cluster mining, engagement-core analysis and robust
+    supply-base audits (a part in the core has >= {KCORE_K} suppliers
+    EVEN AFTER every thinly-connected node is discarded — plain degree
+    filters overcount by keeping nodes propped up by peeled neighbors).
+    Completes the iterative-graph family: q_pagerank propagates mass,
+    q_bfs a min, q_label_prop votes, q_bellman_ford (min,+) — k-core
+    propagates DELETION.
+
+    Scale: unlike the nation-graph ops the node sets here GROW with the
+    data (parts x suppliers), so no single-batch Arrow collapse —
+    peeling runs as the distributed round loop in kcore_survivors with
+    node-grain state, and the oracle unrolls the same {KCORE_ROUNDS}
+    rounds as CTEs. Convergence inside the horizon is pinned in tests
+    at every test SF."""
+    t = load(spark, sf_dir)
+    edges = (
+        t.lineitem.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive_p, alive_s = kcore_survivors(edges, KCORE_K, KCORE_ROUNDS)
+    final = edges.join(alive_p, "p", "leftsemi").join(
+        alive_s, "s", "leftsemi"
+    )
+    out_p = final.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    ).select(
+        F.lit("part").alias("node_kind"),
+        F.col("p").alias("node_id"),
+        "core_deg",
+    )
+    out_s = final.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    ).select(
+        F.lit("supplier").alias("node_kind"),
+        F.col("s").alias("node_id"),
+        "core_deg",
+    )
+    return out_p.unionByName(out_s).orderBy("node_kind", "node_id")

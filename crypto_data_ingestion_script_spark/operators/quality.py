@@ -1549,3 +1549,172 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
         )
     )
+
+
+#: The TPC-H foreign-key graph audited by q_fk_integrity:
+#: (label, child table, fk column, parent table, pk column).
+FK_EDGES = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_integrity_oracle() -> str:
+    blocks = []
+    for label, child, fk, parent, pk in FK_EDGES:
+        blocks.append(f"""
+    SELECT '{label}' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {fk}) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_rows,
+           CAST(sum(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           CAST(count(DISTINCT CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                                    THEN {fk} END) AS BIGINT)
+             AS n_orphan_keys
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}""")
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(blocks)
+        + ") ORDER BY fk"
+    )
+
+
+@query("q_fk_integrity", oracle=_fk_integrity_oracle(), tags=("dq", "join"))
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every TPC-H foreign key: per FK
+    edge, the child row count, distinct key count, NULL-key rows
+    (legitimately unreferenced, NOT orphans), orphan rows (non-NULL key
+    with no parent) and distinct orphan keys. The one-query answer to
+    "can I trust my joins?" — silent FK rot turns inner joins into row
+    DROPS, and this measures exactly how many rows each join would
+    lose. A clean corpus reports zeros, which is itself the assertion.
+
+    Scale shape: each check first collapses the child to KEY grain with
+    a combinable count (one shuffle at distinct-key cardinality), then
+    anti-joins parent keys AT KEY GRAIN — orphan ROW counts come from
+    summing the collapsed counts, so the row-grain fact table never
+    joins at all. Dim parents (nation, region, supplier) broadcast;
+    fact-sized parents (orders) shuffle at key grain, which is the
+    theoretical floor for an exact audit."""
+    t = load(spark, sf_dir)
+    outs = []
+    for label, child, fk, parent, pk in FK_EDGES:
+        cdf = getattr(t, child)
+        pdf = getattr(t, parent)
+        keys = cdf.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        parents = pdf.select(F.col(pk).alias("k")).distinct()
+        if parent in ("nation", "region", "supplier", "part", "customer"):
+            parents = F.broadcast(parents)
+        orphan = keys.filter(F.col("k").isNotNull()).join(
+            parents, "k", "leftanti"
+        )
+        tot = keys.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col("k").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_null_rows"),
+        )
+        orf = orphan.agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
+        )
+        outs.append(
+            tot.crossJoin(orf).select(
+                F.lit(label).alias("fk"),
+                "n_rows",
+                "n_keys",
+                "n_null_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("fk")
+
+
+#: Freshness SLA buckets (hours of lag behind the corpus watermark).
+FRESH_SLA_H, STALE_SLA_H = 1.0, 24.0
+
+
+@query(
+    "q_freshness",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_ts
+      FROM events GROUP BY event_type
+    ),
+    lag AS (
+      SELECT event_type, n_events, last_ts,
+             (epoch_us(max(last_ts) OVER ()) - epoch_us(last_ts))
+               / 3600000000.0 AS staleness_hours
+      FROM per
+    )
+    SELECT event_type, n_events, last_ts,
+           round(staleness_hours, 6) AS staleness_hours,
+           CASE WHEN staleness_hours <= {FRESH_SLA_H} THEN 'fresh'
+                WHEN staleness_hours <= {STALE_SLA_H} THEN 'lagging'
+                ELSE 'stale' END AS status
+    FROM lag ORDER BY event_type
+    """,
+    tags=("dq", "agg"),
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness / staleness SLA audit: each event type's
+    last-seen timestamp, its lag in hours behind the corpus watermark
+    (the max timestamp over ALL types — the only clock a batch job can
+    trust without wall-time, which would break determinism), and an SLA
+    bucket (fresh <= {FRESH_SLA_H}h, lagging <= {STALE_SLA_H}h, else
+    stale). The first page of every ingestion runbook: a source that
+    silently stopped emitting shows up here before any downstream
+    metric moves.
+
+    Scale shape: ONE combinable groupBy(event_type) pass (count + max),
+    the watermark as a window max over the |types|-row summary. The
+    fact table is scanned once, shuffles once at type grain."""
+    t = load(spark, sf_dir)
+    per = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # Microsecond epochs on both engines (unix_timestamp truncates to
+    # whole seconds and would drift from DuckDB's fractional epoch);
+    # ntz -> timestamp is exact under the wrapper-pinned UTC session TZ.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    lag_h = (
+        us(F.max("last_ts").over(wall)) - us(F.col("last_ts"))
+    ) / 3.6e9
+    lagged = per.select(
+        "event_type", "n_events", "last_ts", lag_h.alias("staleness_hours")
+    )
+    return lagged.select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        F.round("staleness_hours", 6).alias("staleness_hours"),
+        F.when(F.col("staleness_hours") <= FRESH_SLA_H, "fresh")
+        .when(F.col("staleness_hours") <= STALE_SLA_H, "lagging")
+        .otherwise("stale")
+        .alias("status"),
+    ).orderBy("event_type")

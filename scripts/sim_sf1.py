@@ -71,6 +71,11 @@ FULL = [
     "q_stochastic",
     "q_donchian",
     "q_rolling_beta",
+    # r11 additions (graph + data-quality batch)
+    "q_kcore",
+    "q_fk_integrity",
+    "q_freshness",
+    "q_minhash_accuracy",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
