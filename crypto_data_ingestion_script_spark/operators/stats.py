@@ -562,3 +562,441 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: DTW parameters: 3-hour close buckets bound the series to ~240 points
+#: over the fixed corpus window (wavefront cost, oracle recursion depth),
+#: and the Sakoe-Chiba band widens by the length difference so unequal
+#: series lengths can always be bridged.
+DTW_BUCKET_US = 10_800_000_000
+DTW_BAND_MARGIN = 24
+
+
+def _dtw_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    bars AS (
+      SELECT event_type, epoch_us(ts) // {DTW_BUCKET_US} AS bucket,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(close) AS mu, stddev_pop(close) AS sd
+      FROM bars GROUP BY event_type
+    ),
+    series AS (
+      SELECT b.event_type,
+             list(round((b.close - s.mu) / s.sd, 8) ORDER BY b.bucket)
+               AS zs,
+             count(*) AS n
+      FROM bars b JOIN stats s USING (event_type)
+      GROUP BY b.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             a.zs AS xs, b.zs AS ys, a.n AS n, b.n AS m,
+             abs(a.n - b.n) + {DTW_BAND_MARGIN} AS band
+      FROM series a JOIN series b ON a.event_type < b.event_type
+    ),
+    wave(ta, tb, d, cur, prev) AS (
+      SELECT ta, tb, 2, [abs(xs[1] - ys[1])], CAST(NULL AS DOUBLE[])
+      FROM pairs
+      UNION ALL
+      SELECT w.ta, w.tb, w.d + 1,
+             list_transform(
+               range(greatest(1, w.d + 1 - p.m), least(p.n, w.d) + 1),
+               i -> CASE WHEN abs(i - (w.d + 1 - i)) > p.band
+                         THEN 'infinity'::DOUBLE
+                    ELSE abs(p.xs[i] - p.ys[w.d + 1 - i])
+                      + least(
+                          coalesce(w.cur[i - 1 - greatest(1, w.d - p.m) + 1],
+                                   'infinity'::DOUBLE),
+                          coalesce(w.cur[i - greatest(1, w.d - p.m) + 1],
+                                   'infinity'::DOUBLE),
+                          CASE WHEN i = 1 AND w.d + 1 - i = 1 THEN 0.0
+                               ELSE coalesce(
+                                 w.prev[i - 1
+                                        - greatest(1, w.d - 1 - p.m) + 1],
+                                 'infinity'::DOUBLE) END
+                       ) END),
+             w.cur
+      FROM wave w JOIN pairs p ON w.ta = p.ta AND w.tb = p.tb
+      WHERE w.d < p.n + p.m
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           CAST(p.n AS BIGINT) AS n_a, CAST(p.m AS BIGINT) AS n_b,
+           CAST(p.band AS BIGINT) AS band,
+           round(w.cur[p.n - greatest(1, p.n + p.m - p.m) + 1], 6) AS dtw,
+           round(w.cur[p.n - greatest(1, p.n + p.m - p.m) + 1]
+                 / (p.n + p.m), 6) AS dtw_per_step
+    FROM wave w JOIN pairs p ON w.ta = p.ta AND w.tb = p.tb
+    WHERE w.d = p.n + p.m
+    ORDER BY type_a, type_b
+    """
+
+
+def _dtw_batch(iterator):
+    """Banded DTW per pair row — numpy DP over content-bounded series
+    (exact same add/min sequence as the oracle's wavefront, so results
+    are bit-identical before the 6dp output rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in iterator:
+        out = []
+        for _, row in pdf.iterrows():
+            x = np.asarray(row["xs"], dtype=np.float64)
+            y = np.asarray(row["ys"], dtype=np.float64)
+            n, m = len(x), len(y)
+            band = abs(n - m) + DTW_BAND_MARGIN
+            inf = float("inf")
+            dp = np.full((n + 1, m + 1), inf)
+            dp[0, 0] = 0.0
+            for i in range(1, n + 1):
+                lo, hi = max(1, i - band), min(m, i + band)
+                for j in range(lo, hi + 1):
+                    dp[i, j] = abs(x[i - 1] - y[j - 1]) + min(
+                        dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+                    )
+            out.append(
+                (
+                    row["ta"],
+                    row["tb"],
+                    n,
+                    m,
+                    band,
+                    round(dp[n, m], 6),
+                    round(dp[n, m] / (n + m), 6),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "type_a",
+                "type_b",
+                "n_a",
+                "n_b",
+                "band",
+                "dtw",
+                "dtw_per_step",
+            ],
+        )
+
+
+@query("q_dtw", oracle=_dtw_oracle(), tags=("stats", "timeseries", "approx"))
+def q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic time warping distance between every pair of
+    event-type close series (z-normalized, 3-hour bars, Sakoe-Chiba
+    band) — THE shape-similarity measure for time series that euclidean
+    alignment can't give (two series tracing the same pattern hours
+    apart are near-identical under DTW, far apart pointwise), behind
+    motif discovery, series clustering, and anomaly matching. An
+    operator Spark genuinely lacks.
+
+    Scale shape: each series first collapses to CONTENT-BOUNDED 3-hour
+    bars (≤240 points over the fixed corpus window at ANY data size),
+    z-normalized and rounded to 8dp BEFORE the DP (the q_pacf
+    shared-input rule — mean/std sum-order drift must not leak into the
+    recursion). The O(n·band) DP then runs per pair inside one Arrow
+    batch (the q_label_prop collapse: iteration grain below task
+    grain), while the oracle proves the SAME recursion as an
+    anti-diagonal wavefront recursive CTE — every diagonal depends only
+    on the two before it, so each step is a pure list_transform. The
+    DP's add/min sequence is identical on both engines, so values match
+    bit-for-bit before the output rounding. For fact-scale pair counts
+    the batch step shards pairs across tasks (one row = one DP)."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {DTW_BUCKET_US}"
+        ).alias("bucket"),
+    ).agg(F.max_by("value", "ts").alias("close"))
+    stats = bars.groupBy("event_type").agg(
+        F.avg("close").alias("mu"), F.stddev_pop("close").alias("sd")
+    )
+    series = (
+        bars.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            F.round((F.col("close") - F.col("mu")) / F.col("sd"), 8).alias(
+                "z"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bucket", "z"))),
+                lambda s: s["z"],
+            ).alias("zs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = series.select(
+        F.col("event_type").alias("ta"), F.col("zs").alias("xs")
+    )
+    b = series.select(
+        F.col("event_type").alias("tb"), F.col("zs").alias("ys")
+    )
+    pairs = a.crossJoin(b).filter(F.col("ta") < F.col("tb"))
+    out = pairs.mapInPandas(
+        _dtw_batch,
+        "type_a string, type_b string, n_a long, n_b long, band long, "
+        "dtw double, dtw_per_step double",
+    )
+    return out.orderBy("type_a", "type_b")
+
+
+#: Ridge regularization strength for q_ridge_normal.
+RIDGE_LAMBDA = 10.0
+
+
+@query(
+    "q_ridge_normal",
+    oracle=f"""
+    WITH mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(l_quantity) AS s1, sum(l_discount) AS s2,
+             sum(l_tax) AS s3, sum(l_extendedprice) AS sy,
+             sum(l_quantity * l_quantity) AS s11,
+             sum(l_quantity * l_discount) AS s12,
+             sum(l_quantity * l_tax) AS s13,
+             sum(l_discount * l_discount) AS s22,
+             sum(l_discount * l_tax) AS s23,
+             sum(l_tax * l_tax) AS s33,
+             sum(l_quantity * l_extendedprice) AS s1y,
+             sum(l_discount * l_extendedprice) AS s2y,
+             sum(l_tax * l_extendedprice) AS s3y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT n,
+             s11 - s1 * s1 / n + {RIDGE_LAMBDA} AS a11,
+             s12 - s1 * s2 / n AS a12,
+             s13 - s1 * s3 / n AS a13,
+             s22 - s2 * s2 / n + {RIDGE_LAMBDA} AS a22,
+             s23 - s2 * s3 / n AS a23,
+             s33 - s3 * s3 / n + {RIDGE_LAMBDA} AS a33,
+             s1y - s1 * sy / n AS c1,
+             s2y - s2 * sy / n AS c2,
+             s3y - s3 * sy / n AS c3,
+             s1 / n AS m1, s2 / n AS m2, s3 / n AS m3, sy / n AS my
+      FROM mom
+    ),
+    sol AS (
+      SELECT n, m1, m2, m3, my, c1, c2, c3,
+             a11 * (a22 * a33 - a23 * a23)
+             - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13) AS det,
+             c1 * (a22 * a33 - a23 * a23)
+             - a12 * (c2 * a33 - a23 * c3)
+             + a13 * (c2 * a23 - a22 * c3) AS det1,
+             a11 * (c2 * a33 - a23 * c3)
+             - c1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * c3 - c2 * a13) AS det2,
+             a11 * (a22 * c3 - c2 * a23)
+             - a12 * (a12 * c3 - c2 * a13)
+             + c1 * (a12 * a23 - a22 * a13) AS det3
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(det1 / det, 6) AS beta_quantity,
+           round(det2 / det, 6) AS beta_discount,
+           round(det3 / det, 6) AS beta_tax,
+           round(my - (det1 / det) * m1 - (det2 / det) * m2
+                 - (det3 / det) * m3, 6) AS intercept,
+           {RIDGE_LAMBDA} AS lambda
+    FROM sol
+    """,
+    tags=("stats", "ml", "agg"),
+)
+def q_ridge_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (L2-regularized least squares) of extended price
+    on quantity/discount/tax, solved in CLOSED FORM from the normal
+    equations: one pass accumulates the 14 raw moments of (X, y), the
+    centered Gram matrix G + λI (intercept unpenalized via centering)
+    inverts by Cramer's rule at p=3, and β falls out as determinant
+    ratios. The distributed-linear-algebra template: at ANY scale a
+    p-feature ridge is ONE combinable aggregate of p(p+3)/2 + 1 moments
+    — no gradient steps, no per-row model state, no iteration
+    (q_regression is the p=1 case; this is the general mechanism).
+
+    The moment sums commute with partial aggregation (map-side combine
+    does most of the work), so the plan is scan → one 1-row reduce →
+    scalar algebra. Both engines run the identical Cramer expansion;
+    sum-order ulp drift in the moments is absorbed by the 6dp output
+    rounding."""
+    t = load(spark, sf_dir)
+    q, d, x, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+        F.col("l_extendedprice"),
+    )
+    mom = t.lineitem.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(d).alias("s2"),
+        F.sum(x).alias("s3"),
+        F.sum(y).alias("sy"),
+        F.sum(q * q).alias("s11"),
+        F.sum(q * d).alias("s12"),
+        F.sum(q * x).alias("s13"),
+        F.sum(d * d).alias("s22"),
+        F.sum(d * x).alias("s23"),
+        F.sum(x * x).alias("s33"),
+        F.sum(q * y).alias("s1y"),
+        F.sum(d * y).alias("s2y"),
+        F.sum(x * y).alias("s3y"),
+    )
+    n = F.col("n")
+    lam = F.lit(RIDGE_LAMBDA)
+    g = mom.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / n + lam).alias("a11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("a12"),
+        (F.col("s13") - F.col("s1") * F.col("s3") / n).alias("a13"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n + lam).alias("a22"),
+        (F.col("s23") - F.col("s2") * F.col("s3") / n).alias("a23"),
+        (F.col("s33") - F.col("s3") * F.col("s3") / n + lam).alias("a33"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2"),
+        (F.col("s3y") - F.col("s3") * F.col("sy") / n).alias("c3"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("s3") / n).alias("m3"),
+        (F.col("sy") / n).alias("my"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    det1 = (
+        c1 * (a22 * a33 - a23 * a23)
+        - a12 * (c2 * a33 - a23 * c3)
+        + a13 * (c2 * a23 - a22 * c3)
+    )
+    det2 = (
+        a11 * (c2 * a33 - a23 * c3)
+        - c1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * c3 - c2 * a13)
+    )
+    det3 = (
+        a11 * (a22 * c3 - c2 * a23)
+        - a12 * (a12 * c3 - c2 * a13)
+        + c1 * (a12 * a23 - a22 * a13)
+    )
+    b1, b2, b3 = det1 / det, det2 / det, det3 / det
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(b3, 6).alias("beta_tax"),
+        F.round(
+            F.col("my")
+            - b1 * F.col("m1")
+            - b2 * F.col("m2")
+            - b3 * F.col("m3"),
+            6,
+        ).alias("intercept"),
+        F.lit(RIDGE_LAMBDA).alias("lambda"),
+    )
+
+
+#: Hours per trading year for annualizing hourly-return moments.
+ANNUAL_HOURS = 8760
+
+
+@query(
+    "q_sharpe",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT event_type,
+             close / lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY hour_ts) - 1 AS ret
+      FROM bars
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(ret) AS BIGINT) AS n_rets,
+             avg(ret) AS mean_ret,
+             stddev_samp(ret) AS vol,
+             sqrt(sum(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END)
+                  / count(ret)) AS downside
+      FROM rets WHERE ret IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_rets,
+           round(mean_ret, 8) AS mean_ret,
+           round(vol, 8) AS vol,
+           round(mean_ret / vol * sqrt({ANNUAL_HOURS}), 6)
+             AS sharpe_annual,
+           round(CASE WHEN downside > 0
+                      THEN mean_ret / downside * sqrt({ANNUAL_HOURS})
+                 END, 6) AS sortino_annual
+    FROM agg ORDER BY event_type
+    """,
+    tags=("finance", "stats", "agg"),
+)
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of each event type's hourly
+    return series (zero risk-free rate) — the risk-adjusted-return
+    summary every strategy/asset monitor leads with; Sortino divides by
+    DOWNSIDE deviation only (√(Σ min(ret,0)²/n)), so upside volatility
+    stops counting as risk. Completes the per-series risk family:
+    q_realized_vol (risk alone), q_drawdown (worst path), this one
+    (return per unit risk).
+
+    Scale shape: fact → hourly bars map-side, returns via one lag
+    window at bar grain, then ONE combinable aggregate per type carries
+    mean, sample std and the one-sided second moment together — no
+    second pass for the downside leg. Returns are ratios of picked
+    closes (exact on both engines); only the aggregate moments see
+    float sum-order, absorbed by the output rounding."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wseq = Window.partitionBy("event_type").orderBy("hour_ts")
+    rets = bars.select(
+        "event_type",
+        (F.col("close") / F.lag("close").over(wseq) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    agg = rets.groupBy("event_type").agg(
+        F.count("ret").cast("bigint").alias("n_rets"),
+        F.avg("ret").alias("mean_ret"),
+        F.stddev_samp("ret").alias("vol"),
+        F.sqrt(
+            F.sum(
+                F.when(F.col("ret") < 0, F.col("ret") * F.col("ret")).otherwise(
+                    0.0
+                )
+            )
+            / F.count("ret")
+        ).alias("downside"),
+    )
+    ann = F.sqrt(F.lit(float(ANNUAL_HOURS)))
+    return agg.select(
+        "event_type",
+        "n_rets",
+        F.round("mean_ret", 8).alias("mean_ret"),
+        F.round("vol", 8).alias("vol"),
+        F.round(F.col("mean_ret") / F.col("vol") * ann, 6).alias(
+            "sharpe_annual"
+        ),
+        F.round(
+            F.when(
+                F.col("downside") > 0,
+                F.col("mean_ret") / F.col("downside") * ann,
+            ),
+            6,
+        ).alias("sortino_annual"),
+    ).orderBy("event_type")

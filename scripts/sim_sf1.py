@@ -76,6 +76,10 @@ FULL = [
     "q_fk_integrity",
     "q_freshness",
     "q_minhash_accuracy",
+    # r11 additions (DTW / linear-algebra / risk batch)
+    "q_dtw",
+    "q_ridge_normal",
+    "q_sharpe",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
