@@ -808,3 +808,128 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_share",
         )
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, min(ts) AS t0, max(ts) AS tend,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    durs AS (
+      SELECT user_id,
+             CAST((epoch_us(coalesce(tp, tend)) - epoch_us(t0))
+                  // 3600000000 AS BIGINT) AS dur_h,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ),
+    grid AS (
+      SELECT dur_h, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(1 - ev) AS BIGINT) AS cens
+      FROM durs GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dur_h, d, cens,
+             sum(d + cens) OVER (ORDER BY dur_h DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM grid
+    ),
+    folded AS (
+      SELECT dur_h, d, cens, n_risk,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING) AS hit_zero,
+             sum(CASE WHEN d < n_risk
+                      THEN ln(1 - d / CAST(n_risk AS DOUBLE)) ELSE 0 END)
+               OVER (ORDER BY dur_h ROWS UNBOUNDED PRECEDING) AS log_s
+      FROM risk
+    )
+    SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           cens AS n_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(log_s), 6) END AS survival
+    FROM folded ORDER BY dur_h
+    """,
+    tags=("behavior", "stats", "agg"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per user,
+    duration = hours from first activity to first purchase (users who
+    never purchase are right-CENSORED at their last activity — the
+    whole point of KM: dropping them would bias conversion fast,
+    counting them as converted would bias it slow; KM removes them from
+    the risk set at exactly the moment they stop being observable).
+    S(t) = Π_{t'<=t} (1 − d_t'/n_t') — the standard product-limit
+    estimator behind conversion/retention/churn curves.
+
+    Scale shape: the fact collapses to USER grain (one combinable
+    min/conditional-min/max aggregate), then to the content-bounded
+    hour-DURATION grain (≤ corpus window in hours at any N). Risk sets
+    are one descending running sum, the product-limit is exp(Σ ln) via
+    an ASCENDING running sum at that grain — ordered prefix sums, so
+    both engines add in the identical sequence. The d = n_risk
+    boundary (survival exactly 0, where ln diverges and Spark's log
+    returns NULL while DuckDB returns -inf) is handled by an explicit
+    zero-flag running max on BOTH engines."""
+    t = load(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tend"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    durs = per_user.select(
+        F.expr(
+            "(unix_micros(cast(coalesce(tp, tend) as timestamp))"
+            " - unix_micros(cast(t0 as timestamp))) div 3600000000"
+        )
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grid = durs.groupBy("dur_h").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("cens"),
+    )
+    w_desc = Window.orderBy(F.col("dur_h").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.select(
+        "dur_h",
+        "d",
+        "cens",
+        F.sum(F.col("d") + F.col("cens")).over(w_desc).alias("n_risk"),
+    )
+    w_asc = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    folded = risk.select(
+        "dur_h",
+        "d",
+        "cens",
+        "n_risk",
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_asc)
+        .alias("hit_zero"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(1 - F.col("d") / F.col("n_risk").cast("double")),
+            ).otherwise(0.0)
+        )
+        .over(w_asc)
+        .alias("log_s"),
+    )
+    return folded.select(
+        "dur_h",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("cens").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 6))
+        .alias("survival"),
+    ).orderBy("dur_h")

@@ -1000,3 +1000,172 @@ def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sortino_annual"),
     ).orderBy("event_type")
+
+
+#: GMM-EM iteration count and variance floor (both engines).
+GMM_ITERS = 5
+GMM_SIGMA_FLOOR = 1e-6
+
+
+def _gmm_oracle() -> str:
+    """Unrolled 2-component 1-D GMM EM at distinct-value grain, every
+    iteration's responsibilities and parameters rounded to 8dp — the
+    q_kmeans_multi lockstep convention keeping both engines on the
+    identical trajectory through exp()'s cross-libm last-ulp drift."""
+
+    def w(k: str) -> str:
+        pi = "p.pi1" if k == "1" else "(1 - p.pi1)"
+        return (
+            f"({pi} * exp(-pow(g.v - p.mu{k}, 2)"
+            f" / (2 * p.s{k} * p.s{k})) / p.s{k})"
+        )
+
+    def mu(r: str) -> str:
+        return f"round(sum(c * {r} * v) / sum(c * {r}), 8)"
+
+    def sig(r: str) -> str:
+        return f"""round(greatest(sqrt(greatest(
+               sum(c * {r} * v * v) / sum(c * {r})
+               - pow(sum(c * {r} * v) / sum(c * {r}), 2), 0)),
+               {GMM_SIGMA_FLOOR}), 8)"""
+
+    steps = []
+    for i in range(GMM_ITERS):
+        steps.append(f""",
+    e{i} AS (
+      SELECT g.c, g.v,
+             CASE WHEN {w("1")} + {w("2")} > 0
+                  THEN round({w("1")} / ({w("1")} + {w("2")}), 8)
+                  ELSE 0.5 END AS r
+      FROM grid g, it{i} p
+    ),
+    it{i + 1} AS (
+      SELECT round(sum(c * r) / sum(c), 8) AS pi1,
+             {mu("r")} AS mu1, {sig("r")} AS s1,
+             {mu("(1 - r)")} AS mu2, {sig("(1 - r)")} AS s2
+      FROM e{i}
+    )""")
+    head = """
+    WITH grid AS (
+      SELECT value AS v, CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY value
+    ),
+    it0 AS (
+      SELECT 0.5 AS pi1,
+             round(quantile_cont(value, 0.25), 8) AS mu1,
+             round(stddev_pop(value), 8) AS s1,
+             round(quantile_cont(value, 0.75), 8) AS mu2,
+             round(stddev_pop(value), 8) AS s2
+      FROM events
+    )"""
+    tail = f"""
+    SELECT CAST((SELECT sum(c) FROM grid) AS BIGINT) AS n,
+           {GMM_ITERS} AS iters,
+           round(pi1, 6) AS pi1,
+           round(mu1, 6) AS mu1, round(s1, 6) AS sigma1,
+           round(mu2, 6) AS mu2, round(s2, 6) AS sigma2
+    FROM it{GMM_ITERS}
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q_gmm_em", oracle=_gmm_oracle(), tags=("stats", "ml", "iterative"))
+def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fitted by {GMM_ITERS} EM
+    iterations over the event-value distribution — the soft-assignment
+    sibling of q_kmeans_multi (hard argmin -> responsibilities; means ->
+    means + variances + mixing weight): the standard generative model
+    for "is this metric bimodal?" screening and threshold-free outlier
+    scoring. Deterministic init (quartiles as means, population std as
+    both sigmas, pi = 0.5).
+
+    Scale shape — the q_mann_whitney distinct-value-grain trick applied
+    to an ITERATIVE model: the fact collapses ONCE to the (value, count)
+    grid (one combinable shuffle), and every EM round is one aggregate
+    over that content-bounded summary with the parameter row broadcast
+    back (the q_kmeans_multi single-broadcast-row shape) — N never
+    rescans per iteration. Lockstep contract: responsibilities AND
+    parameters round to 8dp each round, so exp()'s last-ulp libm
+    differences cannot fork the trajectories; a variance floor of
+    {GMM_SIGMA_FLOOR} guards collapse on degenerate corpora (identical
+    on both engines)."""
+    t = load(spark, sf_dir)
+    grid = (
+        t.events.groupBy(F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    params = t.events.agg(
+        F.lit(0.5).alias("pi1"),
+        F.round(F.percentile("value", F.lit(0.25)), 8).alias("mu1"),
+        F.round(F.stddev_pop("value"), 8).alias("s1"),
+        F.round(F.percentile("value", F.lit(0.75)), 8).alias("mu2"),
+        F.round(F.stddev_pop("value"), 8).alias("s2"),
+    ).localCheckpoint(eager=True)
+
+    def comp_w(k: int):
+        pi = F.col("pi1") if k == 1 else (1 - F.col("pi1"))
+        mu, s = F.col(f"mu{k}"), F.col(f"s{k}")
+        return (
+            pi
+            * F.exp(-F.pow(F.col("v") - mu, F.lit(2.0)) / (2 * s * s))
+            / s
+        )
+
+    for _ in range(GMM_ITERS):
+        w1, w2 = comp_w(1), comp_w(2)
+        r = F.when(
+            w1 + w2 > 0, F.round(w1 / (w1 + w2), 8)
+        ).otherwise(0.5)
+        e = grid.crossJoin(F.broadcast(params)).select(
+            "c", "v", r.alias("r")
+        )
+
+        def mu_of(resp):
+            return F.round(
+                F.sum(F.col("c") * resp * F.col("v"))
+                / F.sum(F.col("c") * resp),
+                8,
+            )
+
+        def sig_of(resp):
+            m = F.sum(F.col("c") * resp * F.col("v")) / F.sum(
+                F.col("c") * resp
+            )
+            return F.round(
+                F.greatest(
+                    F.sqrt(
+                        F.greatest(
+                            F.sum(
+                                F.col("c") * resp * F.col("v") * F.col("v")
+                            )
+                            / F.sum(F.col("c") * resp)
+                            - F.pow(m, F.lit(2.0)),
+                            F.lit(0.0),
+                        )
+                    ),
+                    F.lit(GMM_SIGMA_FLOOR),
+                ),
+                8,
+            )
+
+        r1, r2 = F.col("r"), 1 - F.col("r")
+        params = e.agg(
+            F.round(F.sum(F.col("c") * r1) / F.sum("c"), 8).alias("pi1"),
+            mu_of(r1).alias("mu1"),
+            sig_of(r1).alias("s1"),
+            mu_of(r2).alias("mu2"),
+            sig_of(r2).alias("s2"),
+        ).localCheckpoint(eager=True)
+        # 1-row parameter state: checkpoint keeps each round's plan free
+        # of the previous rounds' lineage (q_kmeans_multi cadence).
+    n = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    return n.crossJoin(F.broadcast(params)).select(
+        "n",
+        F.lit(GMM_ITERS).alias("iters"),
+        F.round("pi1", 6).alias("pi1"),
+        F.round("mu1", 6).alias("mu1"),
+        F.round("s1", 6).alias("sigma1"),
+        F.round("mu2", 6).alias("mu2"),
+        F.round("s2", 6).alias("sigma2"),
+    )

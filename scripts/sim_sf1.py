@@ -80,6 +80,9 @@ FULL = [
     "q_dtw",
     "q_ridge_normal",
     "q_sharpe",
+    # r11 additions (survival + mixture batch)
+    "q_kaplan_meier",
+    "q_gmm_em",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
