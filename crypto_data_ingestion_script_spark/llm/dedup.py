@@ -3570,6 +3570,12 @@ def _minacc_sig_expr() -> str:
 
 
 def _minacc_oracle() -> str:
+    """DuckDB twin of q_minhash_accuracy at SET grain: identical shingle
+    sets collapse FIRST (exactly the engine's near_dup_pairs move), so
+    the gram inverted-index enumeration and the signature join run over
+    content-distinct sets and only the final output expands to member
+    doc pairs — without the collapse, 10x duplicate depth made the
+    gram self-join 100x (measured 183 s at sf1; this form is ~10 s)."""
     sig_cols = ", ".join(
         f"""list_min(list_transform(s, sh ->
            CAST(CAST(concat('0x', substr(md5(sh || '|' || '{i // 4}'),
@@ -3582,7 +3588,7 @@ def _minacc_oracle() -> str:
         for i in range(MINACC_H)
     )
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
@@ -3591,27 +3597,38 @@ def _minacc_oracle() -> str:
                               string_split(text, ' ')[i+2])
              )) AS s
       FROM documents),
-    grams AS (SELECT doc_id, unnest(s) AS gram FROM sh),
-    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    setg AS MATERIALIZED (
+      SELECT s, min(doc_id) AS gid,
+             list(doc_id ORDER BY doc_id) AS members, len(s) AS n
+      FROM sh GROUP BY s
+    ),
+    grams AS MATERIALIZED (SELECT gid, unnest(s) AS gram FROM setg),
     inter AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      SELECT a.gid AS ga, b.gid AS gb, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.gid < b.gid
       GROUP BY 1, 2
     ),
-    pairs AS (
-      SELECT i.a_id, i.b_id,
+    sigs AS MATERIALIZED (SELECT gid, {sig_cols} FROM setg),
+    cross_est AS (
+      SELECT i.ga, i.gb,
              round(CAST(i.n_common AS DOUBLE)
-                   / (sa.n + sb.n - i.n_common), 6) AS exact_j
-      FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
-                   JOIN sizes sb ON sb.doc_id = i.b_id
-      WHERE i.n_common * 10 >= (sa.n + sb.n - i.n_common) * 8
-    ),
-    sigs AS (SELECT doc_id, {sig_cols} FROM sh),
-    est AS (
-      SELECT p.a_id, p.b_id, p.exact_j,
+                   / (ta.n + tb.n - i.n_common), 6) AS exact_j,
              ({matches}) / {float(MINACC_H)} AS est_raw
-      FROM pairs p JOIN sigs sa ON sa.doc_id = p.a_id
-                   JOIN sigs sb ON sb.doc_id = p.b_id
+      FROM inter i
+      JOIN setg ta ON ta.gid = i.ga JOIN setg tb ON tb.gid = i.gb
+      JOIN sigs sa ON sa.gid = i.ga JOIN sigs sb ON sb.gid = i.gb
+      WHERE i.n_common * 10 >= (ta.n + tb.n - i.n_common) * 8
+    ),
+    expanded AS (
+      SELECT least(ua.da, ub.db) AS a_id, greatest(ua.da, ub.db) AS b_id,
+             e.exact_j, e.est_raw
+      FROM cross_est e
+      JOIN setg ta ON ta.gid = e.ga JOIN setg tb ON tb.gid = e.gb,
+      unnest(ta.members) AS ua(da), unnest(tb.members) AS ub(db)
+      UNION ALL
+      SELECT u1.m1 AS a_id, u2.m2 AS b_id, 1.0 AS exact_j, 1.0 AS est_raw
+      FROM setg, unnest(members) AS u1(m1), unnest(members) AS u2(m2)
+      WHERE len(members) >= 2 AND u1.m1 < u2.m2
     )
     SELECT a_id, b_id, exact_j,
            round(est_raw, 6) AS est_j,
@@ -3619,7 +3636,7 @@ def _minacc_oracle() -> str:
            round(avg(abs(est_raw - exact_j)) OVER (), 6) AS mae,
            round(avg(est_raw - exact_j) OVER (), 6) AS bias,
            round(max(abs(est_raw - exact_j)) OVER (), 6) AS max_abs_err
-    FROM est ORDER BY a_id, b_id
+    FROM expanded ORDER BY a_id, b_id
     """
 
 

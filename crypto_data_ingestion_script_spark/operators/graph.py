@@ -932,28 +932,33 @@ def _kcore_oracle() -> str:
     part-supplier graph: each round recomputes degrees among survivors
     and drops nodes below KCORE_K, mirroring kcore_survivors round for
     round."""
+    # AS MATERIALIZED is load-bearing: every round's CTEs are referenced
+    # twice (both endpoint filters, then the next round), so DuckDB's
+    # default inlining re-evaluates round i 2^(R-i) times — measured as a
+    # disk-filling spill at sf1. Materialization bounds each round to one
+    # evaluation, exactly like the engine's per-round checkpoints.
     head = """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
     ),
-    ap0 AS (SELECT DISTINCT p FROM e),
-    as0 AS (SELECT DISTINCT s FROM e)"""
+    ap0 AS MATERIALIZED (SELECT DISTINCT p FROM e),
+    as0 AS MATERIALIZED (SELECT DISTINCT s FROM e)"""
     steps = []
     for i in range(KCORE_ROUNDS):
         steps.append(f""",
-    ee{i} AS (
+    ee{i} AS MATERIALIZED (
       SELECT e.p, e.s FROM e
       JOIN ap{i} ON e.p = ap{i}.p JOIN as{i} ON e.s = as{i}.s
     ),
-    ap{i + 1} AS (
+    ap{i + 1} AS MATERIALIZED (
       SELECT p FROM ee{i} GROUP BY p HAVING count(*) >= {KCORE_K}
     ),
-    as{i + 1} AS (
+    as{i + 1} AS MATERIALIZED (
       SELECT s FROM ee{i} GROUP BY s HAVING count(*) >= {KCORE_K}
     )""")
     r = KCORE_ROUNDS
     tail = f""",
-    final AS (
+    final AS MATERIALIZED (
       SELECT e.p, e.s FROM e
       JOIN ap{r} ON e.p = ap{r}.p JOIN as{r} ON e.s = as{r}.s
     )

@@ -575,16 +575,16 @@ DTW_BAND_MARGIN = 24
 def _dtw_oracle() -> str:
     return f"""
     WITH RECURSIVE
-    bars AS (
+    bars AS MATERIALIZED (
       SELECT event_type, epoch_us(ts) // {DTW_BUCKET_US} AS bucket,
              arg_max(value, ts) AS close
       FROM events GROUP BY 1, 2
     ),
-    stats AS (
+    stats AS MATERIALIZED (
       SELECT event_type, avg(close) AS mu, stddev_pop(close) AS sd
       FROM bars GROUP BY event_type
     ),
-    series AS (
+    series AS MATERIALIZED (
       SELECT b.event_type,
              list(round((b.close - s.mu) / s.sd, 8) ORDER BY b.bucket)
                AS zs,
@@ -592,7 +592,7 @@ def _dtw_oracle() -> str:
       FROM bars b JOIN stats s USING (event_type)
       GROUP BY b.event_type
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.event_type AS ta, b.event_type AS tb,
              a.zs AS xs, b.zs AS ys, a.n AS n, b.n AS m,
              abs(a.n - b.n) + {DTW_BAND_MARGIN} AS band
