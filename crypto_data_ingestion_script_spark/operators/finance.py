@@ -1262,7 +1262,13 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wseq).alias("rn"),
     ).localCheckpoint(eager=True)
     # idx is bar-grain (≤720 rows/type): checkpoint before the self-join
-    # so the fact rollup runs once, not once per join side.
+    # so the fact rollup runs once, not once per join side. AQE coalesces
+    # the tiny aggregate to one partition before the checkpoint freezes
+    # it — re-widen so the O(bars²) EMA term sums don't run single-task
+    # (the jaccard_pairs / q_theilsen lesson).
+    from ..partitioning import ensure_parallelism
+
+    idx = ensure_parallelism(idx)
     ai = idx.select(
         "event_type", F.col("rn").alias("ri"), F.col("close").alias("xi")
     )
@@ -1281,7 +1287,7 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emas = (
-        ai.join(bt, "event_type")
+        ai.join(F.broadcast(bt), "event_type")
         .filter(F.col("ri") <= F.col("rt"))
         .groupBy("event_type", "rt", "hour_ts")
         .agg(
@@ -1295,12 +1301,13 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_ts",
         F.round(F.col("ema_fast") - F.col("ema_slow"), 8).alias("macd8"),
     ).localCheckpoint(eager=True)
+    macd = ensure_parallelism(macd)
     am = macd.select(
         "event_type", F.col("rt").alias("ri"), F.col("macd8").alias("xi")
     )
     bm = macd.select("event_type", F.col("rt").alias("rt2"))
     sig = (
-        am.join(bm, "event_type")
+        am.join(F.broadcast(bm), "event_type")
         .filter(F.col("ri") <= F.col("rt2"))
         .groupBy("event_type", "rt2")
         .agg(F.sum(term(2.0 / (MACD_SIGNAL + 1), rt="rt2")).alias("signal"))

@@ -98,7 +98,12 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # grid is summary-grain (≤1650 rows) and feeds FOUR branches below —
     # the summary-grain-only checkpoint rule (don't re-aggregate the
-    # fact table once per branch).
+    # fact table once per branch). Re-widen after the checkpoint so the
+    # grid²-cell concordance join doesn't run on AQE's single coalesced
+    # partition (the q_theilsen lesson).
+    from ..partitioning import ensure_parallelism
+
+    grid = ensure_parallelism(grid)
     tot = grid.groupBy("flag").agg(F.sum("c").alias("n"))
     xt = (
         grid.groupBy("flag", "x")
@@ -121,7 +126,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("cb"),
     )
     cd = (
-        a.join(b, ["flag"])
+        a.join(F.broadcast(b), ["flag"])
         .filter(F.col("xa") < F.col("xb"))
         .groupBy("flag")
         .agg(
@@ -406,6 +411,13 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # idx is bar-grain (≤720 rows/type) and feeds both the pair join and
     # the intercept pass — checkpoint so the fact aggregation runs once.
+    # AQE coalesces the tiny aggregate to ONE partition before the
+    # checkpoint freezes it, which would put the O(bars²) pair compute
+    # (~1.3M rows here) on a single task — re-widen first (the
+    # jaccard_pairs lesson; measured 2.9 s → sub-second on this stage).
+    from ..partitioning import ensure_parallelism
+
+    idx = ensure_parallelism(idx)
     a = idx.select(
         "event_type", F.col("x").alias("xa"), F.col("y").alias("ya")
     )
@@ -413,7 +425,7 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("x").alias("xb"), F.col("y").alias("yb")
     )
     med = (
-        a.join(b, ["event_type"])
+        a.join(F.broadcast(b), ["event_type"])
         .filter(F.col("xa") < F.col("xb"))
         .select(
             "event_type",
