@@ -1590,3 +1590,125 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ts")
     )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, close, CAST(hour(hour_ts) AS INTEGER) AS hod
+      FROM bars
+    ),
+    prof AS (
+      SELECT event_type, hod, avg(close) AS seasonal
+      FROM keyed GROUP BY event_type, hod
+    )
+    SELECT k.event_type,
+           CAST(count(*) AS BIGINT) AS n_bars,
+           round(var_pop(k.close), 6) AS var_total,
+           round(var_pop(k.close - p.seasonal), 6) AS var_resid,
+           round(greatest(0, 1 - var_pop(k.close - p.seasonal)
+                             / var_pop(k.close)), 6) AS seasonal_strength
+    FROM keyed k JOIN prof p
+      ON k.event_type = p.event_type AND k.hod = p.hod
+    GROUP BY k.event_type
+    ORDER BY k.event_type
+    """,
+    tags=("finance", "timeseries", "stats"),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per series: fit the 24-slot
+    seasonal profile (mean close per hour-of-day), and report
+    strength = max(0, 1 − var(close − seasonal)/var(close)) — the STL
+    "strength of seasonality" statistic specialized to the daily cycle.
+    Answers "is this metric's daily wave real?" before anyone ships a
+    seasonally-adjusted alert threshold (q_changepoint and q_zscore
+    both fire falsely on strong unmodeled seasonality).
+
+    Scale shape: fact → hourly bars map-side; the profile is one
+    combinable groupBy at (type × 24)-slot grain broadcast back; the
+    variance ratio is one more bar-grain aggregate. Two summary
+    shuffles total, nothing at fact grain beyond the rollup."""
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    keyed = bars.select(
+        "event_type", "close", F.hour("hour_ts").cast("int").alias("hod")
+    )
+    prof = keyed.groupBy("event_type", "hod").agg(
+        F.avg("close").alias("seasonal")
+    )
+    resid = F.col("close") - F.col("seasonal")
+    return (
+        keyed.join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            F.round(F.var_pop("close"), 6).alias("var_total"),
+            F.round(F.var_pop(resid), 6).alias("var_resid"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1 - F.var_pop(resid) / F.var_pop("close"),
+                ),
+                6,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_burstiness",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(avg(n), 6) AS mean_per_hour,
+           round(var_pop(n) / avg(n), 6) AS fano,
+           round(max(n) / avg(n), 6) AS peak_to_mean,
+           round((sqrt(var_pop(n)) - avg(n))
+                 / (sqrt(var_pop(n)) + avg(n)), 6) AS burstiness
+    FROM hourly GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("finance", "timeseries", "stats"),
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type over OBSERVED hourly counts:
+    the Fano factor (var/mean — 1 for a Poisson process, >1 means
+    clumping), peak-to-mean (capacity headroom), and the Goh-Barabási
+    burstiness index B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic, 0
+    Poisson, →1 extreme bursts). The capacity-planning readout: a
+    Poisson-sized ingestion queue melts under B > 0 traffic.
+
+    Scale shape: ONE combinable groupBy to the (type, hour) count grid
+    (content-bounded by the corpus window), then one aggregate per type
+    over ≤720 rows. Two summary shuffles, one fact scan."""
+    t = load(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sd = F.sqrt(F.var_pop("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.round(F.avg("n"), 6).alias("mean_per_hour"),
+            F.round(F.var_pop("n") / F.avg("n"), 6).alias("fano"),
+            F.round(F.max("n") / F.avg("n"), 6).alias("peak_to_mean"),
+            F.round((sd - F.avg("n")) / (sd + F.avg("n")), 6).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy("event_type")
+    )

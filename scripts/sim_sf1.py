@@ -83,6 +83,10 @@ FULL = [
     # r11 additions (survival + mixture batch)
     "q_kaplan_meier",
     "q_gmm_em",
+    # r11 additions (skyline / seasonality / burstiness batch)
+    "q_skyline_sweep",
+    "q_seasonality",
+    "q_burstiness",
     # r10 session-2 additions (stats / pipeline / layout / graph /
     # privacy batches)
     "q_anova",
