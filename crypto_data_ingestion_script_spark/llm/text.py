@@ -1162,12 +1162,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     each word's final segmentation, symbol count, and the ordered merge
     table — the actual artifacts a tokenizer trainer persists.
 
-    Scale shape: ONE fact-scale shuffle total (the word-frequency
-    groupBy); all {BPE_ROUNDS} rounds run at VOCABULARY grain — windows
-    partitioned by word, 1-row argmax broadcast back, greedy-position
-    tables joined per word. Per-round localCheckpoint (vocab-grain,
-    tiny) cuts the iterative lineage like q_kmeans_multi; no UDF
-    anywhere."""
+    Scale shape (r12, the q_hits single-batch template): ONE fact-scale
+    shuffle total (the word-frequency groupBy with map-side partials);
+    all {BPE_ROUNDS} rounds then run inside ONE Arrow batch over the
+    VOCABULARY-grain table — see :func:`bpe_train` for the grain
+    argument and the oracle-parity semantics of the greedy apply."""
     return bpe_train(load(spark, sf_dir).documents, BPE_ROUNDS)
 
 
@@ -1175,101 +1174,98 @@ def bpe_train(docs: DataFrame, rounds: int) -> DataFrame:
     """Composable BPE trainer over a ``(doc_id, text)`` corpus — the body
     of :func:`q_bpe_train` (semantics there); exposed so tests can pin
     the chained-rewrite corners (multi-char round-2 merges, l==r overlap)
-    on a toy corpus."""
+    on a toy corpus.
+
+    r12 single-batch form (the q_hits treatment, VERDICT r11 task 1):
+    the ONLY fact-scale stage is the word-frequency groupBy (map-side
+    partials, one shuffle); ALL merge rounds then run inside ONE Arrow
+    batch — a single-group applyInPandas over the VOCABULARY-grain
+    (word, word_freq) table. The previous form chained ~4 vocab-grain
+    jobs per round (lead-window checkpoint, argmax, greedy-position
+    rewrite, re-number), paying a stage quantum each for work that is
+    microseconds of dict arithmetic; the iteration grain is BELOW task
+    grain, so the idiomatic Spark treatment is one vectorized task.
+    Vocabulary is summary-scale by Heaps' law (|V| ~ N^0.5 even for web
+    corpora; a 10M-word vocab is a few hundred MB in one batch) and at
+    100 TB the trained segment table is computed once per tokenizer
+    release and persisted. Greedy-apply semantics (the l==r overlap
+    rule: a run of k matches yields ceil(k/2) merges, the position
+    after a merge is consumed) is the plain left-to-right scan the SQL
+    oracle's gaps-and-islands odd-rank rule encodes; argmax tie-break
+    is (count DESC, l, r) with codepoint string order, identical to the
+    oracle's ORDER BY."""
     words = (
         docs.select(
             F.explode(F.split(F.lower("text"), " ")).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("word_freq"))
-        .localCheckpoint()
     )
-    syms = (
-        words.select(
-            "word",
-            "word_freq",
-            # Java split keeps a trailing empty field for the end-of-string
-            # lookahead match — drop it.
-            F.posexplode(F.split("word", "(?!^)")).alias("pos0", "sym"),
-        )
-        .filter(F.col("sym") != "")
-        .select("word", "word_freq", (F.col("pos0") + 1).alias("pos"), "sym")
-    )
-    w_word = Window.partitionBy("word").orderBy("pos")
-    chosens = []
-    for _ in range(rounds):
-        prs = syms.withColumn("nxt", F.lead("sym").over(w_word)).localCheckpoint()
-        chosen = (
-            prs.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
-            .agg(F.sum("word_freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .select("l", "r")
-            .localCheckpoint()
-        )
-        chosens.append(chosen)
-        g = (
-            prs.crossJoin(F.broadcast(chosen))
-            .filter((F.col("sym") == F.col("l")) & (F.col("nxt") == F.col("r")))
-            .withColumn("rn", F.row_number().over(w_word))
-            .withColumn(
-                "rn2",
-                F.row_number().over(
-                    Window.partitionBy(
-                        "word", (F.col("pos") - F.col("rn"))
-                    ).orderBy("pos")
-                ),
-            )
-            .filter(F.col("rn2") % 2 == 1)
-            .select("word", "pos")
-        )
-        syms = (
-            prs.join(
-                g.withColumn("is_g", F.lit(True)), ["word", "pos"], "left"
-            )
-            .join(
-                g.select(
-                    "word",
-                    (F.col("pos") + 1).alias("pos"),
-                    F.lit(True).alias("is_c"),
-                ),
-                ["word", "pos"],
-                "left",
-            )
-            .filter(F.col("is_c").isNull())
-            .select(
-                "word",
-                "word_freq",
-                F.row_number().over(w_word).alias("pos"),
-                F.when(
-                    F.col("is_g").isNotNull(), F.concat("sym", "nxt")
+
+    def _bpe_batch(pdf):
+        import pandas as pd
+
+        wlist = pdf["word"].tolist()
+        freqs = [int(f) for f in pdf["word_freq"].tolist()]
+        seqs = [list(w) for w in wlist]
+        merges = []
+        for _ in range(rounds):
+            cnt: dict = {}
+            for syms, f in zip(seqs, freqs):
+                for a, b in zip(syms, syms[1:]):
+                    k = (a, b)
+                    cnt[k] = cnt.get(k, 0) + f
+            if not cnt:
+                # Oracle parity: an empty pair table makes ch_i empty and
+                # the CROSS JOIN chain annihilates the output.
+                return pd.DataFrame(
+                    {
+                        "word": pd.Series([], dtype="object"),
+                        "word_freq": pd.Series([], dtype="int64"),
+                        "seg": pd.Series([], dtype="object"),
+                        "n_syms": pd.Series([], dtype="int64"),
+                        "merges": pd.Series([], dtype="object"),
+                    }
                 )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+            (l, r), _c = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
             )
-            .localCheckpoint()
+            merges.append(l + "+" + r)
+            lr = l + r
+            for wi, syms in enumerate(seqs):
+                n = len(syms)
+                if n < 2:
+                    continue
+                out = []
+                i = 0
+                while i < n:
+                    if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                        out.append(lr)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seqs[wi] = out
+        mstr = ",".join(merges)
+        return pd.DataFrame(
+            {
+                "word": wlist,
+                "word_freq": pd.Series(freqs, dtype="int64"),
+                "seg": [" ".join(s) for s in seqs],
+                "n_syms": pd.Series([len(s) for s in seqs], dtype="int64"),
+                "merges": mstr,
+            }
         )
-    out = syms.groupBy("word", "word_freq").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
-                lambda s: s["sym"],
-            ),
-            " ",
-        ).alias("seg"),
-        F.count(F.lit(1)).alias("n_syms"),
-    )
-    merges = None
-    for i, c in enumerate(chosens):
-        c = c.select(
-            F.concat_ws("+", "l", "r").alias(f"m{i}")
+
+    return (
+        words.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            _bpe_batch,
+            "word string, word_freq bigint, seg string, n_syms bigint,"
+            " merges string",
         )
-        merges = c if merges is None else merges.crossJoin(c)
-    merges = merges.select(
-        F.concat_ws(",", *[f"m{i}" for i in range(rounds)]).alias("merges")
     )
-    return out.crossJoin(F.broadcast(merges))
 
 
 @query(
@@ -1291,9 +1287,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_syms — summary-scale even for web corpora) and joins the exploded
     fact by BROADCAST below the cap; the only fact-scale exchanges are
     the word explode's groupBy(doc_id) re-aggregation and the train
-    chain's one vocabulary groupBy. At 100 TB the segment table is
-    computed once per tokenizer release and persisted; here it rides the
-    same DAG (localCheckpoint'ed per round by bpe_train)."""
+    chain's one vocabulary groupBy. The train chain itself is the r12
+    single-batch form (ONE applyInPandas task over the vocab — see
+    :func:`bpe_train`). At 100 TB the segment table is computed once
+    per tokenizer release and persisted; here it rides the same DAG."""
     t = load(spark, sf_dir)
     seg = bpe_train(t.documents, BPE_ROUNDS).select("word", "n_syms")
     words = t.documents.select(
