@@ -289,6 +289,92 @@ def near_dup_pairs(documents: DataFrame) -> DataFrame:
     return within.unionByName(cross).select("a_id", "b_id", "jaccard")
 
 
+def exact_dup_pairs(documents: DataFrame) -> DataFrame:
+    """EXACT >= 0.8 distinct-3-shingle-Jaccard pair enumeration via the
+    set-grain gram inverted index — no LSH anywhere in the candidate
+    path. Ground truth for q_minhash_accuracy (ADVICE r11): the sketch
+    AUDIT must not draw its pair set from the sketch-adjacent banding
+    pipeline it audits (near_dup_pairs' banding has ~3e-9 candidate
+    miss probability at j=0.8, and because the audit's mae/bias/max are
+    whole-corpus windows, one missed pair would shift EVERY output
+    row). This is byte-for-byte the oracle's enumeration: identical
+    shingle sets collapse first, candidates are set pairs sharing >= 1
+    gram, verified by exact intersection counting.
+
+    Scale shape: candidate cardinality is bounded by the gram inverted
+    index (sum over grams of pairs sharing that gram — one shuffle at
+    gram grain, groupBy at pair grain); the set-grain collapse removes
+    the duplicate-depth blowup (the 183 s -> 3.6 s oracle lesson). This
+    is exact-enumeration work by DESIGN — at 100 TB the audit runs on a
+    bounded corpus sample, and q_jaccard_join's PPJoin prefix filter is
+    the in-repo escape path if the full corpus must be enumerated."""
+    from ..partitioning import ensure_parallelism
+
+    corpus = ensure_parallelism(documents)
+    sets = (
+        corpus.select(
+            "doc_id", F.array_distinct(shingles(_tokens())).alias("sh_set")
+        )
+        .groupBy("sh_set")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .localCheckpoint()
+    )
+    sets = ensure_parallelism(sets)
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "a_id"), "members")
+        .select(
+            "a_id",
+            F.explode(
+                F.expr("slice(members, i + 2, size(members))")
+            ).alias("b_id"),
+        )
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    grams = sets.select("gid", F.explode("sh_set").alias("gram"))
+    inter = (
+        grams.select(F.col("gid").alias("ga"), "gram")
+        .join(grams.select(F.col("gid").alias("gb"), "gram"), "gram")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sets.select(
+        F.col("gid").alias("ga"),
+        F.size("sh_set").alias("na"),
+        F.col("members").alias("ma"),
+    )
+    sb = sets.select(
+        F.col("gid").alias("gb"),
+        F.size("sh_set").alias("nb"),
+        F.col("members").alias("mb"),
+    )
+    n_union = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        inter.join(sa, "ga")
+        .join(sb, "gb")
+        .filter(F.col("n_common") * 10 >= n_union * 8)
+        .select(
+            F.round(F.col("n_common").cast("double") / n_union, 6).alias(
+                "jaccard"
+            ),
+            "ma",
+            "mb",
+        )
+        .select(F.explode("ma").alias("da"), "mb", "jaccard")
+        .select("da", F.explode("mb").alias("db"), "jaccard")
+        .select(
+            F.least("da", "db").alias("a_id"),
+            F.greatest("da", "db").alias("b_id"),
+            "jaccard",
+        )
+        .unionByName(within.select("a_id", "b_id", "jaccard"))
+    )
+
+
 def simhash_token_bits(tok):
     """Per-token ±1 vote vector over the 64 bit positions of xxhash64."""
     return F.transform(
@@ -3663,15 +3749,17 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures from the md5 four-uniforms-per-digest construction — the
     same unbiased min-over-uniforms estimator, byte-identical on both
     engines. Scale shape: signatures are one map-side fold over each
-    doc's shingle set (8 md5 digests per shingle); the pair set comes
-    from the exact-verified LSH pipeline (near_dup_pairs — candidate
-    work bounded by banding); the estimate join runs at PAIR grain and
-    the audit stats fold over the pair table. Nothing quadratic ever
-    touches the corpus."""
+    doc's shingle set (8 md5 digests per shingle); the pair set is the
+    EXACT gram-inverted-index enumeration (exact_dup_pairs — derived
+    identically on both engines, per ADVICE r11: an audit whose
+    mae/bias/max are whole-corpus windows cannot draw its pair set from
+    the probabilistic banding it audits, because one LSH tail miss
+    would shift every row); the estimate join runs at PAIR grain and
+    the audit stats fold over the pair table."""
     from ..partitioning import ensure_parallelism
 
     t = load(spark, sf_dir)
-    pairs = near_dup_pairs(t.documents).select(
+    pairs = exact_dup_pairs(t.documents).select(
         "a_id", "b_id", F.col("jaccard").alias("exact_j")
     )
     corpus = ensure_parallelism(t.documents)

@@ -550,11 +550,15 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type IN ('click', 'purchase')
     ),
     bounds AS (
-      SELECT quantile_cont(score, 0.1) AS b1, quantile_cont(score, 0.2) AS b2,
-             quantile_cont(score, 0.3) AS b3, quantile_cont(score, 0.4) AS b4,
-             quantile_cont(score, 0.5) AS b5, quantile_cont(score, 0.6) AS b6,
-             quantile_cont(score, 0.7) AS b7, quantile_cont(score, 0.8) AS b8,
-             quantile_cont(score, 0.9) AS b9
+      SELECT round(quantile_cont(score, 0.1), 8) AS b1,
+             round(quantile_cont(score, 0.2), 8) AS b2,
+             round(quantile_cont(score, 0.3), 8) AS b3,
+             round(quantile_cont(score, 0.4), 8) AS b4,
+             round(quantile_cont(score, 0.5), 8) AS b5,
+             round(quantile_cont(score, 0.6), 8) AS b6,
+             round(quantile_cont(score, 0.7), 8) AS b7,
+             round(quantile_cont(score, 0.8), 8) AS b8,
+             round(quantile_cont(score, 0.9), 8) AS b9
       FROM s
     ),
     binned AS (
@@ -617,10 +621,15 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
+    # The nine bounds are rounded 8dp on BOTH engines before the >
+    # comparisons (ADVICE r11; the q_gmm_em shared-input pre-rounding
+    # rule): a last-ulp difference between F.percentile and DuckDB's
+    # quantile_cont interpolation must not reclassify a score sitting
+    # exactly on a decile edge.
     qs = [i / 10.0 for i in range(1, 10)]
     bounds = s.agg(
         *[
-            F.percentile("score", F.lit(q)).alias(f"b{i}")
+            F.round(F.percentile("score", F.lit(q)), 8).alias(f"b{i}")
             for i, q in enumerate(qs, start=1)
         ]
     )

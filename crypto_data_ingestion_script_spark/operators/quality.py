@@ -1565,20 +1565,28 @@ FK_EDGES = (
 
 
 def _fk_integrity_oracle() -> str:
+    # Key-grain form, mirroring the engine's plan (ADVICE r11): row
+    # counts come from the bare child's collapsed key counts, and the
+    # parent joins (deduplicated to PK grain) ONLY for the orphan
+    # columns — so a duplicated parent PK in degraded data can no
+    # longer inflate n_rows on the oracle side while the engine reports
+    # the exact child row count.
     blocks = []
     for label, child, fk, parent, pk in FK_EDGES:
         blocks.append(f"""
     SELECT '{label}' AS fk,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(DISTINCT {fk}) AS BIGINT) AS n_keys,
-           CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(k) AS BIGINT) AS n_keys,
+           CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0) AS BIGINT)
              AS n_null_rows,
-           CAST(sum(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
-           CAST(count(DISTINCT CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
-                                    THEN {fk} END) AS BIGINT)
-             AS n_orphan_keys
-    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}""")
+           CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+                                  THEN c END), 0) AS BIGINT)
+             AS n_orphan_rows,
+           CAST(count(CASE WHEN k IS NOT NULL AND pk IS NULL
+                           THEN k END) AS BIGINT) AS n_orphan_keys
+    FROM (SELECT {fk} AS k, count(*) AS c FROM {child} GROUP BY {fk}) kg
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p
+           ON kg.k = p.pk""")
     return (
         "SELECT * FROM ("
         + " UNION ALL ".join(blocks)

@@ -59,13 +59,17 @@ from ..registry import query
       GROUP BY a.flag
     )
     SELECT t.flag, CAST(t.n AS BIGINT) AS n,
-           CAST(cd.concordant AS BIGINT) AS concordant,
-           CAST(cd.discordant AS BIGINT) AS discordant,
-           round((cd.concordant - cd.discordant)
-                 / sqrt((t.n * (t.n - 1) / 2.0 - xt.n1)
-                        * (t.n * (t.n - 1) / 2.0 - yt.n2)), 8) AS tau_b
+           CAST(coalesce(cd.concordant, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(cd.discordant, 0) AS BIGINT) AS discordant,
+           CASE WHEN (t.n * (t.n - 1) / 2.0 - xt.n1)
+                     * (t.n * (t.n - 1) / 2.0 - yt.n2) > 0
+                THEN round((coalesce(cd.concordant, 0)
+                            - coalesce(cd.discordant, 0))
+                     / sqrt((t.n * (t.n - 1) / 2.0 - xt.n1)
+                            * (t.n * (t.n - 1) / 2.0 - yt.n2)), 8)
+                ELSE NULL END AS tau_b
     FROM tot t JOIN xt USING (flag) JOIN yt USING (flag)
-    JOIN cd USING (flag)
+    LEFT JOIN cd USING (flag)
     ORDER BY t.flag
     """,
     tags=("stats", "agg"),
@@ -143,19 +147,35 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    # LEFT join + coalesce (ADVICE r11): a degenerate group (single
+    # distinct x — every pair x-tied) has no cd row; it must still
+    # appear with its n and NULL tau_b (denominator 0 → undefined),
+    # not silently vanish. The CASE guard keeps Spark's 0/0 = NaN from
+    # diverging from DuckDB's NULL on that row.
+    denom = (n0 - F.col("n1")) * (n0 - F.col("n2"))
     return (
         tot.join(xt, "flag")
         .join(yt, "flag")
-        .join(cd, "flag")
+        .join(cd, "flag", "left")
         .select(
             "flag",
             F.col("n").cast("bigint").alias("n"),
-            F.col("concordant").cast("bigint").alias("concordant"),
-            F.col("discordant").cast("bigint").alias("discordant"),
-            F.round(
-                (F.col("concordant") - F.col("discordant"))
-                / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
-                8,
+            F.coalesce("concordant", F.lit(0))
+            .cast("bigint")
+            .alias("concordant"),
+            F.coalesce("discordant", F.lit(0))
+            .cast("bigint")
+            .alias("discordant"),
+            F.when(
+                denom > 0,
+                F.round(
+                    (
+                        F.coalesce("concordant", F.lit(0))
+                        - F.coalesce("discordant", F.lit(0))
+                    )
+                    / F.sqrt(denom),
+                    8,
+                ),
             ).alias("tau_b"),
         )
         .orderBy("flag")

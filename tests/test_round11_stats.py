@@ -85,6 +85,31 @@ def test_kendall_tau_matches_numpy(spark, sf_dir, lineitem):
         assert r["tau_b"] == pytest.approx(tau, abs=2e-8)
 
 
+def test_kendall_tau_degenerate_group_survives(spark, tmp_path):
+    """ADVICE r11: a group whose x column has a single distinct value
+    (every pair x-tied — tau_b undefined) must still APPEAR in the
+    output with its n and NULL tau_b, not silently vanish from the
+    inner join of the concordance CTE."""
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "l_returnflag": ["D", "D", "D", "N", "N", "N"],
+            "l_quantity": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+            "l_discount": [0.1, 0.2, 0.3, 0.1, 0.2, 0.3],
+        }
+    ).to_parquet(f"{sf}/lineitem.parquet")
+    rows = {
+        r["flag"]: r for r in SPECS["q_kendall_tau"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {"D", "N"}
+    d = rows["D"]
+    assert (d["n"], d["concordant"], d["discordant"]) == (3, 0, 0)
+    assert d["tau_b"] is None
+    n = rows["N"]
+    assert (n["concordant"], n["discordant"]) == (3, 0)
+    assert n["tau_b"] == pytest.approx(1.0)
+
+
 def test_cramers_v_matches_numpy(spark, sf_dir, orders):
     row = SPECS["q_cramers_v"].fn(spark, sf_dir).collect()[0]
     ct = pd.crosstab(orders["o_orderstatus"], orders["o_orderpriority"])
