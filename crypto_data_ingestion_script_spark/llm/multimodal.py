@@ -783,3 +783,147 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id bigint, n_frames int, fp int, max_energy bigint",
     )
+
+
+#: q_audio_dedup synthetic corpus geometry: AD_FRAMES frames of AF_FRAME
+#: samples → AD_FRAMES−1 = 64 energy-gradient bits, packed as the SAME
+#: 4×16-bit band layout as the image hashes so the Manku blocking
+#: (hamming_band_pairs) applies verbatim. Docs in the same 4-doc group
+#: share a base per-frame amplitude pattern; each doc boosts ONE frame
+#:  (doc_id % AD_FRAMES) by AD_BOOST, flipping ≤2 gradient bits — so
+#: within-group pairs land at Hamming 0–4 (the image-corpus design).
+AD_FRAMES = 65
+AD_BOOST = 500
+
+#: DuckDB twin of the audio fingerprint chain: per-frame amplitudes from
+#: the synthesis formula, exact integer frame energies (AF_FRAME · a²),
+#: gradient bits, 4×16-bit bands — shared by the q_audio_dedup oracle.
+_AUDIO_BANDS_SQL = f"""
+d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % {AD_FRAMES} AS p
+      FROM documents),
+amps AS (SELECT doc_id, f.f AS f,
+                100 + ((g * 104729 + (f.f + 1) * 7919) % 997) % 200
+                    + CASE WHEN f.f = p THEN {AD_BOOST} ELSE 0 END AS a
+         FROM d, range({AD_FRAMES}) f(f)),
+eng AS (SELECT doc_id, f, CAST({AF_FRAME} * a * a AS BIGINT) AS e
+        FROM amps),
+abits AS (SELECT a.doc_id, a.f - 1 AS j,
+                 CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+          FROM eng a JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+          WHERE a.f >= 1),
+bands AS (SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+                 CAST(sum(bit * (1 << (j % 16))) AS INTEGER) AS band_val
+          FROM abits GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+               max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+               max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+               max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY doc_id)
+"""
+
+
+def audio_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, b0..b3): synthesize each asset's per-frame
+    amplitude pattern, render it to REAL int16 PCM WAV bytes, decode the
+    BYTES back with ``decode_audio`` (the production path — a decoder
+    defect breaks the downstream hash), take exact integer frame
+    energies (Σx², int64), and pack the {AD_FRAMES − 1}-bit energy-
+    gradient fingerprint as HAM_BANDS 16-bit band ints — the identical
+    signature layout as :func:`dhash_signatures`, so the Manku blocking
+    machinery is shared verbatim. All inside mapInPandas: blobs never
+    leave the executor; only 5-int signature rows shuffle."""
+    import numpy as np
+
+    def run(batches):
+        weights = (
+            1 << np.arange(64, dtype=np.int64).reshape(HAM_BANDS, 16) % 16
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 4
+                f = np.arange(AD_FRAMES, dtype=np.int64)
+                a = 100 + ((g * 104729 + (f + 1) * 7919) % 997) % 200
+                a = a + np.where(f == d % AD_FRAMES, AD_BOOST, 0)
+                samples = np.repeat(a, AF_FRAME)
+                _, decoded = decode_audio(
+                    encode_wav(samples.astype(np.int16), rate=16000)
+                )
+                xs = decoded.astype(np.int64)
+                eng = (xs * xs).reshape(AD_FRAMES, AF_FRAME).sum(axis=1)
+                bits = (eng[1:] > eng[:-1]).astype(np.int64)
+                bands = (bits.reshape(HAM_BANDS, 16) * weights).sum(axis=1)
+                out["doc_id"].append(d)
+                for k in range(HAM_BANDS):
+                    out[f"b{k}"].append(int(bands[k]))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+    )
+
+
+@query(
+    "q_audio_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_AUDIO_BANDS_SQL},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+          + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+         <= {HAM_RADIUS}
+    ),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+           node = min(lbl) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("llm", "multimodal", "dedup", "iterative"),
+)
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-dedup decision end-to-end (VERDICT r10 task 3 — the
+    audio twin of q_phash_clusters, closing the modality symmetry):
+    acoustic energy-gradient fingerprints over the REAL WAV
+    encode→decode path → Hamming ≤ {HAM_RADIUS} pairs via the SAME
+    Manku pigeonhole banding as the image family (hamming_band_pairs,
+    reused verbatim — the signatures share the 4×16-bit band layout) →
+    connected components → (doc_id, cluster_id = min doc id in
+    component, is_canonical). Drop every row where is_canonical is
+    false and the audio corpus is near-dup free at the declared radius.
+
+    Scale shape: composition of three adjudicated pieces — the
+    fingerprint is one executor-side map pass (blobs never shuffle;
+    5-int signature rows do), the banding join's candidate count tracks
+    TRUE near-pair count (Manku's property, pinned for this modality in
+    tests/test_multimodal_dedup.py), and connected_components
+    (llm/dedup.py) min-label-propagates with the adaptive small-graph
+    union-find below its edge cap. Near-dup audio components are
+    shallow (perturbed variants of one base recording), so rounds =
+    diameter stays tiny."""
+    t = load(spark, sf_dir)
+    sig = audio_signatures(t.documents).localCheckpoint()
+    edges = hamming_band_pairs(sig, HAM_RADIUS).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    from .dedup import connected_components
+
+    nodes = t.documents.select(F.col("doc_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

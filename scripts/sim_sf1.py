@@ -137,6 +137,7 @@ FULL = [
     "q_wordlist_filter",
     "q_ahash",
     "q_audio_fingerprint",
+    "q_audio_dedup",
     "q_phash_dedup",
     "q_phash_clusters",
     "q_kcenter",

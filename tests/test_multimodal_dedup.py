@@ -114,3 +114,86 @@ def test_within_group_pairs_are_near(spark):
     assert same <= 4
     far = [bin(hash_of(0) ^ hash_of(4 * g)).count("1") for g in (5, 50, 500)]
     assert min(far) > HAM_RADIUS
+
+
+def _audio_hash(d: int) -> int:
+    """Numpy twin of audio_signatures' fingerprint, straight from the
+    synthesis formula (no WAV round-trip) — the independent third
+    implementation."""
+    import numpy as np
+
+    from crypto_data_ingestion_script_spark.llm.multimodal import (
+        AD_BOOST,
+        AD_FRAMES,
+        AF_FRAME,
+    )
+
+    g = d // 4
+    f = np.arange(AD_FRAMES, dtype=np.int64)
+    a = 100 + ((g * 104729 + (f + 1) * 7919) % 997) % 200
+    a = a + np.where(f == d % AD_FRAMES, AD_BOOST, 0)
+    eng = AF_FRAME * a * a
+    bits = (eng[1:] > eng[:-1]).astype(np.int64)
+    return int(sum(int(b) << i for i, b in enumerate(bits)))
+
+
+def test_audio_signatures_match_formula(spark):
+    """audio_signatures' executor path (amplitude synth → WAV encode →
+    REAL decode → int64 frame energies → gradient bits) agrees with the
+    direct arithmetic recomputation, for a spread of doc ids — a decoder
+    defect (offset, endianness, width) diverges here."""
+    from crypto_data_ingestion_script_spark.llm.multimodal import (
+        audio_signatures,
+    )
+
+    doc_ids = [0, 1, 2, 3, 17, 64, 65, 255, 1024, 4095]
+    sig = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in audio_signatures(
+            spark.createDataFrame([(d,) for d in doc_ids], "doc_id bigint")
+        ).collect()
+    }
+    for d in doc_ids:
+        assert sig[d] == _bands_of(_audio_hash(d)), d
+
+
+def test_audio_dedup_clusters_match_brute_force(spark, tmp_path):
+    """q_audio_dedup's verdict equals an independent union-find over
+    brute-force all-pairs Hamming ≤ HAM_RADIUS on the formula-derived
+    fingerprints — planted-duplicate completeness for the audio
+    modality (the test_banding_complete_at_radius guarantee, driven
+    end-to-end through fingerprint → banding → components)."""
+    import pandas as pd
+
+    from crypto_data_ingestion_script_spark.registry import load_all
+
+    sf = str(tmp_path)
+    n = 64  # 16 four-doc groups
+    pd.DataFrame({"doc_id": range(n), "text": ["x"] * n}).to_parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in load_all()["q_audio_dedup"].fn(spark, sf).collect()
+    }
+    hashes = {d: _audio_hash(d) for d in range(n)}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for a in range(n):
+        for b in range(a + 1, n):
+            if bin(hashes[a] ^ hashes[b]).count("1") <= HAM_RADIUS:
+                n_edges += 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # min-label canonicalization: cluster id = min doc id in component
+    label = {d: min(x for x in range(n) if find(x) == find(d)) for d in range(n)}
+    assert n_edges > 0, "corpus must plant at least one near-dup pair"
+    assert got == {d: (label[d], d == label[d]) for d in range(n)}
