@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from .exact import davg
 from ..registry import query
 
 
@@ -55,7 +56,8 @@ def q_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_extract_hour",
     oracle="""
-    SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS n, avg(value) AS avg_value
+    SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS n,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_value
     FROM events GROUP BY 1
     """,
     tags=("datetime",),
@@ -63,7 +65,7 @@ def q_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     return t.events.groupBy(F.hour("ts").alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value")
+        F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value")
     )
 
 

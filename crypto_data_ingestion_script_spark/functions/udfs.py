@@ -81,9 +81,10 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_grouped",
     oracle="""
     SELECT event_type,
-           avg(value)                                    AS mean_value,
+           round(avg(value), 8)                          AS mean_value,
            CASE WHEN count(*) > 1
-                THEN sqrt(sum((value - m) * (value - m)) / (count(*) - 1))
+                THEN round(sqrt(sum((value - m) * (value - m))
+                                / (count(*) - 1)), 8)
                 END                                      AS std_value
     FROM (SELECT event_type, value,
                  avg(value) OVER (PARTITION BY event_type) AS m
@@ -97,16 +98,19 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two-pass stddev, sidestepping FP drift of one-pass formulas."""
     t = load(spark, sf_dir)
 
+    # Both UDAF outputs round 8dp in lockstep with the oracle: pandas'
+    # pairwise-summed mean differs from DuckDB's accumulation at ulp
+    # grain (rounding-contract lint, r12).
     @pandas_udf(DoubleType())
     def mean_udaf(v: pd.Series) -> float:
-        return float(v.mean())
+        return round(float(v.mean()), 8)
 
     @pandas_udf(DoubleType())
     def std_udaf(v: pd.Series) -> float:
         if len(v) <= 1:
             return None
         m = v.mean()
-        return float(((v - m) ** 2).sum() / (len(v) - 1)) ** 0.5
+        return round(float(((v - m) ** 2).sum() / (len(v) - 1)) ** 0.5, 8)
 
     return t.events.groupBy("event_type").agg(
         mean_udaf("value").alias("mean_value"),

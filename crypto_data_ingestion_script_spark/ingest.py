@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
+from .functions.exact import MONEY, dsum
 from .operators.rollup import hourly_bars_table
 from .registry import query
 
@@ -115,7 +116,7 @@ def q_sink_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(value)                           AS high_price,
            min(value)                           AS low_price,
            arg_max(value, ts)                   AS close_price,
-           avg(value)                           AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                             AS sample_count
     FROM events GROUP BY 1, 2, 3
     """,
@@ -183,7 +184,7 @@ def merge_upsert(
            max(value)                           AS high_price,
            min(value)                           AS low_price,
            arg_max(value, ts)                   AS close_price,
-           avg(value)                           AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                             AS sample_count
     FROM events GROUP BY 1, 2, 3
     """,
@@ -357,11 +358,11 @@ def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_incremental_agg",
     oracle="""
     SELECT date_trunc('day', ts) AS day_ts, event_type,
-           sum(value) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            count(*)   AS n_events,
            min(value) AS min_value,
            max(value) AS max_value,
-           sum(value) / count(*) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
     FROM events GROUP BY 1, 2
     """,
     tags=("ingest", "agg"),
@@ -382,7 +383,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.groupBy(
             F.date_trunc("day", "ts").alias("day_ts"), "event_type"
         ).agg(
-            F.sum("value").alias("p_sum"),
+            F.sum(F.col("value").cast(MONEY)).alias("p_sum"),
             F.count(F.lit(1)).alias("p_n"),
             F.min("value").alias("p_min"),
             F.max("value").alias("p_max"),
@@ -394,11 +395,13 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch1.unionByName(batch2)
         .groupBy("day_ts", "event_type")
         .agg(
-            F.sum("p_sum").alias("total_value"),
+            F.sum("p_sum").cast("double").alias("total_value"),
             F.sum("p_n").alias("n_events"),
             F.min("p_min").alias("min_value"),
             F.max("p_max").alias("max_value"),
-            (F.sum("p_sum") / F.sum("p_n")).alias("avg_value"),
+            (F.sum("p_sum").cast("double") / F.sum("p_n")).alias(
+                "avg_value"
+            ),
         )
     )
 
@@ -430,7 +433,7 @@ def observed(df: DataFrame, name: str = "ingest"):
     "q_incremental_join",
     oracle="""
     SELECT o_orderkey, o_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem, orders, customer
     WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
     GROUP BY 1, 2, 3
@@ -477,7 +480,7 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_custkey", "c_name")
-        .agg(F.sum("rev").alias("revenue"))
+        .agg(dsum("rev").alias("revenue"))
     )
 
 

@@ -646,7 +646,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(1, len(embedding) + 1)) AS i
       FROM embeddings
     )
-    SELECT label, i AS pos, avg(embedding[i]) AS centroid_val
+    SELECT label, i AS pos, round(avg(embedding[i]), 8) AS centroid_val
     FROM idx
     GROUP BY label, i
     """,
@@ -667,7 +667,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode("embedding").alias("pos0", "v")
         )
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.avg("v").alias("centroid_val"))
+        .agg(F.round(F.avg("v"), 8).alias("centroid_val"))
     )
 
 

@@ -282,7 +282,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_entropy",
     oracle="""
-    SELECT source, entropy(lang) AS lang_entropy, count(*) AS n_docs
+    SELECT source, round(entropy(lang), 8) AS lang_entropy,
+           count(*) AS n_docs
     FROM documents
     GROUP BY source
     """,
@@ -304,7 +305,7 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("source", F.col("n"), (-p * F.log2(p)).alias("term"))
         .groupBy("source")
         .agg(
-            F.sum("term").alias("lang_entropy"),
+            F.round(F.sum("term"), 8).alias("lang_entropy"),
             F.sum("n").alias("n_docs"),
         )
     )
@@ -492,8 +493,8 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT event_type,
-             quantile_cont(value, 0.01) AS lo,
-             quantile_cont(value, 0.99) AS hi
+             round(quantile_cont(value, 0.01), 8) AS lo,
+             round(quantile_cont(value, 0.99), 8) AS hi
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -509,9 +510,12 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clamp itself is a pure projection. (percentile_approx swaps in
     for the exact percentile at 100 TB — same shape, mergeable sketch.)"""
     t = load(spark, sf_dir)
+    # Bounds pre-round 8dp on both engines (the q_lift_curve shared-input
+    # rule): a last-ulp interpolation difference must not leak into the
+    # clamped output of a boundary row.
     bounds = t.events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.01)).alias("lo"),
-        F.percentile("value", F.lit(0.99)).alias("hi"),
+        F.round(F.percentile("value", F.lit(0.01)), 8).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.99)), 8).alias("hi"),
     )
     return (
         t.events.join(F.broadcast(bounds), "event_type")

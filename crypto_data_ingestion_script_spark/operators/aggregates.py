@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import davg, dsum
 from ..registry import query
 
 
@@ -113,7 +114,7 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)       AS sum_qty,
-           sum(l_extendedprice)  AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)  AS sum_price,
            count(*)              AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -124,7 +125,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
+        dsum("l_extendedprice").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -133,7 +134,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           avg(l_discount) AS avg_disc,
+           (CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount)) AS avg_disc,
            count(*)        AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -143,7 +144,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
-        F.avg("l_discount").alias("avg_disc"),
+        davg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -180,8 +181,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5)  AS p50,
-           quantile_cont(l_extendedprice, 0.95) AS p95
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg",),
@@ -192,8 +193,8 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefer q_approx_percentile's mergeable sketch."""
     t = load(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
     )
 
 
@@ -201,7 +202,7 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
            TRUE AS est_within_5pct
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -224,7 +225,7 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            "p50_exact",
+            F.round("p50_exact", 6).alias("p50_exact"),
             (
                 F.abs(F.col("_est") - F.col("p50_exact"))
                 <= 0.05 * F.abs(F.col("p50_exact"))
@@ -237,9 +238,9 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cond_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END) AS disc_price,
+           CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) AS disc_price,
            count(*) FILTER (WHERE l_quantity >= 25)                  AS n_bulk,
-           avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END)     AS avg_qty_f
+           (CAST(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,6))) AS DOUBLE) / count(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) AS avg_qty_f
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -250,11 +251,11 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsets in one pass (no per-predicate scans)."""
     t = load(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
+        dsum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
             "disc_price"
         ),
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
-        F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+        davg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
             "avg_qty_f"
         ),
     )
@@ -264,12 +265,13 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stats_agg",
     oracle="""
     SELECT l_returnflag,
-           stddev_samp(l_extendedprice) AS sd_price,
-           var_samp(l_quantity)         AS var_qty,
-           corr(l_extendedprice, l_quantity)       AS corr_pq,
-           covar_samp(l_extendedprice, l_discount) AS cov_pd,
-           skewness(l_extendedprice)
-             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)) AS skew_price
+           round(stddev_samp(l_extendedprice), 8) AS sd_price,
+           round(var_samp(l_quantity), 8)         AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 8)       AS corr_pq,
+           round(covar_samp(l_extendedprice, l_discount), 8) AS cov_pd,
+           round(skewness(l_extendedprice)
+             * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 8)
+             AS skew_price
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "stats"),
@@ -284,11 +286,13 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (G1 * (n-2)/sqrt(n(n-1)) == g1, exactly)."""
     t = load(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_extendedprice").alias("sd_price"),
-        F.var_samp("l_quantity").alias("var_qty"),
-        F.corr("l_extendedprice", "l_quantity").alias("corr_pq"),
-        F.covar_samp("l_extendedprice", "l_discount").alias("cov_pd"),
-        F.skewness("l_extendedprice").alias("skew_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 8).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 8).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 8).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 8).alias(
+            "cov_pd"
+        ),
+        F.round(F.skewness("l_extendedprice"), 8).alias("skew_price"),
     )
 
 
@@ -466,13 +470,15 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regression",
     oracle="""
     SELECT event_type,
-           regr_slope(value, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
-                             / 86400000000.0)     AS slope_per_day,
-           regr_intercept(value,
-                          (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
-                          / 86400000000.0)        AS intercept,
-           regr_r2(value, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
-                          / 86400000000.0)        AS r2
+           round(regr_slope(value,
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                 / 86400000000.0), 8)             AS slope_per_day,
+           round(regr_intercept(value,
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                 / 86400000000.0), 8)             AS intercept,
+           round(regr_r2(value,
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                 / 86400000000.0), 8)             AS r2
     FROM events GROUP BY event_type
     """,
     tags=("agg", "stats"),
@@ -490,9 +496,9 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
     ) / F.lit(86400000000.0)
     return t.events.groupBy("event_type").agg(
-        F.regr_slope(F.col("value"), x).alias("slope_per_day"),
-        F.regr_intercept(F.col("value"), x).alias("intercept"),
-        F.regr_r2(F.col("value"), x).alias("r2"),
+        F.round(F.regr_slope(F.col("value"), x), 8).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 8).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 8).alias("r2"),
     )
 
 
@@ -530,14 +536,15 @@ def q_bit_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kll_quantiles",
     oracle="""
     SELECT event_type,
-           quantile_cont(value, 0.5)  AS p50_exact,
-           quantile_cont(value, 0.9)  AS p90_exact,
-           quantile_cont(value, 0.99) AS p99_exact,
+           round(quantile_cont(value, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(value, 0.9), 6)  AS p90_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
            TRUE AS est_in_rank_band
     FROM events GROUP BY event_type
     UNION ALL
-    SELECT 'ALL', quantile_cont(value, 0.5), quantile_cont(value, 0.9),
-           quantile_cont(value, 0.99), TRUE
+    SELECT 'ALL', round(quantile_cont(value, 0.5), 6),
+           round(quantile_cont(value, 0.9), 6),
+           round(quantile_cont(value, 0.99), 6), TRUE
     FROM events
     """,
     tags=("agg", "approx"),
@@ -579,9 +586,9 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & est.between(F.col(f"_lo{tag}"), F.col(f"_hi{tag}"))
         return df.select(
             "event_type",
-            "p50_exact",
-            "p90_exact",
-            "p99_exact",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            F.round("p90_exact", 6).alias("p90_exact"),
+            F.round("p99_exact", 6).alias("p99_exact"),
             cond.alias("est_in_rank_band"),
         )
 

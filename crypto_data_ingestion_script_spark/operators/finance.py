@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import dsum
 from ..registry import query
 
 _EMA_ALPHA = 0.03
@@ -40,8 +41,8 @@ _EMA_ALPHA = 0.03
     oracle="""
     SELECT date_trunc('day', ts) AS day_ts,
            event_type,
-           sum(value * CAST(json_extract_string(props, '$.k') AS BIGINT))
-             / sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS vwap,
+           CAST(sum(CAST(value * CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6))) AS DOUBLE) AS vwap,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS volume
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
@@ -63,7 +64,7 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(
-            (F.sum(F.col("value") * F.col("vol")) / F.sum("vol")).alias("vwap"),
+            (dsum(F.col("value") * F.col("vol")) / dsum(F.col("vol"))).alias("vwap"),
             F.sum("vol").alias("volume"),
         )
     )
@@ -82,9 +83,10 @@ def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW frame AS (PARTITION BY event_type ORDER BY event_id
                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     )
-    SELECT event_id, event_type, value, mid,
-           mid + 2 * sd AS upper_band,
-           mid - 2 * sd AS lower_band
+    SELECT event_id, event_type, value,
+           round(mid, 8)          AS mid,
+           round(mid + 2 * sd, 8) AS upper_band,
+           round(mid - 2 * sd, 8) AS lower_band
     FROM w
     WHERE rn >= 24
     """,
@@ -105,9 +107,9 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            mid.alias("mid"),
-            (mid + 2 * sd).alias("upper_band"),
-            (mid - 2 * sd).alias("lower_band"),
+            F.round(mid, 8).alias("mid"),
+            F.round(mid + 2 * sd, 8).alias("upper_band"),
+            F.round(mid - 2 * sd, 8).alias("lower_band"),
             F.row_number().over(seq).alias("rn"),
         )
         .filter(F.col("rn") >= 24)
@@ -124,13 +126,15 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*)     OVER (PARTITION BY event_type)                   AS cnt
       FROM events
     )
+    SELECT event_type, round(ema_raw, 8) AS ema FROM (
     SELECT event_type,
            sum(CASE WHEN rn = 1
                     THEN power(1 - {_EMA_ALPHA}, cnt - 1) * value
                     ELSE {_EMA_ALPHA} * power(1 - {_EMA_ALPHA}, cnt - rn) * value
-               END) AS ema
+               END) AS ema_raw
     FROM seq
     GROUP BY event_type
+    ) raw_ema
     """,
     tags=("finance", "agg"),
 )
@@ -150,7 +154,7 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.events.select("event_type", term.alias("term"))
         .groupBy("event_type")
-        .agg(F.sum("term").alias("ema"))
+        .agg(F.round(F.sum("term"), 8).alias("ema"))
     )
 
 
@@ -159,8 +163,8 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT event_id, event_type, value,
-             (value - avg(value) OVER (PARTITION BY event_type))
-               / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+             round((value - avg(value) OVER (PARTITION BY event_type))
+               / stddev_samp(value) OVER (PARTITION BY event_type), 8) AS z
       FROM events
     )
     SELECT event_id, event_type, value, z
@@ -174,9 +178,14 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the outlier gate a production ingestion loop would quarantine on."""
     t = load(spark, sf_dir)
     per_key = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(per_key)) / F.stddev_samp(
-        "value"
-    ).over(per_key)
+    # z rounds 8dp BEFORE the |z| > 2.5 gate on both engines, so a
+    # last-ulp moment difference can never flip a boundary row's
+    # membership (rounding-contract lint, r12).
+    z = F.round(
+        (F.col("value") - F.avg("value").over(per_key))
+        / F.stddev_samp("value").over(per_key),
+        8,
+    )
     return (
         t.events.select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
@@ -321,7 +330,7 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     )
     SELECT event_type,
-           sum(value * dur_us) / sum(dur_us) AS twap
+           round(sum(value * dur_us) / sum(dur_us), 8) AS twap
     FROM seg WHERE dur_us IS NOT NULL
     GROUP BY event_type
     """,
@@ -347,7 +356,9 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull())
     return seg.groupBy("event_type").agg(
-        (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twap")
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 8
+        ).alias("twap")
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import dsum
 from ..registry import query
 
 # --- equi joins -------------------------------------------------------------
@@ -65,7 +66,8 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_broadcast",
     oracle="""
-    SELECT n.n_name, r.r_name, count(*) AS n_customers, sum(c.c_acctbal) AS total_bal
+    SELECT n.n_name, r.r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -85,7 +87,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("c_acctbal").alias("total_bal"),
+            dsum("c_acctbal").alias("total_bal"),
         )
     )
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import davg
 from ..registry import query
 
 
@@ -48,7 +49,7 @@ def ohlc_bars(
             F.max(value_col).alias("high_price"),
             F.min(value_col).alias("low_price"),
             F.max_by(F.col(value_col), F.col(ts_col)).alias("close_price"),
-            F.avg(value_col).alias("avg_price"),
+            davg(value_col).alias("avg_price"),
             F.count(F.lit(1)).alias("sample_count"),
         )
     )
@@ -81,7 +82,7 @@ def hourly_bars_table(ticks: DataFrame) -> DataFrame:
            max(value)               AS high_price,
            min(value)               AS low_price,
            arg_max(value, ts)       AS close_price,
-           avg(value)               AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                 AS sample_count
     FROM events
     GROUP BY 1, 2
@@ -105,7 +106,7 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(value)               AS high_price,
            min(value)               AS low_price,
            arg_max(value, ts)       AS close_price,
-           avg(value)               AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                 AS sample_count
     FROM events
     GROUP BY 1, 2
@@ -142,7 +143,7 @@ def q_ohlc_reference_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("high_price"),
             F.min("value").alias("low_price"),
             F.max_by("value", "ts").alias("close_price"),
-            F.avg("value").alias("avg_price"),
+            davg("value").alias("avg_price"),
             F.count(F.lit(1)).alias("sample_count"),
         )
     )

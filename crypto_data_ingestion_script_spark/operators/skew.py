@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import MONEY
 from ..registry import query
 
 
@@ -53,18 +54,22 @@ def salted_aggregate(
     rows, which is negligible next to the first stage's input.
     """
     salt = F.pmod(F.xxhash64(salt_on), F.lit(n_salts)).alias("_salt")
+    # Partials accumulate in DECIMAL (functions/exact.py): the whole
+    # point of salting is that reduction order changes, so a double sum
+    # here would differ per salt layout; decimal sums re-associate
+    # exactly and the final cast-to-double is order-invariant.
     partial = df.groupBy(*keys, salt).agg(
-        F.sum("value").alias("_sum"),
+        F.sum(F.col("value").cast(MONEY)).alias("_sum"),
         F.count(F.lit(1)).alias("_n"),
         F.min("value").alias("_min"),
         F.max("value").alias("_max"),
     )
     return partial.groupBy(*keys).agg(
-        F.sum("_sum").alias("sum_value"),
+        F.sum("_sum").cast("double").alias("sum_value"),
         F.sum("_n").alias("n"),
         F.min("_min").alias("min_value"),
         F.max("_max").alias("max_value"),
-        (F.sum("_sum") / F.sum("_n")).alias("avg_value"),
+        (F.sum("_sum").cast("double") / F.sum("_n")).alias("avg_value"),
     )
 
 
@@ -95,11 +100,11 @@ def salted_join(
     "q_salted_agg",
     oracle="""
     SELECT event_type,
-           sum(value)   AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
            count(*)     AS n,
            min(value)   AS min_value,
            max(value)   AS max_value,
-           avg(value)   AS avg_value
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS avg_value
     FROM events GROUP BY event_type
     """,
     tags=("agg", "skew"),

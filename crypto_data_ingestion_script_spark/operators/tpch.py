@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
 
@@ -35,12 +36,13 @@ from ..registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_charge,
+           (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity)) AS avg_qty,
+           (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice)) AS avg_price,
+           (CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount)) AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -59,12 +61,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -74,7 +76,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -115,7 +117,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(oc, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -128,7 +130,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle="""
     SELECT n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -172,14 +174,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("n_name").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
 @query(
     "q_tpch_q6",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -198,7 +200,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         & F.col("l_discount").between(0.03, 0.05)
         & (F.col("l_quantity") < 24)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
 
 
 @query(
@@ -253,7 +255,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM supplier, lineitem, orders, customer, nation n1, nation n2
     WHERE s_suppkey = l_suppkey
       AND o_orderkey = l_orderkey
@@ -296,7 +298,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -307,7 +309,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -338,7 +340,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -350,10 +352,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14",
     oracle="""
-    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0 END)
-                  / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    SELECT 100.00 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -378,7 +378,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_partkey == F.col("p_partkey"),
         )
         .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(disc_price)).alias(
+            (F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias(
                 "promo_revenue"
             )
         )
@@ -388,7 +388,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -430,7 +430,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(branch)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -549,7 +549,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q15",
     oracle="""
     WITH revenue AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -575,7 +575,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "total_rev"
             )
         )
@@ -623,7 +623,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#3'
@@ -651,16 +651,16 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_partkey == F.col("p_partkey"),
         )
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
 
 
 @query(
     "q_tpch_q22",
     oracle="""
-    SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT c_nationkey, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+    WHERE c_acctbal > (SELECT (CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(c_acctbal)) FROM customer
                        WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '2000-01-01')
@@ -678,7 +678,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     avg_bal = (
         t.customer.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("_avg"))
+        .agg(davg("c_acctbal").alias("_avg"))
     )
     rich = t.customer.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("_avg")
@@ -691,7 +691,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return no_orders.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.sum("c_acctbal").alias("totacctbal"),
+        dsum("c_acctbal").alias("totacctbal"),
     )
 
 
@@ -699,9 +699,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
     SELECT year(o_orderdate) AS o_year,
-           sum(CASE WHEN n2.n_name = 'NATION_3'
-                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+           CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
     FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
          region
     WHERE p_partkey = l_partkey
@@ -758,7 +757,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg((F.sum(target) / F.sum(vol)).alias("mkt_share"))
+        .agg((dsum(target) / dsum(vol)).alias("mkt_share"))
     )
 
 
@@ -766,8 +765,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q9",
     oracle="""
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           sum(l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity) AS sum_profit
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_profit
     FROM part, supplier, lineitem, orders, nation
     WHERE s_suppkey = l_suppkey
       AND p_partkey = l_partkey
@@ -804,7 +803,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(profit).alias("sum_profit"))
+        .agg(dsum(profit).alias("sum_profit"))
     )
 
 
@@ -818,10 +817,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND s_nationkey = n_nationkey
         AND n_name = 'NATION_3'
     )
-    SELECT l_partkey AS partkey, sum(value) AS part_value
+    SELECT l_partkey AS partkey, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS part_value
     FROM natl
     GROUP BY l_partkey
-    HAVING sum(value) > (SELECT 0.001 * sum(value) FROM natl)
+    HAVING CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) > (SELECT 0.001 * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM natl)
     """,
     tags=("tpch", "subquery"),
 )
@@ -843,9 +842,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                           (F.col("l_extendedprice") * F.col("l_quantity")).alias("_v"))
         .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("_v").alias("part_value"))
+        .agg(dsum("_v").alias("part_value"))
     )
-    threshold = per_part.agg((F.lit(0.001) * F.sum("part_value")).alias("_thr"))
+    threshold = per_part.agg((F.lit(0.001) * dsum("part_value")).alias("_thr"))
     return (
         per_part.join(F.broadcast(threshold))
         .filter(F.col("part_value") > F.col("_thr"))

@@ -32,7 +32,7 @@ _BARS_SQL = """
              max(value)             AS high_price,
              min(value)             AS low_price,
              arg_max(value, ts)     AS close_price,
-             avg(value)             AS avg_price,
+             (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
              count(*)               AS sample_count
       FROM events GROUP BY 1, 2
     )
@@ -108,8 +108,10 @@ def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_BARS_SQL}
     SELECT event_type, hour_ts, avg_price,
-           avg(avg_price) OVER (PARTITION BY event_type ORDER BY hour_ts
-                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           round(avg(avg_price) OVER (PARTITION BY event_type
+                                      ORDER BY hour_ts
+                                      ROWS BETWEEN 3 PRECEDING
+                                               AND CURRENT ROW), 8)
              AS ma4
     FROM bars
     """,
@@ -128,7 +130,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_ts",
         "avg_price",
-        F.avg("avg_price").over(w).alias("ma4"),
+        F.round(F.avg("avg_price").over(w), 8).alias("ma4"),
     )
 
 

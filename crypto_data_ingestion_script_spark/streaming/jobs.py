@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import davg
 from ..registry import query
 
 EVENTS_DDL = (
@@ -121,7 +122,7 @@ def tumbling_ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
             F.max("value").alias("high_price"),
             F.min("value").alias("low_price"),
             F.max_by("value", "ts").alias("close_price"),
-            F.avg("value").alias("avg_price"),
+            davg("value").alias("avg_price"),
             F.count(F.lit(1)).alias("sample_count"),
         )
     )
@@ -171,7 +172,7 @@ def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
            max(value)               AS high_price,
            min(value)               AS low_price,
            arg_max(value, ts)       AS close_price,
-           avg(value)               AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                 AS sample_count
     FROM events
     GROUP BY 1, 2
@@ -204,7 +205,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              ::TIMESTAMP AS w_start,
            event_type,
            count(*)   AS n,
-           avg(value) AS avg_value
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_value
     FROM events, (SELECT unnest([0, 300]) AS off)
     GROUP BY 1, 2
     """,
@@ -219,7 +220,7 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), davg("value").alias("avg_value"))
         .select(
             F.col("w.start").alias("w_start"), "event_type", "n", "avg_value"
         )
@@ -349,7 +350,7 @@ def stream_to_silver(
            max(value)                           AS high_price,
            min(value)                           AS low_price,
            arg_max(value, ts)                   AS close_price,
-           avg(value)                           AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                             AS sample_count
     FROM events GROUP BY 1, 2, 3
     """,
@@ -461,7 +462,7 @@ ROCKSDB_PROVIDER = (
            max(value)               AS high_price,
            min(value)               AS low_price,
            arg_max(value, ts)       AS close_price,
-           avg(value)               AS avg_price,
+           (CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)) AS avg_price,
            count(*)                 AS sample_count
     FROM events
     GROUP BY 1, 2

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.exact import dsum
 from ..registry import query
 from .jobs import _events_stream, run_to_memory
 
@@ -33,7 +34,7 @@ from .jobs import _events_stream, run_to_memory
     "q_stream_static_join",
     oracle="""
     SELECT c_mktsegment,
-           sum(value) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            count(*)   AS n_events
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
@@ -51,7 +52,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.join(dim, stream.user_id == dim.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sum("value").alias("total_value"),
+            dsum("value").alias("total_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -42,8 +42,93 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rounding_lint.json"
 #: Adjudicated-exact emitters: {query: {column: rationale}}. A column
 #: lands here ONLY with a written argument that both engines emit the
 #: bit-identical double (no floating-point operation whose result
-#: depends on summation order or libm).
-WHITELIST: dict = {}
+#: depends on summation order or libm). Class tags:
+#:
+#: EXD — order-independent DECIMAL(18,6) accumulation (functions/
+#:   exact.py dsum): the emitted double is the nearest double to the
+#:   exact decimal sum, bit-identical on both engines regardless of
+#:   partitioning. Appears flagged only because the detector's
+#:   round(.,8) invariance check is magnitude-limited past ~9e7 (the
+#:   1e8 scaling exceeds the 53-bit mantissa).
+#: EXR — one IEEE division of a bit-identical exact-decimal sum
+#:   (functions/exact.py davg) by an engine-identical exact count:
+#:   identical operands, one deterministic operation.
+#: ROW — per-row deterministic IEEE arithmetic on identical operands
+#:   (single +,-,*,/, abs, or correctly-rounded sqrt; no reduction,
+#:   no libm transcendental).
+#: RAT — exact rational: single division of engine-identical integers
+#:   (rank statistics).
+#: INT — integer-exact numerator (integer sum, exact in double below
+#:   2^53) divided by an exact count: one deterministic division.
+EXD = (
+    "EXD: exact decimal(18,6) accumulation, order-independent and "
+    "bit-identical cross-engine (functions/exact.py dsum)"
+)
+EXR = (
+    "EXR: IEEE division of a bit-identical exact decimal sum by an "
+    "exact count (functions/exact.py davg)"
+)
+ROW = (
+    "ROW: per-row deterministic IEEE arithmetic on identical operands "
+    "- no reduction, no libm transcendental"
+)
+RAT = "RAT: single division of engine-identical integers"
+INT = "INT: integer-exact sum (below 2^53) / exact count"
+WHITELIST: dict = {
+    "q_ohlc_hourly": {"avg_price": EXR},
+    "q_ohlc_reference_parity": {"avg_price": EXR},
+    "q_sink_silver": {"avg_price": EXR},
+    "q_merge_upsert": {"avg_price": EXR},
+    "q_stream_tumbling": {"avg_price": EXR},
+    "q_stream_silver": {"avg_price": EXR},
+    "q_stream_rocksdb": {"avg_price": EXR},
+    "q_moving_avg": {"avg_price": EXR},
+    "q_rank": {"avg_price": EXR, "prnk": RAT, "cdist": RAT},
+    "q_rank_dist": {"pr": RAT, "cd": RAT},
+    "q_sliding": {"avg_value": EXR},
+    "q_extract_hour": {"avg_value": EXR},
+    "q_salted_agg": {"avg_value": EXR, "sum_value": EXD},
+    "q_incremental_agg": {"avg_value": EXR, "total_value": EXD},
+    "q_incremental_join": {"revenue": EXD},
+    "q_join_broadcast": {"total_bal": EXD},
+    "q_stream_static_join": {"total_value": EXD},
+    "q_cube": {"avg_disc": EXR},
+    "q_cond_agg": {"avg_qty_f": EXR, "disc_price": EXD},
+    "q_rollup": {"sum_price": EXD},
+    "q_tpch_q1": {
+        "sum_base_price": EXD,
+        "sum_disc_price": EXD,
+        "sum_charge": EXD,
+        "avg_qty": EXR,
+        "avg_price": EXR,
+        "avg_disc": EXR,
+    },
+    "q_tpch_q3": {"revenue": EXD},
+    "q_tpch_q5": {"revenue": EXD},
+    "q_tpch_q6": {"revenue": EXD},
+    "q_tpch_q7": {"revenue": EXD},
+    "q_tpch_q8": {"mkt_share": EXR},
+    "q_tpch_q9": {"sum_profit": EXD},
+    "q_tpch_q10": {"revenue": EXD},
+    "q_tpch_q11": {"part_value": EXD},
+    "q_tpch_q14": {"promo_revenue": EXR},
+    "q_tpch_q15": {"total_rev": EXD},
+    "q_tpch_q17": {"avg_yearly": EXR},
+    "q_tpch_q19": {"revenue": EXD},
+    "q_tpch_q22": {"totacctbal": EXD},
+    "q_vwap": {"vwap": EXR},
+    "q_cast": {"value_f32": ROW + " (float32 narrowing cast)"},
+    "q_lag": {"bar_change": ROW + " (one subtraction, ordered window)"},
+    "q_math_funcs": {
+        "disc_dev": ROW + " (abs of one subtraction)",
+        "price_sqrt": ROW + " (sqrt is IEEE-754 correctly rounded)",
+    },
+    "q_try_arith": {"safe_ratio": ROW + " (one division)"},
+    "q_udf_pandas": {
+        "charge": ROW + " (product chain, identical evaluation order)"
+    },
+    "q_text_stats": {"avg_chars": INT, "avg_tokens": INT},
+}
 
 
 def _unrounded(vals: np.ndarray) -> tuple[int, float | None]:
