@@ -175,3 +175,198 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "hour_ts", F.col("hour_ts").cast("timestamp_ntz")
     ).withColumn("avg_price", F.round("avg_price", 8))
+
+
+#: q_stream_session_timeout: idle gap that closes a session (event-time).
+SESSION_GAP_MIN = 30
+_SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+SESSION_OUT_DDL = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, emitted_by string"
+)
+SESSION_STATE_DDL = "start_us long, last_us long, n long"
+
+
+def _session_update(key, pdfs, state: GroupState):
+    """Per-user sessionizer with idle-timeout emission. Two exits per
+    session: a GAP exit when a later event of the same user arrives more
+    than SESSION_GAP_MIN past the running session's last event (emitted
+    inline while folding the batch), and a TIMEOUT exit when the
+    event-time watermark passes last_event + gap with no successor —
+    the engine wakes this function with hasTimedOut for the idle key.
+    State per user is ONE (start, last, n) tuple — bounded by ACTIVE
+    keys, not event volume; timed-out state is removed, so the store
+    shrinks as users go quiet (the property q_stream_session's built-in
+    session_window also has, but owned explicitly here)."""
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us * 1000)],
+                "session_end": [pd.Timestamp(last_us * 1000)],
+                "n_events": [n],
+                "emitted_by": ["timeout"],
+            }
+        )
+        return
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return
+    batch = pd.concat(frames).sort_values(["ts", "event_id"])
+    ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+    carry = tuple(state.get) if state.exists else None
+    closed = []
+    for t in ts_us:
+        t = int(t)
+        if carry is None:
+            carry = (t, t, 1)
+        elif t - carry[1] <= _SESSION_GAP_US:
+            carry = (carry[0], max(carry[1], t), carry[2] + 1)
+        else:
+            closed.append(carry)
+            carry = (t, t, 1)
+    state.update(carry)
+    # Event-time timeout: fire when the watermark passes idle horizon.
+    state.setTimeoutTimestamp(carry[1] // 1000 + SESSION_GAP_MIN * 60 * 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(c[0] * 1000) for c in closed],
+                "session_end": [pd.Timestamp(c[1] * 1000) for c in closed],
+                "n_events": [c[2] for c in closed],
+                "emitted_by": ["gap"] * len(closed),
+            }
+        )
+
+
+def sessionize_with_timeout(events: DataFrame) -> DataFrame:
+    """Group an events-shaped stream by user and run the idle-timeout
+    sessionizer under GroupStateTimeout.EventTimeTimeout."""
+    return (
+        events.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_update,
+            outputStructType=SESSION_OUT_DDL,
+            stateStructType=SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@query(
+    "q_stream_session_timeout",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           CASE WHEN sid = max(sid) OVER (PARTITION BY user_id)
+                THEN 'timeout' ELSE 'gap' END AS emitted_by
+    FROM agg
+    """,
+    tags=("streaming", "stateful", "session"),
+)
+def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state TTL/timeout (VERDICT r10 task 5): per-user
+    sessionization where the ENGINE's GroupStateTimeout machinery — not
+    a data row — closes idle sessions. applyInPandasWithState under
+    EventTimeTimeout (protobuf-free, unlike the waiver-blocked native
+    transformWithState leg): sessions that a successor event closes are
+    emitted inline tagged 'gap'; sessions with no successor are emitted
+    by the hasTimedOut wake-up tagged 'timeout' once the watermark
+    passes last_event + {SESSION_GAP_MIN} min. Delivery is two
+    micro-batches (the q_stream_dedup_watermark mtime trick): the real
+    events, then ONE far-future sentinel row (user −1, filtered from
+    output) that advances the watermark past every open session's idle
+    horizon so the timeout path executes for real — without it the
+    final watermark stalls at max(ts) and the engine would never fire.
+    Oracle: batch gaps-and-islands; a user's last session is by
+    construction the 'timeout' one.
+
+    Scale shape: state is one fixed tuple per ACTIVE user (removed on
+    timeout — the store shrinks as users go idle); groups hash across
+    executors; batches arrive as Arrow. The islands fold is per-user
+    within a micro-batch, never global."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from .jobs import _stream_events_from
+
+    indir = tempfile.mkdtemp(prefix="sess_to_")
+    src = os.path.join(sf_dir, "events.parquet")
+    # Generation 0: the real events (any number of part files).
+    if os.path.isdir(src):
+        import glob as _glob
+
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        for i, f in enumerate(parts):
+            dst = os.path.join(indir, f"gen0_{i:04d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        n_gen0 = len(parts)
+    else:
+        dst = os.path.join(indir, "gen0.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_600_000_000, 1_600_000_000))
+        n_gen0 = 1
+    # Generation 1: one sentinel far past every session's idle horizon.
+    max_ts = t.events.agg(F.max("ts")).collect()[0][0]
+    sentinel = t.events.limit(1).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (
+            F.lit(max_ts).cast("timestamp_ntz")
+            + F.expr(f"INTERVAL {SESSION_GAP_MIN * 2} MINUTES")
+        ).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sent_dir = tempfile.mkdtemp(prefix="sess_sent_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    spart = [
+        f for f in os.listdir(sent_dir) if f.endswith(".parquet")
+    ][0]
+    dst = os.path.join(indir, "gen1.parquet")
+    shutil.copy(os.path.join(sent_dir, spart), dst)
+    os.utime(dst, (1_600_001_000, 1_600_001_000))
+
+    stream = _stream_events_from(
+        spark, indir, src, maxFilesPerTrigger=str(n_gen0)
+    )
+    out = run_to_memory(sessionize_with_timeout(stream), output_mode="append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "emitted_by",
+    )

@@ -103,6 +103,7 @@ FULL = [
     "q_dp_noise",
     "q_attribution",
     "q_stream_topk",
+    "q_stream_session_timeout",
     "q_auc",
     "q_woe_iv",
     "q_embedding_isotropy",

@@ -143,3 +143,59 @@ def test_ohlc_reference_parity_query_planted_zeros(spark, tmp_path):
     b = out[(11, "B")]
     assert b["open_price"] == 0.0
     assert b["open_price_ref"] is None  # no non-zero tick ever opened it
+
+
+def test_session_timeout_toy_islands(spark, tmp_path):
+    """q_stream_session_timeout on a planted corpus: gap-split sessions
+    emit 'gap', each user's final session emits 'timeout' (fired by the
+    engine's EventTimeTimeout, not by a data row), and the state store
+    ends bounded by ACTIVE keys (only the watermark-advancing sentinel
+    remains resident)."""
+    import datetime as dt
+    import json
+
+    from crypto_data_ingestion_script_spark.streaming import jobs
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mins = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: two sessions (40-min idle gap > 30-min horizon)
+        (1, mins(0), 1, "click", 1.0, "{}"),
+        (2, mins(10), 1, "click", 1.0, "{}"),
+        (3, mins(50), 1, "click", 1.0, "{}"),
+        # user 2: one session, exactly-at-gap successor stays inside
+        (4, mins(0), 2, "click", 1.0, "{}"),
+        (5, mins(30), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["user_id"], r["session_start"]): r
+        for r in SPECS["q_stream_session_timeout"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 3
+    s1a = out[(1, mins(0))]
+    assert (s1a["session_end"], s1a["n_events"], s1a["emitted_by"]) == (
+        mins(10), 2, "gap",
+    )
+    s1b = out[(1, mins(50))]
+    assert (s1b["n_events"], s1b["emitted_by"]) == (1, "timeout")
+    s2 = out[(2, mins(0))]
+    assert (s2["session_end"], s2["n_events"], s2["emitted_by"]) == (
+        mins(30), 2, "timeout",
+    )
+    # State boundedness: timed-out users are REMOVED; only the sentinel
+    # key (whose own timeout the watermark never passes) stays resident.
+    progress = [json.loads(p) for p in jobs.LAST_QUERY_PROGRESS]
+    finals = [
+        op["numRowsTotal"]
+        for p in progress[-1:]
+        for op in p.get("stateOperators", [])
+    ]
+    assert finals and finals[0] <= 1, finals
