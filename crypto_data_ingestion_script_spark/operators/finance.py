@@ -1198,9 +1198,7 @@ def _ema_term_sql(alpha: float, ri: str, rt: str, x: str) -> str:
     )
 
 
-@query(
-    "q_macd",
-    oracle=f"""
+_MACD_ORACLE = f"""
     WITH bars AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
              arg_max(value, ts) AS close
@@ -1241,7 +1239,12 @@ def _ema_term_sql(alpha: float, ri: str, rt: str, x: str) -> str:
            round(m.macd8 - s.signal, 6) AS histogram
     FROM macd m JOIN sig s ON m.event_type = s.event_type AND m.rn = s.rn
     ORDER BY m.event_type, m.hour_ts
-    """,
+"""
+
+
+@query(
+    "q_macd",
+    oracle=_MACD_ORACLE,
     tags=("finance", "window"),
 )
 def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,7 +1260,9 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar-pair self-join at rn_i ≤ rn_t, which is CONTENT-BOUNDED
     (≤720 bars/type over the fixed corpus window at any data size →
     ≤260k pair rows per type). One join produces BOTH the fast and slow
-    sums. The MACD series is rounded to 8dp before feeding the signal
+    sums. For series where that premise breaks (multi-year, unbounded
+    length), q_macd_seq is the proven O(n)-per-series alternative —
+    same oracle, pinned output-equal on the shared fixture. The MACD series is rounded to 8dp before feeding the signal
     recursion — the shared-input rule (q_pacf/q_hits) that keeps the
     second closed form engine-identical. The fact table itself touches
     only the initial combinable bar rollup."""
@@ -1722,4 +1727,83 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "q_macd_seq",
+    oracle=_MACD_ORACLE,
+    tags=("finance", "window", "iterative"),
+)
+def q_macd_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) with the UNBOUNDED-SERIES plan (VERDICT r11 task 6
+    — the declared escape path for the O(bars²) closed-form family):
+    instead of q_macd's bar-pair self-join (quadratic in SERIES LENGTH,
+    safe only under the content-bounded ≤720-bars/type premise), each
+    series' EMA recursion EMA_t = α·x_t + (1−α)·EMA_{t−1} runs
+    SEQUENTIALLY inside one Arrow batch per event_type — O(n) work and
+    O(n) memory per series, so a multi-year 87k-bar series costs 87k
+    multiply-adds instead of ~10⁹ pair rows. Series are independent →
+    perfectly parallel across executors (one group per series); the
+    fact table still collapses through the same combinable bar rollup.
+
+    Same oracle as q_macd, and pinned output-equal to the pair-join
+    form on the shared fixture (tests/test_round11_finance.py): the
+    recursion IS the closed form (seed EMA₁ = x₁; expanding the
+    recurrence yields exactly the α·r^{t−i}·xᵢ terms), the MACD series
+    rounds 8dp before seeding the signal recursion (the shared-input
+    rule, HALF_UP over the shortest-decimal repr — bit-equivalent to
+    F.round), and the emitted columns round 6dp — identical rounding
+    pipeline, so the ≤1e-12 accumulation-order difference between
+    recursion and pair-sum is absorbed exactly where the engines'
+    own drift already is."""
+    import numpy as np
+    import pandas as pd
+
+    from .graph import _round_half_up_vec
+
+    t = load(spark, sf_dir)
+    bars = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.max_by("value", "ts").alias("close"))
+
+    a_fast = 2.0 / (MACD_FAST + 1)
+    a_slow = 2.0 / (MACD_SLOW + 1)
+    a_sig = 2.0 / (MACD_SIGNAL + 1)
+
+    def _series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_ts")
+        x = pdf["close"].to_numpy(dtype="float64")
+
+        def ema(vals: np.ndarray, alpha: float) -> np.ndarray:
+            r = 1.0 - alpha
+            out = np.empty(len(vals), dtype="float64")
+            out[0] = vals[0]
+            for i in range(1, len(vals)):
+                out[i] = alpha * vals[i] + r * out[i - 1]
+            return out
+
+        macd8 = np.asarray(
+            _round_half_up_vec(ema(x, a_fast) - ema(x, a_slow), 8),
+            dtype="float64",
+        )
+        signal = ema(macd8, a_sig)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "hour_ts": pdf["hour_ts"].to_numpy(),
+                "macd": _round_half_up_vec(macd8, 6),
+                "signal": _round_half_up_vec(signal, 6),
+                "histogram": _round_half_up_vec(macd8 - signal, 6),
+            }
+        )
+
+    return (
+        bars.groupBy("event_type")
+        .applyInPandas(
+            _series,
+            "event_type string, hour_ts timestamp_ntz, macd double,"
+            " signal double, histogram double",
+        )
+        .orderBy("event_type", "hour_ts")
     )

@@ -68,6 +68,7 @@ FULL = [
     "q_lift_curve",
     # r11 additions (finance indicator batch)
     "q_macd",
+    "q_macd_seq",
     "q_stochastic",
     "q_donchian",
     "q_rolling_beta",

@@ -145,3 +145,18 @@ def test_rolling_beta_matches_pandas(spark, sf_dir, bars):
         np.testing.assert_allclose(
             got["alpha"].to_numpy(), np.array(alphas), atol=2e-6
         )
+
+
+def test_macd_seq_equals_pair_join_form(spark, sf_dir):
+    """q_macd_seq (O(n)-per-series Arrow-batch recursion, the unbounded-
+    series escape path) must emit EXACTLY the pair-join closed form's
+    rows on the shared fixture — same rounding pipeline, same seeded
+    recursion algebra."""
+    seq = sorted(
+        tuple(r) for r in SPECS["q_macd_seq"].fn(spark, sf_dir).collect()
+    )
+    pair = sorted(
+        tuple(r) for r in SPECS["q_macd"].fn(spark, sf_dir).collect()
+    )
+    assert len(seq) > 0
+    assert seq == pair
