@@ -790,8 +790,20 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 4×16-bit band layout as the image hashes so the Manku blocking
 #: (hamming_band_pairs) applies verbatim. Docs in the same 4-doc group
 #: share a base per-frame amplitude pattern; each doc boosts ONE frame
-#:  (doc_id % AD_FRAMES) by AD_BOOST, flipping ≤2 gradient bits — so
+#: (doc_id % AD_FRAMES) by AD_BOOST, flipping ≤2 gradient bits — so
 #: within-group pairs land at Hamming 0–4 (the image-corpus design).
+#: The base pattern mixes TWO group moduli (g%251, g%241 — the
+#: _PHASH_PX_SQL trick) so patterns are unique up to lcm(251,241) ≈
+#: 60k groups ≈ 242k docs, and the frame axis enters QUADRATICALLY
+#: ((f+1)(f+7), (f+3)(f+11)): with a LINEAR f term the amplitude is an
+#: arithmetic progression mod 997 (the f-difference is constant per
+#: group), so gradient patterns collapse to ≤997 rhythms and near-pairs
+#: explode superlinearly — measured at sf1 (50k docs): 13.1M band
+#: candidates / 890k true ≤3-Hamming pairs with the linear form (an
+#: AGGREGATE_OUT_OF_MEMORY in the sweep) vs 955k / 70.6k with the
+#: quadratic form, i.e. exactly the planted within-group pairs plus the
+#: 16-bit bands' birthday floor. Planted near-dups must stay LINEAR in
+#: corpus size.
 AD_FRAMES = 65
 AD_BOOST = 500
 
@@ -802,7 +814,9 @@ _AUDIO_BANDS_SQL = f"""
 d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % {AD_FRAMES} AS p
       FROM documents),
 amps AS (SELECT doc_id, f.f AS f,
-                100 + ((g * 104729 + (f.f + 1) * 7919) % 997) % 200
+                100 + (((g % 251) * (f.f + 1) * (f.f + 7) * 104729
+                        + (g % 241) * (f.f + 3) * (f.f + 11) * 7919)
+                       % 997) % 200
                     + CASE WHEN f.f = p THEN {AD_BOOST} ELSE 0 END AS a
          FROM d, range({AD_FRAMES}) f(f)),
 eng AS (SELECT doc_id, f, CAST({AF_FRAME} * a * a AS BIGINT) AS e
@@ -811,10 +825,11 @@ abits AS (SELECT a.doc_id, a.f - 1 AS j,
                  CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
           FROM eng a JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f - 1
           WHERE a.f >= 1),
-bands AS (SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
+bands AS MATERIALIZED (
+          SELECT doc_id, CAST(j // 16 AS INTEGER) AS band_idx,
                  CAST(sum(bit * (1 << (j % 16))) AS INTEGER) AS band_val
           FROM abits GROUP BY 1, 2),
-sig AS (SELECT doc_id,
+sig AS MATERIALIZED (SELECT doc_id,
                max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
                max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
                max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
@@ -845,7 +860,10 @@ def audio_signatures(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 g = d // 4
                 f = np.arange(AD_FRAMES, dtype=np.int64)
-                a = 100 + ((g * 104729 + (f + 1) * 7919) % 997) % 200
+                a = 100 + (
+                    ((g % 251) * (f + 1) * (f + 7) * 104729
+                     + (g % 241) * (f + 3) * (f + 11) * 7919) % 997
+                ) % 200
                 a = a + np.where(f == d % AD_FRAMES, AD_BOOST, 0)
                 samples = np.repeat(a, AF_FRAME)
                 _, decoded = decode_audio(
@@ -872,7 +890,7 @@ def audio_signatures(docs: DataFrame) -> DataFrame:
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.band_idx = b.band_idx
                   AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b
       FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
                   JOIN sig sb ON sb.doc_id = c.doc_b
@@ -880,7 +898,8 @@ def audio_signatures(docs: DataFrame) -> DataFrame:
           + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
          <= {HAM_RADIUS}
     ),
-    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    sym AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL SELECT doc_b, doc_a FROM pairs),
     reach AS (
       SELECT doc_id AS node, doc_id AS lbl FROM documents

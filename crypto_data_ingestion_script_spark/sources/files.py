@@ -212,7 +212,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_file_metadata",
     oracle="""
-    SELECT 'events.parquet' AS file_name,
+    SELECT 'events.parquet' AS table_name,
            count(*) AS n_rows,
            min(event_id) AS min_id, max(event_id) AS max_id
     FROM events
@@ -225,11 +225,15 @@ def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive behind per-file quarantine (bad file → drop exactly its
     rows), incremental reprocessing, and audit queries, with zero cost
     when unreferenced (the column is populated from split metadata, not
-    read from disk). Grouped to per-file stats here; basenames only, so
-    the check is location-independent.
+    read from disk). The plan groups to PER-FILE stats (the lineage
+    grain — one row per part file), then folds to table grain for the
+    emitted contract: a single-file table and a directory-of-part-files
+    table (benchdata's layout, 32 parts at sf1 — the r12 sweep caught
+    the per-file emission diverging there) must check identically,
+    and the oracle's view cannot see physical file names.
     """
     t = load(spark, sf_dir)
-    return (
+    per_file = (
         t.events.select(
             F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0).alias(
                 "file_name"
@@ -242,7 +246,16 @@ def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
         )
-        .orderBy("file_name")
+    )
+    return per_file.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
+    ).select(
+        F.lit("events.parquet").alias("table_name"),
+        "n_rows",
+        "min_id",
+        "max_id",
     )
 
 

@@ -208,6 +208,229 @@ FULL = [
     "q_dedup_incremental",
     "q_dedup_near",
     "q_pipeline_pretrain",
+    "q_active_users",
+    "q_apply_in_pandas",
+    "q_approx_count_distinct",
+    "q_approx_percentile",
+    "q_array_agg",
+    "q_array_funcs",
+    "q_autocorr",
+    "q_benford",
+    "q_bigrams",
+    "q_bit_bool_agg",
+    "q_bm25",
+    "q_bollinger",
+    "q_case_when",
+    "q_cast",
+    "q_cdc_apply",
+    "q_chisq",
+    "q_chunk_text",
+    "q_cohort",
+    "q_compact",
+    "q_cond_agg",
+    "q_contamination",
+    "q_corr_matrix",
+    "q_count_distinct",
+    "q_cube",
+    "q_cusum",
+    "q_dataset_split",
+    "q_date_arith",
+    "q_date_format",
+    "q_date_funcs",
+    "q_date_trunc",
+    "q_decimal_exact",
+    "q_decode_audio",
+    "q_decode_image",
+    "q_dedup_exact",
+    "q_distinct",
+    "q_dq_audit",
+    "q_drawdown",
+    "q_dropna",
+    "q_ema",
+    "q_embed_centroid",
+    "q_entropy",
+    "q_except",
+    "q_exists_correlated",
+    "q_explode",
+    "q_explode_map",
+    "q_explode_outer",
+    "q_extract_hour",
+    "q_file_metadata",
+    "q_fillna",
+    "q_filter_nulls",
+    "q_filter_pred",
+    "q_fingerprint",
+    "q_first_last",
+    "q_frame_sample",
+    "q_funnel",
+    "q_funnel_windowed",
+    "q_gap_fill",
+    "q_gini",
+    "q_group_by_all",
+    "q_grouping_sets",
+    "q_hash",
+    "q_hash_spark",
+    "q_heavy_hitters",
+    "q_higher_order_pred",
+    "q_histogram",
+    "q_hll_sketch",
+    "q_id_gaps",
+    "q_incremental_agg",
+    "q_incremental_join",
+    "q_interpolate",
+    "q_intersect",
+    "q_interval",
+    "q_interval_overlap",
+    "q_inverted_index",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_asof_nearest",
+    "q_join_broadcast",
+    "q_join_bucketed",
+    "q_join_cross",
+    "q_join_inner",
+    "q_join_interval",
+    "q_join_null_safe",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_salted",
+    "q_join_semi",
+    "q_json_extract",
+    "q_kll_quantiles",
+    "q_knn_classify",
+    "q_lag",
+    "q_lang_id",
+    "q_lateral",
+    "q_mad_outliers",
+    "q_map_funcs",
+    "q_map_hof",
+    "q_map_in_pandas",
+    "q_market_basket",
+    "q_masking",
+    "q_math_funcs",
+    "q_median",
+    "q_median_window",
+    "q_merge_upsert",
+    "q_mix_temperature",
+    "q_mode",
+    "q_moving_avg",
+    "q_moving_avg_time",
+    "q_multimodal",
+    "q_ngram_jaccard",
+    "q_nth_value",
+    "q_ohlc_hourly",
+    "q_ohlc_reference_parity",
+    "q_pack_sequences",
+    "q_percentile",
+    "q_pipeline_training_data",
+    "q_pivot",
+    "q_pmi",
+    "q_posexplode",
+    "q_project",
+    "q_quality_score",
+    "q_rank",
+    "q_rank_dist",
+    "q_ratio_to_report",
+    "q_realized_vol",
+    "q_recursive_cte",
+    "q_regexp_all",
+    "q_regression",
+    "q_repetition_filter",
+    "q_retention",
+    "q_rollup",
+    "q_rsi",
+    "q_running_sum",
+    "q_salted_agg",
+    "q_sample",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scalar_subquery",
+    "q_scan_binaryfile",
+    "q_scan_csv_roundtrip",
+    "q_scan_json_corrupt",
+    "q_scan_json_roundtrip",
+    "q_scan_orc_roundtrip",
+    "q_scan_xml_roundtrip",
+    "q_scd2",
+    "q_schema_evolution",
+    "q_seasonal_baseline",
+    "q_session",
+    "q_set_ops_all",
+    "q_sink_bronze",
+    "q_sink_silver",
+    "q_skyline",
+    "q_sliding",
+    "q_snapshot_diff",
+    "q_sort",
+    "q_sort_within_partitions",
+    "q_source_datasource",
+    "q_source_ingest",
+    "q_source_ingest_retry",
+    "q_stats_agg",
+    "q_streaks",
+    "q_string_funcs",
+    "q_surrogate_key",
+    "q_text_clean",
+    "q_text_stats",
+    "q_tfidf",
+    "q_theta_sketch",
+    "q_to_date",
+    "q_token_count",
+    "q_topk",
+    "q_topk_group",
+    "q_topk_ties",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_try_arith",
+    "q_ttest",
+    "q_twap",
+    "q_udaf_grouped",
+    "q_udf_arrow",
+    "q_udf_pandas",
+    "q_udf_scalar",
+    "q_udtf",
+    "q_unigram_logprob",
+    "q_union",
+    "q_union_by_name",
+    "q_unpivot",
+    "q_variant",
+    "q_vwap",
+    "q_window_distinct",
+    "q_winsorize",
+    "q_wordcount",
+    "q_zorder",
+    "q_zscore",
+    "q_source_datasource_stream",
+    "q_stream_dedup",
+    "q_stream_dedup_watermark",
+    "q_stream_rocksdb",
+    "q_stream_session",
+    "q_stream_silver",
+    "q_stream_stateful",
+    "q_stream_static_join",
+    "q_stream_tumbling",
+    "q_stream_tws",
     "q_triangles",
 ]
 

@@ -130,7 +130,10 @@ def _audio_hash(d: int) -> int:
 
     g = d // 4
     f = np.arange(AD_FRAMES, dtype=np.int64)
-    a = 100 + ((g * 104729 + (f + 1) * 7919) % 997) % 200
+    a = 100 + (
+        ((g % 251) * (f + 1) * (f + 7) * 104729
+         + (g % 241) * (f + 3) * (f + 11) * 7919) % 997
+    ) % 200
     a = a + np.where(f == d % AD_FRAMES, AD_BOOST, 0)
     eng = AF_FRAME * a * a
     bits = (eng[1:] > eng[:-1]).astype(np.int64)
