@@ -519,7 +519,7 @@ def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tempting one-pass form — size(collect_set(user_id)) over the
     running frame — re-materializes the growing set PER ROW: O(rows²)
     work and allocation per key partition, measured 169.7 s at sf1
-    (1M rows/key) vs 5.4 s for this plan, and fatal at any real scale
+    (1M rows/key) vs 3.7 s for this plan, and fatal at any real scale
     (the r12 full-registry sf1 sweep caught it). At true 100 TB
     cardinalities even the exact flag sum gives way to the HLL sketch
     variant (q_hll_sketch); this op is the exact twin for key-bounded
