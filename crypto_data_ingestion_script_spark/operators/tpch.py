@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.exact import davg, dsum, sql_davg, sql_dsum
+from ..functions.exact import MONEY, davg, dsum, sql_davg, sql_dsum
 from ..registry import query
 
 
@@ -837,18 +837,29 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t.nation.filter(F.col("n_name") == "NATION_3")),
         t.supplier.s_nationkey == t.nation.n_nationkey,
     ).select("s_suppkey")
+    # Keep the DECIMAL(18,6) partial per part and derive BOTH the output
+    # double and the global threshold from it (ADVICE r12): summing the
+    # decimal partials is exactly the oracle's decimal sum over raw natl
+    # rows, whereas re-casting each emitted per-part double back to
+    # decimal would only agree while every part_value double round-trips
+    # its 6dp decimal exactly (|sum| below ~4.5e9).
     per_part = (
         t.lineitem.select("l_partkey", "l_suppkey",
                           (F.col("l_extendedprice") * F.col("l_quantity")).alias("_v"))
         .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(dsum("_v").alias("part_value"))
+        .agg(F.sum(F.col("_v").cast(MONEY)).alias("_dv"))
     )
-    threshold = per_part.agg((F.lit(0.001) * dsum("part_value")).alias("_thr"))
+    threshold = per_part.agg(
+        (F.lit(0.001) * F.sum("_dv").cast("double")).alias("_thr")
+    )
     return (
         per_part.join(F.broadcast(threshold))
-        .filter(F.col("part_value") > F.col("_thr"))
-        .select(F.col("l_partkey").alias("partkey"), "part_value")
+        .filter(F.col("_dv").cast("double") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("_dv").cast("double").alias("part_value"),
+        )
     )
 
 

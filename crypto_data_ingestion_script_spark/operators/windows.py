@@ -534,7 +534,19 @@ def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    first = (F.row_number().over(w_user) == 1).cast("bigint")
+    # NULL user_ids must not count as a distinct user: the oracle's
+    # count(DISTINCT user_id) OVER skips NULLs, but row_number over the
+    # NULL partition would still emit a first-occurrence flag (ADVICE
+    # r12) — gate the flag on non-null so a degraded corpus agrees.
+    first = (
+        F.when(
+            F.col("user_id").isNotNull()
+            & (F.row_number().over(w_user) == 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
     return t.events.select(
         "event_type",
         "ts",

@@ -311,16 +311,32 @@ def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout — the store shrinks as users go idle); groups hash across
     executors; batches arrive as Arrow. The islands fold is per-user
     within a micro-batch, never global."""
-    import os
     import shutil
     import tempfile
 
     t = load(spark, sf_dir)
+
+    indir = tempfile.mkdtemp(prefix="sess_to_")
+    try:
+        return _run_session_timeout(spark, sf_dir, t, indir)
+    finally:
+        # The memory sink holds every row once run_to_memory's
+        # awaitTermination returns, so the staged input copies are dead
+        # weight — sweeps invoke registered queries repeatedly and the
+        # leaked copies accumulate whole events datasets in /tmp
+        # (ADVICE r12).
+        shutil.rmtree(indir, ignore_errors=True)
+
+
+def _run_session_timeout(spark, sf_dir, t, indir):
+    import os
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from .jobs import _stream_events_from
 
-    indir = tempfile.mkdtemp(prefix="sess_to_")
     src = os.path.join(sf_dir, "events.parquet")
     # Generation 0: the real events (any number of part files).
     if os.path.isdir(src):
@@ -351,13 +367,16 @@ def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("{}").alias("props"),
     )
     sent_dir = tempfile.mkdtemp(prefix="sess_sent_")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
-    spart = [
-        f for f in os.listdir(sent_dir) if f.endswith(".parquet")
-    ][0]
-    dst = os.path.join(indir, "gen1.parquet")
-    shutil.copy(os.path.join(sent_dir, spart), dst)
-    os.utime(dst, (1_600_001_000, 1_600_001_000))
+    try:
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sent_dir)
+        spart = [
+            f for f in os.listdir(sent_dir) if f.endswith(".parquet")
+        ][0]
+        dst = os.path.join(indir, "gen1.parquet")
+        shutil.copy(os.path.join(sent_dir, spart), dst)
+        os.utime(dst, (1_600_001_000, 1_600_001_000))
+    finally:
+        shutil.rmtree(sent_dir, ignore_errors=True)
 
     stream = _stream_events_from(
         spark, indir, src, maxFilesPerTrigger=str(n_gen0)

@@ -131,6 +131,36 @@ WHITELIST: dict = {
 }
 
 
+#: EXD/EXR whitelist entries whose returned DataFrame is a read-back of a
+#: materialized sink (memory table, JDBC round-trip, parquet re-read): the
+#: decimal cast ran inside the upstream write job, so the RETURNED plan
+#: cannot show it. Every other EXD/EXR entry must carry the cast in its
+#: analyzed plan — the machine check ADVICE r12 asked for, since the
+#: round(.,8) invariance detector cannot fire at money magnitude and a
+#: regression dropping the cast would otherwise ride the stale whitelist.
+PLAN_CHECK_EXEMPT: dict = {
+    "q_merge_upsert": "returned plan is the Derby JDBC read-back; the "
+    "decimal cast runs in the upstream MERGE build job",
+    "q_sink_silver": "returned plan is the silver parquet re-read; the "
+    "cast runs in the sink write job",
+    "q_stream_tumbling": "returned plan is the memory-sink table; the "
+    "cast runs inside the streaming aggregation",
+    "q_stream_silver": "returned plan is the memory/parquet sink "
+    "read-back; the cast runs inside the streaming aggregation",
+    "q_stream_rocksdb": "returned plan is the memory-sink table; the "
+    "cast runs inside the streaming aggregation",
+    "q_stream_static_join": "returned plan is the memory-sink table; "
+    "the cast runs inside the streaming aggregation",
+}
+
+
+def _plan_has_decimal_cast(df) -> bool:
+    """True if the analyzed plan applies a DECIMAL(18,6) accumulation
+    anywhere in the tree (functions/exact.py dsum/davg signature)."""
+    plan = df._jdf.queryExecution().analyzed().toString().lower()
+    return "decimal(18,6)" in plan
+
+
 def _unrounded(vals: np.ndarray) -> tuple[int, float | None]:
     """Count finite values not invariant under round(., 8)."""
     finite = vals[np.isfinite(vals)]
@@ -158,9 +188,19 @@ def main() -> int:
     whitelisted: dict = {}
     clean = 0
     errors: dict = {}
+    plan_failures: dict = {}
     for name in sorted(qs):
         try:
-            pdf = qs[name](spark, SF_DIR).toPandas()
+            df = qs[name](spark, SF_DIR)
+            wl_exact = {
+                c: r
+                for c, r in WHITELIST.get(name, {}).items()
+                if r.startswith(("EXD", "EXR"))
+            }
+            if wl_exact and name not in PLAN_CHECK_EXEMPT:
+                if not _plan_has_decimal_cast(df):
+                    plan_failures[name] = sorted(wl_exact)
+            pdf = df.toPandas()
         except Exception as ex:  # noqa: BLE001 - lint must survive one bad op
             errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
             continue
@@ -191,17 +231,22 @@ def main() -> int:
         "errors": errors,
         "whitelisted": whitelisted,
         "flagged": flagged,
+        "plan_check_exempt": PLAN_CHECK_EXEMPT,
+        "plan_failures": plan_failures,
     }
     with open(OUT, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(
         f"ROUNDING LINT: {len(qs)} queries, {clean} clean, "
         f"{len(whitelisted)} whitelisted, {len(flagged)} FLAGGED, "
-        f"{len(errors)} errors -> {OUT}"
+        f"{len(plan_failures)} PLAN-FAILED, {len(errors)} errors -> {OUT}"
     )
     for name, cols in sorted(flagged.items()):
         print(f"  FLAGGED {name}: {cols}")
-    return 1 if flagged or errors else 0
+    for name, cols in sorted(plan_failures.items()):
+        print(f"  PLAN-FAILED {name}: EXD/EXR cols {cols} but no "
+              "decimal(18,6) cast in the analyzed plan")
+    return 1 if flagged or plan_failures or errors else 0
 
 
 if __name__ == "__main__":
