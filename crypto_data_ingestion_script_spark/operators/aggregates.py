@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.exact import davg, dsum
+from ..ranking import global_running
 from ..registry import query
 
 
@@ -1005,31 +1006,47 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     pricing, standard in metric drift and feature screening.
 
     Ranks use the average-rank tie convention: min-rank (rank()) plus
-    (tie_count−1)/2, computed with two window passes per column over the
-    group — then Spearman IS Pearson on the ranks, one group-grain
-    aggregate. Scale note: ranking is the one primitive that genuinely
-    range-exchanges the fact (once per ranked column); for quantized
-    columns the q_mann_whitney distinct-value-grain trick applies
-    instead, and at 100 TB a binned-rank approximation (KLL sketch
-    quantile buckets) replaces exact ranks — this operator is the exact
-    small/medium-scale anchor those approximations are verified against.
+    (tie_count−1)/2 — equivalently cum_count_before + (tie_count+1)/2 at
+    DISTINCT-(flag, value) grain, which is how the engine computes them:
+    one groupBy per ranked column collapses the fact to its per-flag
+    distinct values, the two-pass range plan (ranking.global_running,
+    grouped by flag) turns counts into average ranks with no single-task
+    window, and two hash equi-joins decorate the fact rows with their
+    ranks — then Spearman IS Pearson on the ranks, one group-grain
+    aggregate. The fact never range-exchanges (the former per-flag rank
+    windows pushed N/|flags| rows through one task each — VERDICT r12);
+    at true-continuous 100 TB the distinct grain approaches row grain
+    and the same plan holds because every step is distributed, or a
+    binned-rank approximation (KLL quantile buckets) swaps in upstream.
     Rounded to 6dp for accumulation-order differences.
     """
     t = load(spark, sf_dir)
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    tq = Window.partitionBy("l_returnflag", "l_quantity")
-    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
-    rx = t.lineitem.select(
+    base = t.lineitem.select(
         F.col("l_returnflag").alias("flag"),
         "l_quantity",
         "l_extendedprice",
-        (
-            F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0
-        ).alias("rank_x"),
-        (
-            F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0
-        ).alias("rank_y"),
+    )
+
+    def avg_ranks(value_col: str, out: str) -> DataFrame:
+        g = base.groupBy("flag", value_col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return global_running(
+            g, value_col, part_cols=("flag",), sums=("cnt",)
+        ).select(
+            "flag",
+            value_col,
+            (
+                F.col("run_cnt") - F.col("cnt")
+                + (F.col("cnt") + 1) / 2.0
+            ).alias(out),
+        )
+
+    rx = base.join(
+        avg_ranks("l_quantity", "rank_x"), ["flag", "l_quantity"]
+    ).join(
+        avg_ranks("l_extendedprice", "rank_y"),
+        ["flag", "l_extendedprice"],
     )
     return (
         rx.groupBy("flag")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ranking import global_running
 from ..registry import query
 
 #: Known-item probe queries for q_mrr (high-df tokens of the synthetic
@@ -95,13 +96,16 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cnt_pos"),
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = vg.select(
+    # Both descending cumulative sums from ONE two-pass range plan
+    # (ranking.global_running, descending ranges) — the former bare
+    # Window.orderBy(desc) ran the whole distinct-score table through a
+    # single task (VERDICT r12 task 1).
+    cum = global_running(
+        vg, "score", sums=("cnt_pos", "cnt"), descending=True
+    ).select(
         "cnt_pos",
-        F.sum("cnt_pos").over(w).alias("cum_pos"),
-        F.sum("cnt").over(w).alias("cum_tot"),
+        F.col("run_cnt_pos").alias("cum_pos"),
+        F.col("run_cnt").alias("cum_tot"),
     )
     agg = cum.agg(
         F.sum("cnt_pos").cast("bigint").alias("n_pos"),

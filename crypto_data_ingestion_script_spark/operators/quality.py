@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ranking import global_running
 from ..registry import query
 
 
@@ -525,9 +526,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
         )
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = counts.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    # Both CDFs from ONE two-pass range plan (ranking.global_running):
+    # the former bare Window.orderBy ran the whole distinct-value table
+    # in one task (VERDICT r12 task 1).
+    cdf = global_running(counts, "v", sums=("ca", "cb")).select(
+        F.col("run_ca").alias("cum_a"), F.col("run_cb").alias("cum_b")
     )
     tot = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
@@ -812,12 +815,15 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cnt_a"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    rk = vg.select(
+    # Value-grain running sum via the two-pass range plan (ranking.py):
+    # the former bare Window.orderBy funneled the whole distinct-value
+    # table through ONE task, and that grain grows ~2.7x per data decade
+    # on continuous columns (VERDICT r12).
+    rk = global_running(vg, "value", sums=("cnt",)).select(
         "cnt",
         "cnt_a",
         (
-            F.sum("cnt").over(w) - F.col("cnt")
+            F.col("run_cnt") - F.col("cnt")
             + (F.col("cnt") + 1) / 2.0
         ).alias("avg_rank"),
         (
@@ -1223,12 +1229,13 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cnt_pos"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    rk = vg.select(
+    # Score-grain running sum via the two-pass range plan (ranking.py) —
+    # no single-task window over the distinct-score table (VERDICT r12).
+    rk = global_running(vg, "score", sums=("cnt",)).select(
         "cnt",
         "cnt_pos",
         (
-            F.sum("cnt").over(w) - F.col("cnt")
+            F.col("run_cnt") - F.col("cnt")
             + (F.col("cnt") + 1) / 2.0
         ).alias("avg_rank"),
     )
@@ -1517,13 +1524,16 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cb"),
     )
     tot = vg.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wl = Window.orderBy("value")
-    walk = vg.crossJoin(F.broadcast(tot)).select(
+    # Both ECDF running sums AND the next-distinct-value lead from ONE
+    # two-pass range plan (ranking.global_running) — the former bare
+    # Window.orderBy pair ran the whole distinct-value table through a
+    # single task (VERDICT r12 task 1).
+    run = global_running(vg, "value", sums=("ca", "cb"), leads=("value",))
+    walk = run.crossJoin(F.broadcast(tot)).select(
         "value",
-        (F.sum("ca").over(w) / F.col("na").cast("double")).alias("fa"),
-        (F.sum("cb").over(w) / F.col("nb").cast("double")).alias("fb"),
-        F.lead("value").over(wl).alias("nxt"),
+        (F.col("run_ca") / F.col("na").cast("double")).alias("fa"),
+        (F.col("run_cb") / F.col("nb").cast("double")).alias("fb"),
+        F.col("lead_value").alias("nxt"),
         "na",
         "nb",
     )

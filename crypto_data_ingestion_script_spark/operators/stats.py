@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ranking import global_running
 from ..registry import query
 
 
@@ -544,11 +545,12 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     vm = grid.groupBy("v").agg(F.sum("c").alias("cnt"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    rk = vm.select(
+    # Value-grain running sum via the two-pass range plan (ranking.py) —
+    # no single-task window over the distinct-value table (VERDICT r12).
+    rk = global_running(vm, "v", sums=("cnt",)).select(
         "v",
         (
-            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+            F.col("run_cnt") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
         ).alias("avg_rank"),
     )
     per = (

@@ -92,6 +92,100 @@ def global_running_sum(
     )
 
 
+def global_running(
+    df: DataFrame,
+    order_col: str,
+    *,
+    part_cols: tuple = (),
+    sums: tuple = (),
+    leads: tuple = (),
+    descending: bool = False,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """General two-pass range plan for the distinct-value-grain window
+    family (q_mann_whitney/q_ks_drift/q_auc/q_wasserstein/
+    q_kruskal_wallis/q_avg_precision/q_spearman — VERDICT r12 task 1):
+    appends, for each ``c`` in ``sums``, an inclusive running sum
+    ``run_<c>`` over the global ``order_col`` order, and for each ``c``
+    in ``leads``, the next row's value ``lead_<c>`` — all from ONE range
+    shuffle, one summary-grain pass, and one broadcast join, with no
+    task ever holding more than one range. ``part_cols`` scopes
+    everything to groups (ranges partition on (part, order) so a group's
+    rows land in contiguous ranges; offsets accumulate per group across
+    its ranges).
+
+    The bare ``Window.orderBy(order_col)`` this replaces funnels every
+    row through ONE task; fine while the distinct-value grain stays
+    content-bounded, but SCALE_r12 measured that grain growing ~2.7× per
+    data decade on continuous columns — at 100 TB the single window task
+    holds 10⁶–10⁸ rows. Here the only bare window runs over N_ranges ×
+    |groups| range summaries (fixed grain), the q_suffix_lcp /
+    q_skyline_sweep precedent.
+
+    Boundary-invariant like :func:`global_row_number`: group prefix
+    total + local running sum (and within-range lead, patched at range
+    boundaries with the next range's first value) equal the global
+    answers wherever the sampled range bounds fall, so outputs are
+    deterministic and oracle-checkable."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col)
+    ranged = (
+        df.repartitionByRange(
+            n_ranges, *[F.col(c) for c in part_cols], oc
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_sum = (
+        Window.partitionBy("_pid", *part_cols)
+        .orderBy(oc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_row = Window.partitionBy("_pid", *part_cols).orderBy(oc)
+    local = ranged
+    for c in sums:
+        local = local.withColumn(f"_l_{c}", F.sum(c).over(w_sum))
+    for c in leads:
+        local = local.withColumn(f"_ll_{c}", F.lead(c).over(w_row))
+    first_of = F.max_by if descending else F.min_by
+    summ = ranged.groupBy("_pid", *part_cols).agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sums],
+        *[first_of(c, order_col).alias(f"_f_{c}") for c in leads],
+    )
+    # Summary-grain windows: n_ranges × |groups| rows, fixed grain.
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_nxt = Window.partitionBy(*part_cols).orderBy("_pid")
+    offsets = summ.select(
+        "_pid",
+        *part_cols,
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0)).alias(
+                f"_o_{c}"
+            )
+            for c in sums
+        ],
+        *[F.lead(f"_f_{c}").over(w_nxt).alias(f"_n_{c}") for c in leads],
+    )
+    out = local.join(F.broadcast(offsets), ["_pid", *part_cols])
+    for c in sums:
+        out = out.withColumn(f"run_{c}", F.col(f"_o_{c}") + F.col(f"_l_{c}"))
+    for c in leads:
+        out = out.withColumn(
+            f"lead_{c}", F.coalesce(F.col(f"_ll_{c}"), F.col(f"_n_{c}"))
+        )
+    drop = (
+        ["_pid"]
+        + [f"_l_{c}" for c in sums]
+        + [f"_o_{c}" for c in sums]
+        + [f"_ll_{c}" for c in leads]
+        + [f"_n_{c}" for c in leads]
+    )
+    return out.drop(*drop)
+
+
 def global_running_max(
     df: DataFrame,
     value_col: str,

@@ -456,6 +456,87 @@ def test_two_pass_rank_and_running_sum_match_global_window(spark, rows):
     assert got_sum == want_sum
 
 
+grun_rows_strategy = st.dictionaries(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # group
+        st.integers(min_value=-50, max_value=50),   # distinct order key
+    ),
+    st.tuples(
+        st.integers(min_value=-5, max_value=100),   # sum col a
+        st.integers(min_value=0, max_value=9),      # sum col b
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=grun_rows_strategy, descending=st.booleans())
+def test_global_running_matches_bare_window(spark, rows, descending):
+    """ranking.global_running (the r13 replacement for the distinct-
+    value-grain bare windows in q_mann_whitney/q_ks_drift/q_auc/
+    q_wasserstein/q_kruskal_wallis/q_avg_precision/q_spearman) must be
+    boundary-invariant: multi-column running sums, the global lead, the
+    grouped and the descending paths all exactly match the naive
+    single-partition window regardless of where range bounds fall."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crypto_data_ingestion_script_spark.ranking import global_running
+
+    data = [(g, k, a, b) for (g, k), (a, b) in sorted(rows.items())]
+    df = spark.createDataFrame(data, "g int, k int, a long, b long")
+    oc = F.col("k").desc() if descending else F.col("k")
+
+    # Grouped path: running sums of BOTH columns + lead of the order key.
+    got = {
+        (r["g"], r["k"]): (r["run_a"], r["run_b"], r["lead_k"])
+        for r in global_running(
+            df, "k", part_cols=("g",), sums=("a", "b"), leads=("k",),
+            descending=descending, n_ranges=5,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g").orderBy(oc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("g").orderBy(oc)
+    want = {
+        (r["g"], r["k"]): (r["ra"], r["rb"], r["lk"])
+        for r in df.select(
+            "g", "k",
+            F.sum("a").over(w).alias("ra"),
+            F.sum("b").over(w).alias("rb"),
+            F.lead("k").over(wl).alias("lk"),
+        ).collect()
+    }
+    assert got == want
+
+    # Ungrouped path (the q_auc/q_ks_drift shape): restrict to one group
+    # so the order key is distinct — a total order, like the distinct-
+    # value grains the seven callers feed it.
+    one = df.filter(F.col("g") == 0)
+    got_u = {
+        r["k"]: (r["run_a"], r["lead_k"])
+        for r in global_running(
+            one, "k", sums=("a",), leads=("k",),
+            descending=descending, n_ranges=5,
+        ).collect()
+    }
+    w_u = Window.orderBy(oc).rowsBetween(Window.unboundedPreceding, 0)
+    wl_u = Window.orderBy(oc)
+    want_u = {
+        r["k"]: (r["ra"], r["lk"])
+        for r in one.select(
+            "k",
+            F.sum("a").over(w_u).alias("ra"),
+            F.lead("k").over(wl_u).alias("lk"),
+        ).collect()
+    }
+    assert got_u == want_u
+
+
 def test_member_slice_expansion_enumerates_all_pairs(spark):
     """Three dedup queries (q_jaccard_join, q_dedup_near, q_dedup_fuzzy)
     emit within-group pairs by pairing each sorted member with its strict
