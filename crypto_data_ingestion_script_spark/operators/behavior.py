@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..ranking import global_ntile
 from ..registry import query
 
 
@@ -508,26 +509,36 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.
 
     Scale shape: ONE fact-scale groupBy(user_id) with map-side partials;
-    the three quintile windows rank the USER-grain aggregate (summary
-    scale). At catalog-of-billions user counts the windows swap to
-    global_row_number's range plan; the fact is touched once either
-    way."""
+    each quintile comes from ranking.global_ntile — the two-pass range
+    plan plus NTILE's closed form over (rank, N) — so the USER-grain
+    aggregate (which grows with the catalog, unlike a summary grain)
+    never funnels through a single window task (r13; formerly three
+    bare ntile windows). The first rank pass checkpoints its ranged
+    input (global_row_number's branch-consistency rule), so the second
+    and third passes chain off frozen data — the fact is scanned
+    once."""
     t = load(spark, sf_dir)
     agg = t.events.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.round(F.sum("value"), 6).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_ts").desc(), "user_id")
-    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
-    wm = Window.orderBy(F.col("monetary").desc(), "user_id")
-    return agg.select(
+    neg_ts = (-F.unix_micros(F.col("last_ts").cast("timestamp"))).alias(
+        "_neg_ts"
+    )
+    scored = agg.select("*", neg_ts)
+    scored = global_ntile(scored, 5, "_neg_ts", "user_id", out_col="_r")
+    scored = scored.withColumn("_neg_f", -F.col("frequency"))
+    scored = global_ntile(scored, 5, "_neg_f", "user_id", out_col="_f")
+    scored = scored.withColumn("_neg_m", -F.col("monetary"))
+    scored = global_ntile(scored, 5, "_neg_m", "user_id", out_col="_m")
+    return scored.select(
         "user_id",
         "frequency",
         "monetary",
-        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+        F.col("_r").cast("bigint").alias("r_score"),
+        F.col("_f").cast("bigint").alias("f_score"),
+        F.col("_m").cast("bigint").alias("m_score"),
     )
 
 

@@ -186,6 +186,44 @@ def global_running(
     return out.drop(*drop)
 
 
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    *order_cols,
+    out_col: str = "ntile",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Append ``out_col`` = NTILE(n_buckets) over the global
+    ``order_cols`` order (must be total) without a single-partition
+    window: global rank from the two-pass range plan
+    (:func:`global_row_number`), then the ntile bucket in closed form.
+
+    Both Spark and DuckDB define NTILE identically over a total order:
+    with N rows, q = N div k and r = N mod k, the first r buckets take
+    q+1 rows and the rest take q — so bucket(rn) = ⌈rn/(q+1)⌉ while
+    rn ≤ r(q+1), else r + ⌈(rn − r(q+1))/q⌉. Closed-form arithmetic on
+    (rn, N) reproduces it exactly (q_rfm's quintiles hash-match the
+    oracle's ntile), with N broadcast as a one-row scalar."""
+    ranked = global_row_number(
+        df, *[c for c in order_cols], out_col="_rn", n_ranges=n_ranges
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_N"))
+    q = (F.col("_N") - (F.col("_N") % n_buckets)) / n_buckets
+    r = F.col("_N") % n_buckets
+    big = r * (q + 1)
+    rn = F.col("_rn")
+    # greatest(q, 1): when N < k the q=0 small-bucket branch is never
+    # selected, but keep its divisor finite so ceil never sees Infinity.
+    bucket = F.when(
+        rn <= big, F.ceil(rn / (q + 1))
+    ).otherwise(r + F.ceil((rn - big) / F.greatest(q, F.lit(1.0))))
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_rn", "_N")
+    )
+
+
 def global_running_max(
     df: DataFrame,
     value_col: str,

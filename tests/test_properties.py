@@ -537,6 +537,36 @@ def test_global_running_matches_bare_window(spark, rows, descending):
     assert got_u == want_u
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_global_ntile_matches_window_ntile(spark, n, k):
+    """ranking.global_ntile's closed form over (global rank, N) must
+    reproduce NTILE(k) exactly — including the remainder rule (first
+    N mod k buckets take one extra row) and the N < k edge — for the
+    q_rfm quintiles to stay hash-identical to the oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crypto_data_ingestion_script_spark.ranking import global_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "x int")
+    got = {
+        r["x"]: r["nt"]
+        for r in global_ntile(df, k, "x", out_col="nt", n_ranges=5).collect()
+    }
+    want = {
+        r["x"]: r["nt"]
+        for r in df.select(
+            "x", F.ntile(k).over(Window.orderBy("x")).alias("nt")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_member_slice_expansion_enumerates_all_pairs(spark):
     """Three dedup queries (q_jaccard_join, q_dedup_near, q_dedup_fuzzy)
     emit within-group pairs by pairing each sorted member with its strict
