@@ -773,7 +773,8 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts as a 1-row broadcast, one conditional re-aggregate over the
     user-grain table — the fact is touched once, everything after runs
     at user grain; at 100 TB the percentile aggregate swaps for a KLL
-    sketch with the rest unchanged (the q_woe_iv pattern)."""
+    sketch with the rest unchanged (the q_woe_iv pattern — swap
+    executed and verdict-checked as q_woe_iv_kll, r13)."""
     t = load(spark, sf_dir)
     u = (
         t.events.filter(F.col("event_type") == "purchase")

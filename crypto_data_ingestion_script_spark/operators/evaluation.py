@@ -616,7 +616,8 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the q_woe_iv plan — exact decile bounds via one
     quantile aggregate broadcast back (at 100 TB the KLL sketch swaps
-    in, same shape), one fact-scale groupBy(decile), and all
+    in, same shape — swap executed and verdict-checked as
+    q_woe_iv_kll, r13), one fact-scale groupBy(decile), and all
     curve algebra as windows over the 10-row decile table."""
     t = load(spark, sf_dir)
     s = t.events.filter(

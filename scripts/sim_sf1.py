@@ -107,6 +107,7 @@ FULL = [
     "q_stream_session_timeout",
     "q_auc",
     "q_woe_iv",
+    "q_woe_iv_kll",
     "q_embedding_isotropy",
     "q_markov_transitions",
     "q_pacf",
