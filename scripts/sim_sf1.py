@@ -299,6 +299,7 @@ FULL = [
     "q_join_semi",
     "q_json_extract",
     "q_kll_quantiles",
+    "q_unigram_lm",
     "q_knn_classify",
     "q_lag",
     "q_lang_id",
