@@ -562,7 +562,13 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type", "value")
     )
-    return run_to_memory(deduped, output_mode="append")
+    try:
+        return run_to_memory(deduped, output_mode="append")
+    finally:
+        # Memory sink holds every row after awaitTermination; the staged
+        # 2x-events redelivery copies are dead weight (the ADVICE r12
+        # /tmp-leak class — sweeps invoke queries repeatedly).
+        shutil.rmtree(indir, ignore_errors=True)
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
