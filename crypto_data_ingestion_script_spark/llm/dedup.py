@@ -858,27 +858,43 @@ def cone_blocked_edges(
 
 @query(
     "q_dedup_semantic",
+    # r13: the all-pairs edge CTE now runs at DISTINCT-VECTOR grain
+    # (byte-identical embeddings share every cosine, exactly the
+    # engine's own collapse) and member lists expand the labels at the
+    # end — a doc-quadratic oracle (1.25e9 64-dim dots at sf1, the
+    # reason this op was rows+checksum-only in SIM_sf1) becomes
+    # distinct-vector-quadratic, value-identical: gid = min member, so
+    # min-label over gids IS min vec_id over the member closure.
     oracle=f"""
-    WITH RECURSIVE norms AS (
-      SELECT vec_id, embedding,
-             sqrt({_SEM_DOT.format(a='embedding', b='embedding')}) AS nrm
-      FROM embeddings
+    WITH RECURSIVE dv AS MATERIALIZED (
+      SELECT embedding, CAST(min(vec_id) AS BIGINT) AS gid,
+             list(vec_id) AS members
+      FROM embeddings GROUP BY embedding
     ),
-    edges AS (
-      SELECT a.vec_id AS a, b.vec_id AS b
-      FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    norms AS MATERIALIZED (
+      SELECT gid, embedding,
+             sqrt({_SEM_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM dv
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.gid AS a, b.gid AS b
+      FROM norms a JOIN norms b ON a.gid < b.gid
       WHERE {_SEM_DOT.format(a='a.embedding', b='b.embedding')}
             / (a.nrm * b.nrm) >= {_SEM_TAU}
     ),
     sym AS (SELECT a AS src, b AS dst FROM edges
             UNION ALL SELECT b, a FROM edges),
     reach AS (
-      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      SELECT gid AS node, gid AS lbl FROM dv
       UNION
       SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    labels AS (
+      SELECT node AS gid, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
     )
-    SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
+    SELECT unnest(d.members) AS vec_id, l.cluster_id
+    FROM labels l JOIN dv d ON d.gid = l.gid
     """,
     tags=("llm", "dedup", "iterative"),
 )
@@ -2647,13 +2663,32 @@ SIMHASH_BANDS = 4
     -- radius {SIMHASH_HAM_MAX} (pigeonhole: 4 disjoint bands, <= 3 bit
     -- flips => some band equal), so the oracle states the SEMANTICS
     -- (every pair within the radius) and the engine proves the blocked
-    -- plan finds exactly that set.
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.lo, b.lo))
-                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
-          <= {SIMHASH_HAM_MAX}
+    -- plan finds exactly that set. r13: pair enumeration collapses to
+    -- DISTINCT-SIGNATURE grain first (the q_jaccard_sweep set-grain
+    -- lesson) — identical texts share a fingerprint, so the all-pairs
+    -- radius check runs over distinct (lo, hi) values and expands back
+    -- through the doc-grain table; this turns a doc-quadratic oracle
+    -- (1.25e9 pairs at sf1, the reason this op was rows+checksum-only
+    -- in SIM_sf1) into a signature-quadratic one, value-identical.
+    , sig AS MATERIALIZED (SELECT DISTINCT lo, hi FROM sh),
+    cross_p AS MATERIALIZED (
+      SELECT a.lo AS alo, a.hi AS ahi, b.lo AS blo, b.hi AS bhi,
+             CAST(bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b
+        ON (a.lo < b.lo OR (a.lo = b.lo AND a.hi < b.hi))
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            <= {SIMHASH_HAM_MAX}
+    )
+    SELECT least(x.doc_id, y.doc_id) AS doc_a,
+           greatest(x.doc_id, y.doc_id) AS doc_b, p.hamming
+    FROM cross_p p
+    JOIN sh x ON x.lo = p.alo AND x.hi = p.ahi
+    JOIN sh y ON y.lo = p.blo AND y.hi = p.bhi
+    UNION ALL
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+    FROM sh x JOIN sh y
+      ON x.lo = y.lo AND x.hi = y.hi AND x.doc_id < y.doc_id
     """,
     tags=("llm", "dedup", "approx"),
 )
@@ -3534,47 +3569,66 @@ SWEEP_TAUS = (0.7, 0.75, 0.8, 0.85, 0.9, 0.95)
 
 @query(
     "q_jaccard_sweep",
+    # SET-grain oracle (r13): collapse identical token sets BEFORE pair
+    # enumeration, mirroring the engine's r12 jaccard_set_core re-grain
+    # (and the r11 minacc oracle lesson). The former doc-grain all-pairs
+    # form was quadratic in DOCUMENTS (1.25e9 list_intersects at sf1 —
+    # the reason this op sat rows+checksum-only in SIM_sf1); this form
+    # is quadratic only in DISTINCT token sets (~5e3 at sf1), making the
+    # sf1 FULL value compare feasible. Exactly equivalent: a cross-set
+    # doc pair's jaccard IS its set pair's jaccard (counted ma·mb), a
+    # same-set doc pair has jaccard 1.0 ≥ every grid tau (counted
+    # C(m,2); its members affected at every tau).
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, list_sort(list_distinct(
                string_split(lower(text), ' '))) AS s
       FROM documents
     ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    sets AS MATERIALIZED (
+      SELECT s, CAST(count(*) AS BIGINT) AS m,
+             row_number() OVER (ORDER BY array_to_string(s, chr(1))) AS sid
+      FROM toks GROUP BY s
+    ),
+    kept AS MATERIALIZED (
+      SELECT a.sid AS sa, b.sid AS sb, a.m AS ma, b.m AS mb,
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) AS j
-      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      FROM sets a JOIN sets b ON a.sid < b.sid
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= {SWEEP_TAUS[0]}
     ),
-    kept AS (SELECT doc_a, doc_b, j FROM pairs WHERE j >= {SWEEP_TAUS[0]}),
     docs_n AS (SELECT count(*) AS n_docs FROM documents),
+    within AS (
+      SELECT coalesce(sum(m * (m - 1) // 2), 0) AS w FROM sets WHERE m >= 2
+    ),
     grid AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_TAUS)}]) AS tau),
+    maxj AS MATERIALIZED (
+      SELECT sid, max(j) AS mj FROM (
+        SELECT sa AS sid, j FROM kept UNION ALL SELECT sb AS sid, j FROM kept
+      ) GROUP BY sid
+    ),
     per AS (
       SELECT g.tau,
-             CAST(count(*) FILTER (WHERE k.j >= g.tau) AS BIGINT)
-               AS n_pairs,
-             CAST(count(DISTINCT CASE WHEN k.j >= g.tau THEN k.doc_a END)
-                  + count(DISTINCT CASE WHEN k.j >= g.tau THEN k.doc_b END)
-                  - count(DISTINCT CASE WHEN k.j >= g.tau
-                          AND k.doc_b IN (
-                            SELECT doc_a FROM kept k2
-                            WHERE k2.j >= g.tau) THEN k.doc_b END)
-               AS BIGINT) AS _unused
+             CAST(coalesce(sum(k.ma * k.mb) FILTER (WHERE k.j >= g.tau), 0)
+               AS BIGINT) AS cross_pairs
       FROM grid g LEFT JOIN kept k ON true GROUP BY g.tau
     ),
-    docside AS (
+    aff AS (
       SELECT g.tau,
-             CAST(count(DISTINCT d.doc) AS BIGINT) AS n_docs_affected
-      FROM grid g LEFT JOIN (
-        SELECT doc_a AS doc, j FROM kept
-        UNION ALL SELECT doc_b AS doc, j FROM kept
-      ) d ON d.j >= g.tau
+             CAST(coalesce(sum(CASE WHEN s.m >= 2
+                                      OR coalesce(x.mj, -1.0) >= g.tau
+                                    THEN s.m ELSE 0 END), 0) AS BIGINT)
+               AS n_docs_affected
+      FROM grid g CROSS JOIN sets s LEFT JOIN maxj x ON x.sid = s.sid
       GROUP BY g.tau
     )
-    SELECT p.tau, p.n_pairs, ds.n_docs_affected,
-           round(ds.n_docs_affected / CAST(n.n_docs AS DOUBLE), 8)
+    SELECT p.tau, CAST(p.cross_pairs + w.w AS BIGINT) AS n_pairs,
+           a.n_docs_affected,
+           round(a.n_docs_affected / CAST(n.n_docs AS DOUBLE), 8)
              AS doc_share
-    FROM per p JOIN docside ds ON ds.tau = p.tau CROSS JOIN docs_n n
+    FROM per p JOIN aff a ON a.tau = p.tau
+    CROSS JOIN within w CROSS JOIN docs_n n
     ORDER BY p.tau
     """,
     tags=("llm", "dedup", "tuning"),
