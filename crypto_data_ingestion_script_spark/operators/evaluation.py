@@ -482,25 +482,29 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[score(term).alias(f"s_{term}") for term in MRR_TERMS],
     )
     rel = scored.filter("is_rel")
-    bests = rel.agg(
-        *[F.max(f"s_{term}").alias(f"bs_{term}") for term in MRR_TERMS]
-    )
-    bestid = (
-        rel.crossJoin(F.broadcast(bests)).agg(
-            *[
-                F.min(
-                    F.when(
-                        F.col(f"s_{term}") == F.col(f"bs_{term}"),
-                        F.col("doc_id"),
-                    )
-                ).alias(f"bid_{term}")
-                for term in MRR_TERMS
-            ]
-        )
+    # r13 optimization round: best score and best-doc-at-that-score in ONE
+    # aggregate pass over the relevant slice instead of two chained passes
+    # (max score, then broadcast it back to find the min doc_id among the
+    # maxima). max(struct(s, -doc_id)) orders by score first, then by
+    # NEGATED doc_id, so the struct max is exactly (max s, -(min doc_id
+    # among max-s rows)) — one fewer corpus-scale pass and one fewer
+    # broadcast round-trip, values unchanged.
+    best = rel.agg(
+        *[
+            F.max(
+                F.struct(
+                    F.col(f"s_{term}").alias("s"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias(f"bk_{term}")
+            for term in MRR_TERMS
+        ]
+    ).select(
+        *[F.col(f"bk_{term}.s").alias(f"bs_{term}") for term in MRR_TERMS],
+        *[(-F.col(f"bk_{term}.nid")).alias(f"bid_{term}") for term in MRR_TERMS],
     )
     cnt = (
-        scored.crossJoin(F.broadcast(bests))
-        .crossJoin(F.broadcast(bestid))
+        scored.crossJoin(F.broadcast(best))
         .agg(
             *[
                 F.sum(
@@ -521,7 +525,8 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'{term}', bid_{term}, c_{term} + 1" for term in MRR_TERMS
     )
     ranks = (
-        cnt.crossJoin(F.broadcast(bestid))
+        # Same broadcast subtree as cnt's — ReuseExchange ships it once.
+        cnt.crossJoin(F.broadcast(best))
         .selectExpr(
             f"stack({len(MRR_TERMS)}, {stacked})"
             " AS (query, rel_doc_id, rank)"
