@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import query
 
+#: Widening cap for the ANN corpus scans (r13 optimization round): their
+#: per-batch work is one numpy matmul (~µs per thousand rows), so below a
+#: few MB per task the python-worker dispatch dominates — widening a
+#: 0.8 MB scan to 32 tasks measured ~2.4x slower than leaving it narrow
+#: (q_ann_lsh, sf0.1, local[32]). 32 MB/task keeps batches large enough
+#: to amortize Arrow round-trips; any production-scale input exceeds the
+#: cap and gets the full session parallelism as before (and an already
+#: well-split scan passes through untouched either way).
+ANN_SCAN_BYTES_PER_TASK = 32 << 20
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -436,7 +446,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     rows = (
-        ensure_parallelism(t.embeddings)
+        ensure_parallelism(t.embeddings, bytes_per_task=ANN_SCAN_BYTES_PER_TASK)
         .select("vec_id", "embedding")
         .mapInPandas(
             scan, schema="kind int, q_id bigint, cand_id bigint, sim double"
@@ -624,7 +634,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     rows = (
-        ensure_parallelism(t.embeddings)
+        ensure_parallelism(t.embeddings, bytes_per_task=ANN_SCAN_BYTES_PER_TASK)
         .select("vec_id", "embedding")
         .mapInPandas(
             scan, schema="kind int, q_id bigint, cand_id bigint, sim double"

@@ -26,11 +26,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, min_factor: float = 1.0, bytes_per_task: int | None = None
+) -> DataFrame:
     """Round-robin repartition ``df`` to the session default parallelism
     iff its planned partition count is below ``min_factor`` times that
-    parallelism; otherwise return ``df`` unchanged."""
+    parallelism; otherwise return ``df`` unchanged.
+
+    ``bytes_per_task`` (r13 optimization round) caps the widening at
+    ``ceil(planned input bytes / bytes_per_task)`` partitions. Use it for
+    map stages whose per-row cost is CHEAP (one small matmul per batch —
+    the ANN scans) where task dispatch, not compute, dominates below a few
+    MB per task: widening a 0.8 MB scan to 32 python-worker tasks measured
+    ~2.4x SLOWER than leaving it narrow (q_ann_lsh, sf0.1, local[32]),
+    while compute-dense stages (MinHash folds over shingle arrays) still
+    want every core regardless of input bytes and keep the pure
+    core-count form. At production scale the planned byte size exceeds
+    the cap for any real corpus, so the target degenerates to the session
+    parallelism and behavior is unchanged."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_task:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = max(1, min(target, -(-est // bytes_per_task)))
+        except Exception:
+            pass  # unknown stats: keep the pure core-count target
     if df.rdd.getNumPartitions() < target * min_factor:
-        return df.repartition(target)
+        return df.repartition(target) if target > 1 else df
     return df

@@ -148,3 +148,22 @@ def test_ensure_parallelism_guard(spark):
 
     wide = spark.range(1000).repartition(target)
     assert ensure_parallelism(wide) is wide
+
+
+def test_ensure_parallelism_bytes_cap(spark, sf_dir):
+    """r13: ``bytes_per_task`` caps the widening at the planned input
+    bytes — a sub-MB scan stays narrow (task dispatch would dominate a
+    cheap per-row map stage), while a zero/None cap keeps the pure
+    core-count widening, and the cap never widens BEYOND the session
+    parallelism."""
+    from crypto_data_ingestion_script_spark.partitioning import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    capped = ensure_parallelism(emb, bytes_per_task=32 << 20)
+    # testdata embeddings are well under 32 MB: no widening fires.
+    assert capped.rdd.getNumPartitions() <= max(1, emb.rdd.getNumPartitions())
+    assert capped.count() == emb.count()
+    # a 1-byte cap degenerates to the core-count target (bounded above).
+    wide = ensure_parallelism(emb, bytes_per_task=1)
+    assert wide.rdd.getNumPartitions() == target
