@@ -157,11 +157,19 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join: equi key + range predicate. The equi component keeps it a
     hash/sort-merge join (range rides the join condition) — never a
     nested-loop. The orders side carries a SHUFFLE_HASH hint (the Q3
-    pattern, operators/tpch.py): small inputs still upgrade to broadcast
-    via AQE's runtime join-strategy switch, and past the broadcast
-    threshold the hint buys a shuffled hash join instead of sort-merge —
-    same exchanges, no fact-side sorts, hash-build per partition (no
-    driver collect, no OOM path)."""
+    pattern, operators/tpch.py): the hint buys a shuffled hash join
+    instead of sort-merge — same exchanges, no fact-side sorts,
+    hash-build per partition (no driver collect, no OOM path).
+
+    r13 optimization-round adjudication: a user join hint FORCES the
+    strategy — the executed AQE final plan keeps ShuffledHashJoin even
+    for a 2.6 MB build side the broadcast threshold would otherwise
+    take (verified against the runtime plan; an earlier revision of this
+    docstring wrongly claimed AQE still upgrades small inputs). The
+    hint-free broadcast plan was A/B-measured at sf0.1/local[32]
+    (same-window min-of-3: 0.58 s vs 0.52 s hinted) — the broadcast
+    build costs what the small shuffle costs, so the hint stays for its
+    past-threshold guarantee."""
     t = load(spark, sf_dir)
     o, l = t.orders.hint("shuffle_hash"), t.lineitem
     return l.join(
