@@ -343,6 +343,13 @@ def main() -> None:
         "original17_norm_floor_sec": _floor_norm(
             {q: v for q, v in timings.items() if q in ORIGINAL17}, drift_spark
         ),
+        # CPU contract, driver-verifiable (VERDICT r13 item 2): the session
+        # master honors $SPARK_GRAFT_CPUS (session.py builds
+        # local[$SPARK_GRAFT_CPUS]); emitting the resolved parallelism and
+        # master string lets the driver's suspect_cpus_ignored heuristic
+        # distinguish "honored but floor-bound at this SF" from "ignored".
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     # Amortized-scale leg (sf1) rides in the same artifact when benching the
     # driver-default sf0.1 dir. Guarded: the round headline number must never
@@ -389,7 +396,15 @@ def main() -> None:
     for path in ("BENCH_full.json", f"BENCH_full_r{stamp:02d}.json"):
         with open(os.path.join(repo, path), "w") as f:
             json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    # Truncation-proof stdout line (VERDICT r13 item 2): the driver's tail
+    # capture keeps only the last 2000 chars of output, and the sf1 leg's
+    # ~25 extra keys pushed the r12 line past that, truncating the head of
+    # the JSON and making the whole round unparseable (BENCH_r12.json
+    # parsed: null -> an entire PERF table of new_in_bench). The one-liner
+    # therefore carries everything EXCEPT the sf1_* keys; the complete
+    # object (sf1 leg included) lives in the two committed files above.
+    # Measurement methodology is unchanged — this is an output-shape fix.
+    print(json.dumps({k: v for k, v in out.items() if not k.startswith("sf1_")}))
     spark.stop()
 
 

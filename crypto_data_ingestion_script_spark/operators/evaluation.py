@@ -488,7 +488,12 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maxima). max(struct(s, -doc_id)) orders by score first, then by
     # NEGATED doc_id, so the struct max is exactly (max s, -(min doc_id
     # among max-s rows)) — one fewer corpus-scale pass and one fewer
-    # broadcast round-trip, values unchanged.
+    # broadcast round-trip, values unchanged. ASSUMES doc_id is a signed
+    # numeric id whose negation is representable (any value except
+    # Long.MIN_VALUE; the catalog's doc_id is a small int) — switching
+    # doc_id to an unsigned or string id type would silently break the
+    # negation trick and must revert to the two-pass min-among-maxima form
+    # (ADVICE r13).
     best = rel.agg(
         *[
             F.max(

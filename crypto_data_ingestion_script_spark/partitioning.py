@@ -23,7 +23,11 @@ any co-location.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
 
 
 def ensure_parallelism(
@@ -46,13 +50,22 @@ def ensure_parallelism(
     parallelism and behavior is unchanged."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if bytes_per_task:
+        # Plan-stat probe via private py4j internals (no public size-estimate
+        # API exists). Scoped to the py4j/attribute error classes an API
+        # drift would raise, and logged, so a Spark upgrade that moves the
+        # accessor can't silently disable the cap (ADVICE r13).
+        import py4j.protocol
+
         try:
             est = int(
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
             target = max(1, min(target, -(-est // bytes_per_task)))
-        except Exception:
-            pass  # unknown stats: keep the pure core-count target
+        except (py4j.protocol.Py4JError, AttributeError, ValueError, TypeError) as ex:
+            logger.debug(
+                "ensure_parallelism: plan-size probe failed (%s); "
+                "falling back to core-count target %d", ex, target
+            )
     if df.rdd.getNumPartitions() < target * min_factor:
         return df.repartition(target) if target > 1 else df
     return df

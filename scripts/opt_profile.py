@@ -1,4 +1,4 @@
-"""Round-13 optimization profiler: for each headline bench query at a given
+"""Optimization-round profiler: for each headline bench query at a given
 scale dir, capture
 
 - ``explain("formatted")`` text  -> plans/r13/{name}_{tag}.txt
@@ -10,8 +10,10 @@ scale dir, capture
 - plan-shape counters: Exchange / Sort / BatchEvalPython / ArrowEvalPython /
   SortMergeJoin / BroadcastHashJoin / ... occurrences in the formatted plan
 
-Usage: python scripts/opt_profile.py [sf_dir] [tag] [only_csv]
+Usage: python scripts/opt_profile.py [sf_dir] [tag] [only_csv] [plan_subdir]
 Writes plans + one JSON line to stdout; stderr carries progress.
+``only_csv`` may name any registered query (not just headline ones);
+unknown names abort up front with the full list (ADVICE r13).
 """
 from __future__ import annotations
 
@@ -26,20 +28,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TAG = sys.argv[2] if len(sys.argv) > 2 else "before"
 ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+PLAN_SUBDIR = sys.argv[4] if len(sys.argv) > 4 else "r14"
 
 from bench import HEADLINE  # noqa: E402
 from crypto_data_ingestion_script_spark.registry import load_all  # noqa: E402
 from crypto_data_ingestion_script_spark.session import build_session  # noqa: E402
 
 PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "plans", "r13")
+                        "plans", PLAN_SUBDIR)
 os.makedirs(PLAN_DIR, exist_ok=True)
 
-OPS = ("Exchange", "Sort ", "SortMergeJoin", "BroadcastHashJoin",
-       "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
-       "BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow",
-       "HashAggregate", "ObjectHashAggregate", "SortAggregate", "Window",
-       "AQEShuffleRead", "TableCacheQueryStage")
+#: Exact operator-name tokens counted with word boundaries, so "Exchange"
+#: does not also count every "BroadcastExchange" and "HashAggregate" does
+#: not count "ObjectHashAggregate" (ADVICE r13 — the shape metrics feed
+#: plan-diff claims and must not be inflated by substring hits).
+OPS = ("Exchange", "BroadcastExchange", "Sort", "SortMergeJoin",
+       "BroadcastHashJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+       "CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+       "MapInPandas", "MapInArrow", "HashAggregate", "ObjectHashAggregate",
+       "SortAggregate", "Window", "AQEShuffleRead", "TableCacheQueryStage")
 
 
 def main() -> None:
@@ -54,6 +61,10 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, schema="id long").count()
     warm_dir = "/root/testdata/sf0.001"
+    if ONLY is not None:
+        unknown = sorted(ONLY - set(specs))
+        if unknown:
+            sys.exit(f"opt_profile: unknown query names {unknown}")
     names = (
         [n for n in HEADLINE if n in ONLY] + sorted(ONLY - set(HEADLINE))
         if ONLY is not None
@@ -72,7 +83,10 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted")
         with open(os.path.join(PLAN_DIR, f"{name}_{TAG}.txt"), "w") as f:
             f.write(plan)
-        shape = {op.strip(): len(re.findall(re.escape(op), plan)) for op in OPS}
+        shape = {
+            op: len(re.findall(r"\b" + re.escape(op) + r"\b", plan))
+            for op in OPS
+        }
         shape = {k: v for k, v in shape.items() if v}
         # Job count via job group.
         sc.setJobGroup(f"prof_{name}", name)
