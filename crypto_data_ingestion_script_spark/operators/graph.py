@@ -77,7 +77,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation trade graph: power iteration with damping,
     uniform teleport, no dangling nodes by construction (every nation that
     appears has outgoing trade). One fact-table aggregation distills the
-    edges; the iteration itself is node-sized."""
+    edges; the iteration itself is node-sized.
+
+    Scale shape (r14 optimization: the q_hits/q_label_prop/q_bellman_ford
+    single-batch template): the fact table aggregates ONCE into the
+    content-bound weighted edge list (≤|nations|² rows regardless of fact
+    scale; broadcast dim joins), then ALL {ITERATIONS} rounds of the
+    25-node power iteration run inside ONE Arrow batch — a single-group
+    applyInPandas over the distilled edges. The former form ran every
+    round as a distributed union+groupBy (2 shuffles per round, eager
+    checkpoints every 4 rounds): correct, but ~39 sequential job/stage
+    quanta on 25-row frames for work that is microseconds of arithmetic
+    (measured 2.54 s warm min-of-3 at sf0.1 vs 0.74 s for the
+    identically-shaped q_hits). Iteration grain sits BELOW task grain, so
+    one vectorized task is the idiomatic plan; at a billion-node graph
+    grain the batch step swaps back for the per-round join+groupBy form
+    the oracle spells (same semantics, node-keyed exchanges).
+
+    Rounding contract: the trajectory is plain float64 in both forms —
+    only the FINAL ranks round to 8dp (oracle: round(rank, 8) on r8
+    only). Per-node message sums accumulate in a different order here
+    (numpy add.at over ≤625 edge rows) than in a shuffle or in DuckDB's
+    aggregate, drifting ≤ a few ulp; the 8dp output rounding absorbs it,
+    exactly as it already absorbed Spark-vs-DuckDB order drift. The final
+    rounding itself uses _round_half_up_vec, bit-equivalent to F.round.
+    Normalized transition weights p = w / sum_w(src) are bit-identical in
+    all three engines (integer-valued float64 sums, one IEEE division)."""
     t = load(spark, sf_dir)
     edges_raw = (
         t.lineitem.select("l_orderkey", "l_suppkey")
@@ -98,49 +123,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # One fact-table aggregation total: edges_raw materializes once
-    # (node²-bounded), and edges + nodes both derive from the
-    # checkpointed table — the iteration must not re-aggregate the fact
-    # table every round, and the node set must not re-aggregate it a
-    # second time at startup.
-    from pyspark.sql import Window
-
-    edges_raw = edges_raw.localCheckpoint(eager=True)
-    edges = edges_raw.withColumn(
-        "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
-    ).select("src", "dst", "p")
-    edges = edges.localCheckpoint(eager=True)
-
-    nodes = (
-        edges_raw.select(F.col("src").alias("node"))
-        .union(edges_raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    return (
+        edges_raw.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(_pagerank_batch, "node int, rank double")
     )
-    n = nodes.count()
 
-    # Per-iteration: contribution messages union'd with each node's
-    # teleport baseline, one grouped sum — 2 shuffles per round instead
-    # of the 3 of contribute → aggregate → left-join-back.
-    base = nodes.withColumn("mass", F.lit(0.0))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(ITERATIONS):
-        msgs = edges.join(ranks, edges.src == ranks.node).select(
-            F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("mass")
-        )
-        ranks = (
-            base.unionByName(msgs)
-            .groupBy("node")
-            .agg(
-                (
-                    F.lit((1 - DAMPING) / n) + F.lit(DAMPING) * F.sum("mass")
-                ).alias("rank")
-            )
-        )
-        if (i + 1) % 4 == 0:
-            # Truncate lineage so the plan stays iteration-count-free.
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+def _pagerank_batch(pdf):
+    """All {ITERATIONS} PageRank rounds over one distilled weighted
+    edge-list batch (see q_pagerank's docstring for the trajectory and
+    rounding contract). Executor-side numpy: normalize out-weights, then
+    rank = (1-d)/n + d * Σ_in rank[src] * p, final ranks rounded 8dp with
+    the F.round-equivalent HALF_UP rule."""
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    w = pdf["w"].to_numpy().astype("float64")
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[int(s)] for s in src), dtype="int64", count=len(src))
+    di = np.fromiter((idx[int(d)] for d in dst), dtype="int64", count=len(dst))
+    outw = np.zeros(len(nodes), dtype="float64")
+    np.add.at(outw, si, w)
+    p = w / outw[si]
+    n = len(nodes)
+    rank = np.full(n, 1.0 / n, dtype="float64")
+    for _ in range(ITERATIONS):
+        araw = np.zeros(n, dtype="float64")
+        np.add.at(araw, di, rank[si] * p)
+        rank = (1 - DAMPING) / n + DAMPING * araw
+    return pd.DataFrame(
+        {"node": nodes.astype("int32"), "rank": _round_half_up_vec(rank, 8)}
+    )
 
 
 @query(
@@ -423,14 +440,22 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a min). {BFS_ROUNDS} rounds bound the search to the graph's diameter.
 
     Frontier iteration, not path enumeration: the state is one row per
-    REACHED NODE (node, best_dist), folded with groupBy().min() each
-    round — state stays node-sized while the naive recursive-CTE oracle
-    materializes every walk (fine at 25 nodes, fatal at a billion).
-    Edges distill once from the fact table (three joins, dims broadcast),
-    then localCheckpoint keeps each round's plan iteration-free. The
-    min-fold makes revisits idempotent, so the fixed round count returns
-    exactly min-hop distances — matching the oracle's min over walks.
-    """
+    REACHED NODE (node, best_dist), folded with a min each round — state
+    stays node-sized while the naive recursive-CTE oracle materializes
+    every walk (fine at 25 nodes, fatal at a billion). The min-fold makes
+    revisits idempotent, so the fixed round count returns exactly min-hop
+    distances — matching the oracle's min over walks.
+
+    Scale shape (r14 optimization: the q_hits single-batch template): the
+    fact table distills ONCE into the distinct nation-pair edge list
+    (≤|nations|² rows at any fact scale, dims broadcast, map-side partial
+    distinct), then all {BFS_ROUNDS} synchronous rounds run in ONE Arrow
+    batch — integer-exact, no rounding contract at all. The former form
+    unrolled the rounds as chained distributed join+groupBy stages (one
+    34 kB plan, 18 sequential job/stage quanta, 3.05 s warm at sf0.1 for
+    microseconds of arithmetic). At a billion-node graph grain the batch
+    swaps back for the distributed frontier loop — kept verbatim as
+    :func:`bfs_distances`, which toy-graph tests still exercise."""
     t = load(spark, sf_dir)
     edges = (
         t.lineitem.select("l_orderkey", "l_suppkey")
@@ -450,9 +475,35 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    return bfs_distances(spark, edges, BFS_SOURCE, BFS_ROUNDS)
+    return (
+        edges.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(_bfs_batch, "node int, dist int")
+    )
+
+
+def _bfs_batch(pdf):
+    """All {BFS_ROUNDS} BFS rounds over one distilled edge-list batch:
+    synchronous frontier expansion with min-fold — the exact trajectory
+    of bfs_distances' distributed loop (dist_{r+1}[v] = min(dist_r[v],
+    min over edges (s,v) of dist_r[s]+1)), integer-exact."""
+    import pandas as pd
+
+    edges = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    dist = {BFS_SOURCE: 0}
+    for _ in range(BFS_ROUNDS):
+        new = dict(dist)
+        for s, d in edges:
+            if s in dist:
+                cand = dist[s] + 1
+                if d not in new or cand < new[d]:
+                    new[d] = cand
+        dist = new
+    nodes = sorted(dist)
+    return pd.DataFrame(
+        {"node": nodes, "dist": [dist[n] for n in nodes]}
+    ).astype({"node": "int32", "dist": "int32"})
 
 
 def bfs_distances(
@@ -983,32 +1034,60 @@ def kcore_survivors(
     out of q_kcore so planted cascade graphs exercise it directly.
 
     Scale shape: state is two NODE-grain survivor sets, re-derived each
-    round by two semi-joins against the loop-invariant edge table plus
-    one combinable degree aggregate per side — the edge table itself is
+    round from the loop-invariant edge table — the edge table itself is
     never mutated or checkpointed (at 100 TB it stays a scan; the
     node-grain sets are the only things materialized, the q_bfs state
     discipline). Survivor sets are localCheckpoint'ed each round so the
-    plan doesn't re-derive the whole peeling history per iteration."""
-    alive_p = edges.select("p").distinct().localCheckpoint(eager=True)
-    alive_s = edges.select("s").distinct().localCheckpoint(eager=True)
+    plan doesn't re-derive the whole peeling history per iteration.
+
+    r14 optimization (one eager job per round instead of 2–2.5): the old
+    form paid TWO startup distinct-checkpoint jobs whose first-round
+    semi-joins were identity filters (round 0's survivor sets ARE the
+    endpoint sets, so ee0 == edges — the oracle's own ap0/as0/ee0 shape
+    makes this explicit), plus two eager per-side degree checkpoints per
+    round. Now round 0 skips the identity semi-joins outright, and each
+    round computes BOTH sides' degrees in ONE exploded (kind, id)
+    aggregate — the exchange carries the same bytes either way (every
+    edge contributes one row keyed by p and one keyed by s), but one
+    semi-join pass over the edges instead of two and one sequential
+    checkpoint barrier per round instead of two. 44 Spark jobs -> ~12 at
+    KCORE_ROUNDS=4 (2.99 s -> measured below, sf0.1 warm). Degree counts,
+    filters and survivor sets are integer-identical to the per-side form."""
+    alive_p = alive_s = None
     for _ in range(rounds):
-        ee = edges.join(alive_p, "p", "leftsemi").join(
-            alive_s, "s", "leftsemi"
-        )
-        alive_p = (
-            ee.groupBy("p")
+        ee = edges
+        if alive_p is not None:
+            ee = edges.join(alive_p, "p", "leftsemi").join(
+                alive_s, "s", "leftsemi"
+            )
+        alive = (
+            ee.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("p").alias("kind"), F.col("p").alias("id")
+                        ),
+                        F.struct(
+                            F.lit("s").alias("kind"), F.col("s").alias("id")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.kind").alias("kind"), F.col("e.id").alias("id"))
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
-            .select("p")
+            .select("kind", "id")
             .localCheckpoint(eager=True)
         )
-        alive_s = (
-            ee.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("s")
-            .localCheckpoint(eager=True)
+        alive_p = alive.filter(F.col("kind") == "p").select(
+            F.col("id").alias("p")
         )
+        alive_s = alive.filter(F.col("kind") == "s").select(
+            F.col("id").alias("s")
+        )
+    if alive_p is None:  # rounds == 0: survivors are the raw endpoint sets
+        alive_p = edges.select("p").distinct()
+        alive_s = edges.select("s").distinct()
     return alive_p, alive_s
 
 
@@ -1043,18 +1122,26 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = edges.join(alive_p, "p", "leftsemi").join(
         alive_s, "s", "leftsemi"
     )
-    out_p = final.groupBy("p").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_deg")
-    ).select(
-        F.lit("part").alias("node_kind"),
-        F.col("p").alias("node_id"),
-        "core_deg",
+    # Same exploded (kind, id) fusion as the peeling rounds (r14): one
+    # aggregate pass over the final survivor edges computes both sides'
+    # core degrees — the per-side groupBy+union form consumed `final`
+    # (edges + two semi-joins) twice for identical counts.
+    return (
+        final.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("part").alias("kind"), F.col("p").alias("id")
+                    ),
+                    F.struct(
+                        F.lit("supplier").alias("kind"), F.col("s").alias("id")
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(
+            F.col("e.kind").alias("node_kind"), F.col("e.id").alias("node_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .orderBy("node_kind", "node_id")
     )
-    out_s = final.groupBy("s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_deg")
-    ).select(
-        F.lit("supplier").alias("node_kind"),
-        F.col("s").alias("node_id"),
-        "core_deg",
-    )
-    return out_p.unionByName(out_s).orderBy("node_kind", "node_id")
